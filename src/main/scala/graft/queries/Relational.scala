@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational operator coverage over the driver's synthetic tables.
+  *
+  * Each query maps to one or more rows of SURVEY.md §2's operator
+  * inventory (noted per query) and has an exact DuckDB oracle in
+  * [[Relational.oracle]]. Column names/aliases match the oracle SQL
+  * exactly — the driver sorts columns by name before hashing.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - all aggregates are hash aggregates with map-side partials;
+  *  - dimension joins (customer/nation/region/supplier) are broadcast;
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them into the reader (PushedFilters / ReadSchema);
+  *  - double-valued aggregates are rounded in BOTH engines so the
+  *    hash compare is stable across summation orders.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** SURVEY §2 A5 (count+sum+avg hash aggregate). TPC-H Q1 shape. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** SURVEY §2 P5-P9 (filter + projection pushed to the scan). Q6 shape. */
+  def q2FilterPushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.09) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** SURVEY §2 J1 (equi inner join, broadcast dimension) + A5. */
+  def q3JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** SURVEY §2 J2 (left-semi join). Customers that have orders, per nation. */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** SURVEY §2 J3 (left-anti join — the reference's wastedAttempts =
+    * attempts NOT in finals). Customers with no open ('O') order. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** SURVEY §2 A1/W1 (last-write-wins per key via ranking window).
+    * Latest event per user, ordered by (ts, event_id) — mirrors the
+    * reference's last-record-wins merge (bin/job_history:232-257). */
+  def q6LastWriteWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"),
+        // ts is BIGINT nanos (nanosAsLong); DIV 1000 == DuckDB epoch_us
+        expr("ts DIV 1000").as("last_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SURVEY §2 W2 (running-sum analytic window — the sweep-line
+    * formulation of the reference's concurrency timeline). */
+  def q7RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** SURVEY §2 O1 + top-k (TakeOrderedAndProject). */
+  def q8TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend_raw"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("spend_raw").desc, col("o_custkey"))
+      .limit(10)
+      .select(col("o_custkey"), round(col("spend_raw"), 2).as("spend"),
+        col("n_orders"))
+
+  /** SURVEY §2 A9/F7 (nested counter/JSON scalar extraction with
+    * default-0 — py semantics, bin/job_history.py:104). */
+  def q9JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k",
+        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** SURVEY §2 J1 chain (multi-way star join, broadcast dims). */
+  def q10StarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  /** SURVEY §2 T4 (pivot to wide per-phase series). Per-day counts per
+    * event type as fixed wide columns, like the timeline's 5 series. */
+  def q11PivotWide(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** SURVEY §2 T1-T2 (time-spine generation + interval expansion →
+    * per-unit concurrency). Each event is an interval
+    * [ts, ts + value seconds]; count overlapping events per minute over
+    * a dense spine, zeros preserved — the reference timeline's exact
+    * dataflow shape (bin/job_history:460-536). */
+  def q12IntervalConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(
+      expr("(ts DIV 1000) DIV 60000000").as("lo"),
+      expr("((ts DIV 1000) + CAST(floor(value * 1000000.0) AS BIGINT)) DIV 60000000")
+        .as("hi"))
+    val b = iv.agg(min(col("lo")).as("mn"), max(col("hi")).as("mx"))
+    val spine = b.select(explode(sequence(col("mn"), col("mx"))).as("t"))
+    val counts = iv
+      .select(explode(sequence(col("lo"), col("hi"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_raw"))
+    spine.join(counts, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy(col("t"))
+  }
+
+  /** SURVEY §2.7 (set ops — EXCEPT/distinct). */
+  def q13SetExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+      .except(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+      .orderBy(col("o_custkey"))
+  }
+
+  /** SURVEY §2 A2 (countDistinct per group) over a time rollup. */
+  def q14CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** SURVEY §2 A4/J5 (global scalar extremes broadcast onto every
+    * group row — the reference's submitTime/allMapsComplete pattern). */
+  def q15ScalarCross(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val totals = o.agg(
+      count(lit(1)).as("total_n"),
+      // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+      // cast is identity and matches DuckDB's epoch_us
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).as("first_us"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"))
+    o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("o_orderstatus"),
+        col("n"),
+        round(col("n").cast("double") / col("total_n"), 6).as("frac"),
+        col("first_us"),
+        col("last_us"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_filter_pushdown" -> (q2FilterPushdown _),
+    "q3_join_broadcast" -> (q3JoinBroadcast _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_last_write_wins" -> (q6LastWriteWins _),
+    "q7_running_sum" -> (q7RunningSum _),
+    "q8_topk" -> (q8TopK _),
+    "q9_json_extract" -> (q9JsonExtract _),
+    "q10_star_join" -> (q10StarJoin _),
+    "q11_pivot_wide" -> (q11PivotWide _),
+    "q12_interval_concurrency" -> (q12IntervalConcurrency _),
+    "q13_set_except" -> (q13SetExcept _),
+    "q14_count_distinct" -> (q14CountDistinct _),
+    "q15_scalar_cross" -> (q15ScalarCross _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment,
+        | round(sum(o_totalprice), 2) AS total_spend,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_last_write_wins" ->
+      """SELECT user_id, last_type, last_value, last_ts_us FROM (
+        | SELECT user_id, event_type AS last_type,
+        |  round(value, 2) AS last_value, epoch_us(ts) AS last_ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q7_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q8_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10""".stripMargin,
+    "q9_json_extract" ->
+      """SELECT event_type,
+        | sum(coalesce(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0))
+        |   AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_star_join" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_pivot_wide" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_interval_concurrency" ->
+      """WITH iv AS (
+        | SELECT epoch_us(ts) // 60000000 AS lo,
+        |  (epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT)) // 60000000
+        |    AS hi
+        | FROM events),
+        |b AS (SELECT min(lo) AS mn, max(hi) AS mx FROM iv),
+        |spine AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),
+        |x AS (SELECT unnest(generate_series(lo, hi)) AS t FROM iv),
+        |c AS (SELECT t, count(*) AS n_raw FROM x GROUP BY t)
+        |SELECT spine.t AS t, coalesce(c.n_raw, 0) AS n
+        |FROM spine LEFT JOIN c ON spine.t = c.t ORDER BY t""".stripMargin,
+    "q13_set_except" ->
+      """SELECT o_custkey FROM (
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        | EXCEPT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY o_custkey""".stripMargin,
+    "q14_count_distinct" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q15_scalar_cross" ->
+      """WITH tot AS (
+        | SELECT count(*) AS total_n,
+        |  epoch_us(min(o_orderdate)) AS first_us,
+        |  epoch_us(max(o_orderdate)) AS last_us
+        | FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        | round(count(*) / CAST(any_value(tot.total_n) AS DOUBLE), 6) AS frac,
+        | any_value(tot.first_us) AS first_us,
+        | any_value(tot.last_us) AS last_us
+        |FROM orders, tot GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Text-analysis / dedup operators for a large-scale training-data
+  * pipeline, over the `documents` table. All are pure columnar
+  * expressions (whole-stage codegen, no UDFs); every query here has an
+  * exact DuckDB oracle.
+  *
+  * Scale notes: token/quality/fingerprint ops are embarrassingly
+  * parallel map-only scans. Exact dedup is one hash-shuffle on a
+  * 16-byte digest. The n-gram Jaccard join shuffles on the shingle —
+  * at 100 TB you'd pre-filter shingles by document frequency (drop
+  * stop-shingles) before the self-join; here df-filtering is already
+  * modeled by the distinct() on (doc, shingle).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Token counting (whitespace tokenizer) — map-only. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup: keep the lowest doc_id per md5(text) digest.
+    * One shuffle on the digest; survivors returned. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: stopword-ratio scoring (n-gram/stopword
+    * style language identification, map-only). */
+  def langStopwordRatio(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        round(
+          expr("size(filter(words, w -> w IN ('the', 'a')))").cast("double") /
+            size(col("words")).cast("double"), 6).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length / uniqueness / average-token-length
+    * signals with a keep flag — map-only. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(expr("size(array_distinct(words))").cast("double") /
+          col("n_tokens").cast("double"), 6).as("uniq_ratio"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("avg_token_len"))
+      .withColumn("keep",
+        col("n_tokens").between(15, 90) && col("uniq_ratio") >= 0.15)
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: digest of the normalized text, with
+    * per-source dup stats (the 100 TB pre-pass for exact dedup). */
+  def fingerprintStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), md5(lower(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .orderBy(col("source"))
+
+  /** N-gram (3-word shingle) Jaccard near-duplicate pairs: shingle →
+    * inverted-index self-join → |∩|/|∪|. Top-20 by similarity.
+    * The same dataflow as MinHash-LSH candidate generation, with exact
+    * Jaccard instead of the sketch. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jac_raw",
+        col("n_inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")).cast("double"))
+      .orderBy(col("jac_raw").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count" -> (tokenCount _),
+    "t2_dedup_exact" -> (dedupExact _),
+    "t3_lang_stopword" -> (langStopwordRatio _),
+    "t4_quality_score" -> (qualityScore _),
+    "t5_fingerprint_stats" -> (fingerprintStats _),
+    "t6_ngram_jaccard" -> (ngramJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin,
+    "t3_lang_stopword" ->
+      """SELECT doc_id, lang,
+        | round(CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the', 'a'))) AS DOUBLE) /
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_quality_score" ->
+      """WITH w AS (
+        | SELECT doc_id, n_chars, string_split(text, ' ') AS words
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(words)) AS DOUBLE) /
+        |        CAST(len(words) AS DOUBLE), 6) AS uniq_ratio,
+        |  round(CAST(n_chars - (len(words) - 1) AS DOUBLE) /
+        |        CAST(len(words) AS DOUBLE), 6) AS avg_token_len
+        | FROM w)
+        |SELECT doc_id, n_tokens, uniq_ratio, avg_token_len,
+        | (n_tokens BETWEEN 15 AND 90) AND uniq_ratio >= 0.15 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t5_fingerprint_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(lower(text))) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t6_ngram_jaccard" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, unnest(generate_series(1, len(words) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        | FROM sh a JOIN sh b
+        |   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(CAST(n_inter AS DOUBLE) /
+        |   CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON doc_a = sa.doc_id
+        | JOIN sizes sb ON doc_b = sb.doc_id
+        |ORDER BY CAST(n_inter AS DOUBLE) /
+        |   CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin)
+}
