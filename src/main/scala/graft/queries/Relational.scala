@@ -111,16 +111,17 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
-  /** SURVEY §2 O1 + top-k (TakeOrderedAndProject). */
+  /** SURVEY §2 O1 + top-k (TakeOrderedAndProject). Ranked by the
+    * ROUNDED sum so the cutoff is stable across summation orders
+    * (partial-aggregate order differs between engines/scales). */
   def q8TopK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("spend_raw"),
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
         count(lit(1)).as("n_orders"))
-      .orderBy(col("spend_raw").desc, col("o_custkey"))
+      .orderBy(col("spend").desc, col("o_custkey"))
       .limit(10)
-      .select(col("o_custkey"), round(col("spend_raw"), 2).as("spend"),
-        col("n_orders"))
+      .select(col("o_custkey"), col("spend"), col("n_orders"))
 
   /** SURVEY §2 A9/F7 (nested counter/JSON scalar extraction with
     * default-0 — py semantics, bin/job_history.py:104). */
@@ -166,10 +167,13 @@ object Relational {
     * a dense spine, zeros preserved — the reference timeline's exact
     * dataflow shape (bin/job_history:460-536). */
   def q12IntervalConcurrency(s: SparkSession, dir: String): DataFrame = {
+    // greatest(hi, lo): Spark's sequence(lo, hi) descends when hi < lo
+    // while DuckDB's generate_series is empty — clamp so an inverted
+    // interval (negative value) contributes exactly its start unit.
     val iv = t(s, dir, "events").select(
       expr("(ts DIV 1000) DIV 60000000").as("lo"),
-      expr("((ts DIV 1000) + CAST(floor(value * 1000000.0) AS BIGINT)) DIV 60000000")
-        .as("hi"))
+      expr("greatest(((ts DIV 1000) + CAST(floor(value * 1000000.0) AS BIGINT)) DIV 60000000, " +
+        "(ts DIV 1000) DIV 60000000)").as("hi"))
     val b = iv.agg(min(col("lo")).as("mn"), max(col("hi")).as("mx"))
     val spine = b.select(explode(sequence(col("mn"), col("mx"))).as("t"))
     val counts = iv
@@ -288,11 +292,11 @@ object Relational {
       """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
         | count(*) AS n_orders
         |FROM orders GROUP BY 1
-        |ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10""".stripMargin,
+        |ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey LIMIT 10""".stripMargin,
     "q9_json_extract" ->
       """SELECT event_type,
-        | sum(coalesce(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0))
-        |   AS sum_k,
+        | CAST(sum(coalesce(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0))
+        |   AS BIGINT) AS sum_k,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_star_join" ->
@@ -315,8 +319,8 @@ object Relational {
     "q12_interval_concurrency" ->
       """WITH iv AS (
         | SELECT epoch_us(ts) // 60000000 AS lo,
-        |  (epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT)) // 60000000
-        |    AS hi
+        |  greatest((epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT)) // 60000000,
+        |   epoch_us(ts) // 60000000) AS hi
         | FROM events),
         |b AS (SELECT min(lo) AS mn, max(hi) AS mx FROM iv),
         |spine AS (SELECT unnest(generate_series(mn, mx)) AS t FROM b),

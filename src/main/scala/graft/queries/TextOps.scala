@@ -89,6 +89,10 @@ object TextOps {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
       .withColumn("words", split(col("text"), " "))
+      // guard: <3 tokens would make sequence(0, size-3) descend and
+      // slice() throw; the oracle's generate_series is empty instead —
+      // short docs must contribute zero shingles.
+      .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(words) - 3), " +
           "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))

@@ -56,11 +56,11 @@ def main() -> None:
         for c in g.columns:
             gv, ev = g[c], e[c]
             if gv.dtype != ev.dtype:
-                try:
-                    gv = gv.astype(ev.dtype)
-                except Exception:
-                    bad.append(f"{c}: dtype {g[c].dtype} vs {e[c].dtype}")
-                    continue
+                # The driver's gate hashes raw values — a dtype mismatch
+                # (e.g. int64 vs HUGEINT→float64) is a hard FAIL there,
+                # so it must be a hard FAIL here too. No coercion.
+                bad.append(f"{c}: dtype {g[c].dtype} vs {e[c].dtype}")
+                continue
             neq = ~((gv == ev) | (gv.isna() & ev.isna()))
             if neq.any():
                 i = neq.idxmax()
