@@ -1,0 +1,81 @@
+package graft.jobhistory
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI surface mirroring the reference tool (`bin/job_history:155-191`):
+  *
+  * {{{
+  * job_history -i <file|-> [-d sep] [--scale n] [-s|-m|-r|-b|-t]
+  * }}}
+  *
+  * `-s` summary, `-m` map details, `-r` reduce details, `-b` the
+  * python-surface bytes report, `-t`/default the concurrency timeline.
+  * Reports print CSV-style with the `-d` delimiter (default ", ").
+  * `--scale` defaults to 1000 (seconds — the golden-output scale);
+  * the reference CLI's 1000000 and the CGI's 100 are both reachable.
+  * `-i -` reads stdin (S3). `-Dk=v` args are absorbed (P10).
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    var input = "-"
+    var sep = ", "
+    var scale = 1000L
+    var report = "t"
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-i" => input = args(i + 1); i += 2
+        case "-d" => sep = args(i + 1); i += 2
+        case "--scale" => scale = args(i + 1).toLong; i += 2
+        case "-s" | "-m" | "-r" | "-b" | "-t" =>
+          report = args(i).substring(1); i += 1
+        case a if a.startsWith("-D") => i += 1 // P10: java-opts absorbed
+        case a => sys.error(s"unknown argument: $a")
+      }
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("job-history")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events =
+      if (input == "-")
+        JobHistoryReader.readString(spark, scala.io.Source.stdin.mkString)
+      else JobHistoryReader.read(spark, input)
+    val v = new JobHistoryViews(spark, events, scale)
+
+    report match {
+      case "s" =>
+        val r = Reports.summary(v).collect().head
+        println("Job details: ")
+        r.schema.fieldNames.foreach(f => println(s"    $f=${r.getAs[Any](f)}"))
+        println("Overview statistics")
+        println(s"    Total time: ${r.getAs[Long]("total_time")}")
+        println(s"    Average map task length: ${r.getAs[Double]("avg_map_time")}")
+        println(s"    All Maps complete in: ${r.getAs[Long]("all_maps_complete")}")
+        println(s"    Average shuffle task length: ${r.getAs[Double]("avg_shuffle_time")}")
+        println(s"    Average reduce task length: ${r.getAs[Double]("avg_reduce_time")}")
+      case "m" => printCsv(Reports.mapDetails(v), sep,
+        Seq("taskid", "start-time", "end-time", "elapsed-time", "number-of-attempts"))
+      case "r" => printCsv(Reports.reduceDetails(v), sep,
+        Seq("taskid", "start-time", "maps-complete", "shuffle-finish",
+          "end-time", "elapsed-time", "number-of-attempts"))
+      case "b" => printCsv(Reports.bytesReport(v), sep,
+        Seq("Name", "reduce-output-bytes", "shuffle-finish", "reduce-finish"))
+      case _ => printCsv(Reports.timeline(v), sep,
+        Seq("time", "maps", "shuffle", "merge", "reduce", "waste"))
+    }
+    spark.stop()
+  }
+
+  private def printCsv(df: DataFrame, sep: String, header: Seq[String]): Unit = {
+    println(header.mkString(sep))
+    df.collect().foreach(r =>
+      println(r.toSeq.map(x => if (x == null) "null" else x.toString).mkString(sep)))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.jobhistory
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources + record parsing for the Hadoop JobHistory text format
+  * (SURVEY §1.1, §2.1 S1-S4, §2.2 P1-P4).
+  *
+  * Format (reference: bin/job_history:213-228, bin/job_history.py:55-62):
+  * one record per `" ."`-terminated line; records whose values embed
+  * newlines (multi-line ERROR stack traces) span physical lines until
+  * the terminator. Record = `EVENT KEY1="v1" KEY2="v2" … .`; the
+  * COUNTERS attribute nests `{(gk)(gname)[(ck)(cname)(v)]…}` groups
+  * (bin/job_history:193-195).
+  *
+  * Spark-first design decisions:
+  *  - Record framing (P1) is pushed into the scan via the text source's
+  *    `lineSep = " .\n"` option — the reader emits whole records, the
+  *    multi-line buffering loop of the reference disappears, and the
+  *    scan stays splittable (HDFS-style byte-range splits re-sync on
+  *    the delimiter), so a 100 TB log directory parallelizes freely.
+  *  - All parsing (P2-P4) is built-in columnar expressions
+  *    (`regexp_extract_all` + `transform` + `map_from_entries`) — no
+  *    UDFs, so the whole parse stage stays inside whole-stage codegen.
+  *  - `line_no` (the reference's implicit record order, which
+  *    last-write-wins merging depends on — SURVEY §7.4) comes from
+  *    `zipWithIndex` on the record RDD: deterministic file order, unlike
+  *    `monotonically_increasing_id` whose partition numbering is not
+  *    guaranteed to follow file offsets.
+  */
+object JobHistoryReader {
+
+  /** Record terminator: space-dot-newline (bin/job_history:214). */
+  val RecordSep = " .\n"
+
+  private val rawSchema = StructType(Seq(
+    StructField("line_no", LongType, nullable = false),
+    StructField("record", StringType, nullable = true)))
+
+  /** S1: local file / directory / glob scan. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(withLineNo(spark, spark.read.option("lineSep", RecordSep).text(path)))
+
+  /** S3/S4: in-memory log text (stdin / CGI `log=` param surface). */
+  def readString(spark: SparkSession, log: String): DataFrame = {
+    import spark.implicits._
+    val recs = log.split(" \\.\n", -1).toSeq.filter(_.nonEmpty)
+    parse(recs.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+      .toDF("line_no", "record"))
+  }
+
+  /** Deterministic record order (file order) for last-write-wins. */
+  private def withLineNo(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row(i, r.getString(0)) }
+    spark.createDataFrame(rdd, rawSchema)
+  }
+
+  /** Attr-map regex — reference parity: `([^=]+)="([^"]*)" *`
+    * (bin/job_history:193). Values may span lines (ERROR traces), `[^"]*`
+    * crosses `\n` without a DOTALL flag.
+    */
+  private val attrEntries =
+    """transform(
+      |  regexp_extract_all(tail, '([^=]+)="([^"]*)" *', 0),
+      |  m -> struct(
+      |    substring_index(m, '="', 1) AS key,
+      |    regexp_extract(m, '(?s)^[^=]+="(.*)"[ ]*$', 1) AS value))""".stripMargin
+
+  /** P2 + P3: event-type projection and attr-map extraction.
+    * Duplicate keys within one record resolve last-wins (reference
+    * `attrs[k] = v` overwrite order) via the indexed filter, keeping
+    * `map_from_entries` safe under the default EXCEPTION dedup policy.
+    */
+  private def parse(df: DataFrame): DataFrame =
+    df.filter(col("record").isNotNull && length(col("record")) > 0)
+      .withColumn("event", substring_index(col("record"), " ", 1))
+      .withColumn("tail",
+        expr("substring(record, length(event) + 2, length(record))"))
+      .withColumn("attrs", expr(
+        s"""map_from_entries(
+           |  filter($attrEntries,
+           |    (e, i) -> !exists(
+           |      slice($attrEntries, i + 2, size($attrEntries) - i - 1),
+           |      x -> x.key = e.key)))""".stripMargin))
+      .select("line_no", "event", "attrs")
+
+  /** P4: nested COUNTERS sub-format →
+    * `Map[groupDisplayName, Map[counterDisplayName, Long]]`.
+    * Group/counter *display names* key the maps — reference uses
+    * `match[2]` / `mmatch[2]` (bin/job_history:336-349).
+    */
+  def parseCounters(c: String): org.apache.spark.sql.Column = {
+    // Escaping: the s-interpolator unescapes its *literal* parts once
+    // (even triple-quoted) and the SQL literal unescapes once more, so
+    // regex `\{` is written `\\\\{` in literals below — but interpolated
+    // *values* skip the s-pass, so this one carries `\\[` per level.
+    val counterRe = """\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]"""
+    expr(
+      s"""map_from_entries(transform(
+         |  regexp_extract_all($c, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)([^}]+)\\\\}', 0),
+         |  g -> struct(
+         |    regexp_extract(g, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)', 2) AS key,
+         |    map_from_entries(transform(
+         |      regexp_extract_all(g, '$counterRe', 0),
+         |      cc -> struct(
+         |        regexp_extract(cc, '$counterRe', 2) AS key,
+         |        CAST(regexp_extract(cc, '$counterRe', 3) AS BIGINT) AS value))) AS value)))""".stripMargin)
+  }
+}

@@ -1,0 +1,228 @@
+package graft.jobhistory
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's four report surfaces + the python bytes report
+  * (SURVEY §3), as DataFrames.
+  *
+  * Arithmetic parity (SURVEY §7.4): printed start/end columns are
+  * `ms DIV scale` (division before subtraction); elapsed columns are
+  * Groovy `(long)(f/scale - s/scale)` where the quotients are *exact*
+  * BigDecimals — i.e. `(f_ms - s_ms) DIV scale`. The two differ by ±1
+  * (proof: vis/grap/map.d:1 elapsed 8843 ≠ 1289551128-1289542284).
+  *
+  * Scale notes: every join here is keyed on task/attempt id and the
+  * right sides (finals, attempt times) are task-cardinality — at 100 TB
+  * (many logs) these become co-partitioned shuffle joins on the same
+  * key, and the single-row `bounds` scalar is broadcast (J5).
+  */
+object Reports {
+
+  /** `-m` (bin/job_history:426-436; golden vis/grap/map.d). */
+  def mapDetails(v: JobHistoryViews): DataFrame =
+    detailsBase(v.mapTasks, v.scale)
+      .select(col("task_id"), col("start_time"), col("end_time"),
+        col("elapsed"), col("num_attempts"))
+      .orderBy(col("task_id"))
+
+  /** `-r`, current 7-column format (bin/job_history:438-458); golden
+    * vis/grap/reduce.d carries the legacy 6 columns (drop
+    * maps_complete). shuffle_finish is the *final attempt's*
+    * SHUFFLE_FINISHED (J1: task ⋈ finalAttempt ⋈ attempt times). */
+  def reduceDetails(v: JobHistoryViews): DataFrame = {
+    val shuffleOfFinal = v.finalAttempts
+      .join(v.reduceAttemptTimes.select(col("attempt_id"), col("shuffle_u")),
+        Seq("attempt_id"))
+      .select(col("task_id"), col("shuffle_u"))
+    detailsBase(v.reduceTasks, v.scale)
+      .join(shuffleOfFinal, Seq("task_id"), "left")
+      .crossJoin(broadcast(allMapsComplete(v)))
+      .select(col("task_id"), col("start_time"), col("maps_complete"),
+        col("shuffle_u").as("shuffle_finish"), col("end_time"),
+        col("elapsed"), col("num_attempts"))
+      .orderBy(col("task_id"))
+  }
+
+  private def detailsBase(tasks: DataFrame, scale: Long): DataFrame = {
+    val s = col("attrs").getItem("START_TIME").cast("long")
+    val f = col("attrs").getItem("FINISH_TIME").cast("long")
+    tasks.select(
+      col("task_id"),
+      expr(s"CAST(attrs['START_TIME'] AS BIGINT) DIV $scale").as("start_time"),
+      expr(s"CAST(attrs['FINISH_TIME'] AS BIGINT) DIV $scale").as("end_time"),
+      ((f - s) / scale).cast("long").as("elapsed"),
+      col("num_attempts"))
+  }
+
+  /** A6: max map-task finish, in scaled units (bin/job_history:440-446). */
+  private def allMapsComplete(v: JobHistoryViews): DataFrame =
+    v.mapTasks.agg(coalesce(
+      max(expr(s"CAST(attrs['FINISH_TIME'] AS BIGINT) DIV ${v.scale}")),
+      lit(0L)).as("maps_complete"))
+
+  /** `-s` overview statistics as one typed row (bin/job_history:380-424;
+    * golden scalars README:25-28). Averages are fractional (Groovy
+    * BigDecimal division). */
+  def summary(v: JobHistoryViews): DataFrame = {
+    val scale = v.scale
+    def ms(k: String): Column = col("attrs").getItem(k).cast("long")
+    val elapsed = ((ms("FINISH_TIME") - ms("START_TIME")) / scale).cast("long")
+    val finished = ms("FINISH_TIME").isNotNull
+
+    val maps = v.mapTasks.agg(
+      count(when(finished, 1)).as("num_maps"),
+      sum(when(finished, elapsed)).as("total_map_time"),
+      max(when(finished, expr(s"CAST(attrs['FINISH_TIME'] AS BIGINT) DIV $scale")))
+        .as("all_maps_complete"))
+
+    // totalShuffleTime += (long)(shuffle_u - START_TIME/scale): the
+    // reference subtracts an exact quotient from the already-truncated
+    // attempt unit, then truncates — ≡ (shuffle_u*scale - start_ms) DIV scale.
+    val shuffleOfFinal = v.finalAttempts
+      .join(v.reduceAttemptTimes.select(col("attempt_id"), col("shuffle_u")),
+        Seq("attempt_id"))
+      .select(col("task_id"), col("shuffle_u"))
+    val reduces = v.reduceTasks
+      .join(shuffleOfFinal, Seq("task_id"), "left")
+      .agg(
+        count(when(finished, 1)).as("num_reduces"),
+        sum(when(finished, elapsed)).as("total_reduce_time"),
+        sum(when(finished,
+          ((col("shuffle_u") * scale - ms("START_TIME")) / scale).cast("long")))
+          .as("total_shuffle_time"))
+
+    v.job.select(
+      col("attrs").getItem("JOBID").as("job_id"),
+      col("attrs").getItem("JOBNAME").as("job_name"),
+      col("attrs").getItem("USER").as("user"),
+      col("attrs").getItem("JOB_STATUS").as("job_status"),
+      ((ms("FINISH_TIME") - ms("LAUNCH_TIME")) / scale).cast("long")
+        .as("total_time"))
+      .crossJoin(broadcast(maps))
+      .crossJoin(broadcast(reduces))
+      .withColumn("avg_map_time",
+        col("total_map_time").cast("double") / col("num_maps"))
+      .withColumn("avg_shuffle_time",
+        col("total_shuffle_time").cast("double") / col("num_reduces"))
+      .withColumn("avg_reduce_time",
+        col("total_reduce_time").cast("double") / col("num_reduces"))
+  }
+
+  /** The python-surface reduce-output-bytes report
+    * (bin/job_history.py:106-113): per reduce task with counters, HDFS
+    * bytes written + the final attempt's shuffle/end times relative to
+    * job submit. */
+  def bytesReport(v: JobHistoryViews): DataFrame =
+    v.reduceBytes
+      .join(v.finalAttempts, Seq("task_id"), "left")
+      .join(v.reduceAttemptTimes
+        .select(col("attempt_id"), col("shuffle_u"), col("end_u")),
+        Seq("attempt_id"), "left")
+      .crossJoin(broadcast(v.bounds))
+      .select(
+        col("task_id"),
+        col("reduce_output_bytes"),
+        (col("shuffle_u") - col("submit_u")).as("shuffle_finish"),
+        (col("end_u") - col("submit_u")).as("reduce_finish"))
+      .orderBy(col("task_id"))
+
+  // ------------------------------------------------------------ timeline
+
+  /** T3: each attempt projected to (phase, lo, hi) interval rows on the
+    * 0-based scaled spine. Canonical semantics (SURVEY §2.10): Groovy
+    * CLI phases + inclusive upper ends, CGI's `Math.max(0, lo)` clamp;
+    * final attempts drive the real-work series, non-final attempts are
+    * waste (J2/J3 as a left join on attempt_id). */
+  private[jobhistory] def intervals(v: JobHistoryViews): DataFrame = {
+    val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
+    def rel(c: Column): Column = c - col("submit_u")
+    def clamp0(c: Column): Column = greatest(lit(0L), c)
+    def capped(c: Column): Column = rel(least(c, col("finish_u")))
+
+    val maps = v.mapAttemptTimes
+      .filter(col("start_u").isNotNull && col("end_u").isNotNull)
+      .join(finals, Seq("attempt_id"), "left")
+      .crossJoin(broadcast(v.bounds))
+      .select(
+        when(col("is_final"), "maps").otherwise("waste").as("phase"),
+        clamp0(rel(col("start_u"))).as("lo"),
+        capped(col("end_u")).as("hi"))
+
+    val reduces = v.reduceAttemptTimes
+      .filter(col("start_u").isNotNull && col("end_u").isNotNull)
+      .join(finals, Seq("attempt_id"), "left")
+      .crossJoin(broadcast(v.bounds))
+    val finalReduces = reduces.filter(col("is_final"))
+      .select(explode(array(
+        struct(lit("shuffle").as("phase"),
+          clamp0(rel(col("start_u"))).as("lo"),
+          capped(col("shuffle_u")).as("hi")),
+        struct(lit("merge").as("phase"),
+          clamp0(rel(col("shuffle_u"))).as("lo"),
+          capped(col("sort_u")).as("hi")),
+        struct(lit("reduce").as("phase"),
+          clamp0(rel(col("sort_u"))).as("lo"),
+          capped(col("end_u")).as("hi")))).as("iv"))
+      .select(col("iv.phase"), col("iv.lo"), col("iv.hi"))
+    val wastedReduces = reduces.filter(col("is_final").isNull)
+      .select(lit("waste").as("phase"),
+        clamp0(rel(col("start_u"))).as("lo"),
+        capped(col("end_u")).as("hi"))
+
+    maps.unionByName(finalReduces).unionByName(wastedReduces)
+      .filter(col("lo") <= col("hi") && col("lo").isNotNull)
+  }
+
+  private def spine(v: JobHistoryViews): DataFrame =
+    v.bounds.select(explode(
+      sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
+
+  private val phaseNames = Seq("maps", "shuffle", "merge", "reduce", "waste")
+
+  /** T4: pivot phase rows to the wide `maps/shuffle/merge/reduce/waste`
+    * series via conditional aggregation (static pivot — no extra pass
+    * to discover pivot values). */
+  private def widen(perPhase: DataFrame, counts: Column): DataFrame = {
+    val aggs = phaseNames.map(p =>
+      coalesce(sum(when(col("phase") === p, counts)), lit(0L)).as(p))
+    perPhase.groupBy(col("time")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** T1-T4 by interval expansion — the reference's exact dataflow
+    * (one row per (attempt, t)). Best when the scaled job duration is
+    * modest; O(duration × attempts) rows otherwise — see
+    * [[timelineSweepLine]] for the wide-spine path. */
+  def timeline(v: JobHistoryViews): DataFrame = {
+    val expanded = intervals(v)
+      .select(col("phase"), explode(sequence(col("lo"), col("hi"))).as("time"))
+    val counts = widen(expanded, lit(1L))
+    spine(v).join(counts, Seq("time"), "left")
+      .select(col("time") +: phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+      .orderBy(col("time"))
+  }
+
+  /** W2: the same timeline via sweep-line running sums — +1 at lo,
+    * -1 at hi+1, cumulative per phase. O(attempts) rows regardless of
+    * duration, so a month-long job at millisecond scale costs the same
+    * as a minute-long one; the window runs 5 phase partitions in
+    * parallel. Identical output to [[timeline]] (asserted in tests). */
+  def timelineSweepLine(v: JobHistoryViews): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervals(v)
+      .select(col("phase"), col("lo").as("time"), lit(1L).as("d"))
+      .unionByName(intervals(v)
+        .select(col("phase"), (col("hi") + 1).as("time"), lit(-1L).as("d")))
+      .groupBy(col("phase"), col("time")).agg(sum(col("d")).as("d"))
+    val phases = deltas.sparkSession.createDataFrame(
+      phaseNames.map(Tuple1(_))).toDF("phase")
+    val dense = spine(v).crossJoin(phases)
+      .join(deltas, Seq("phase", "time"), "left")
+      .withColumn("running", sum(coalesce(col("d"), lit(0L)))
+        .over(Window.partitionBy(col("phase")).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    widen(dense.select(col("time"), col("phase"), col("running")), col("running"))
+      .select(col("time") +: phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+      .orderBy(col("time"))
+  }
+}

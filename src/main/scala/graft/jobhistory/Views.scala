@@ -1,0 +1,173 @@
+package graft.jobhistory
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity views over the parsed event stream (SURVEY §1.2, §2.2-2.4).
+  *
+  * The reference builds these as mutable in-memory maps in one ordered
+  * pass (bin/job_history:199-352). Here each view is a declarative
+  * aggregation keyed on the entity id:
+  *
+  *  - Last-write-wins attribute merge (A1) = `max_by(value, line_no)`
+  *    per (entity, key) — an ordered reduce that shuffles once on the
+  *    entity key and map-side-combines, so it scales to arbitrarily
+  *    many tasks/attempts per log and arbitrarily many logs.
+  *  - Attempt counting (A2) = `countDistinct(attempt_id)` (the
+  *    reference increments on first sighting of each attempt id).
+  *  - Final-attempt selection (A3) = `max_by(attempt_id, line_no)` over
+  *    SUCCESS-finish records per task: the *last* SUCCESS attempt wins,
+  *    superseded finals and non-SUCCESS attempts become "wasted"
+  *    (modeled downstream as an anti-join, J3).
+  *
+  * Timestamps: the reference divides by `scale` *before* any
+  * subtraction, with Groovy `(long)` truncation (SURVEY §7.4, P9).
+  * `u(col)` below reproduces `ms DIV scale` exactly; elapsed values
+  * use `(a - b) DIV scale` where the reference subtracts exact
+  * BigDecimal quotients before truncating.
+  */
+final class JobHistoryViews(
+    spark: SparkSession,
+    val events: DataFrame,
+    val scale: Long = 1000L) {
+
+  import spark.implicits._
+
+  private val ev = events.cache()
+
+  /** Scaled time unit: Groovy `(long)(x.toLong()/scale)` ≡ truncating
+    * integral division (all fixture timestamps are positive). */
+  private def u(c: Column): Column = (c.cast("long") / scale).cast("long")
+
+  private def a(k: String): Column = col("attrs").getItem(k)
+
+  /** Last value of `value` among rows satisfying `cond`, in record
+    * order — the reference's overwrite-on-later-record semantics. */
+  private def lastWhen(cond: Column, value: Column): Column =
+    max_by(when(cond, value), when(cond, col("line_no")))
+
+  // ---------------------------------------------------------------- job
+
+  /** A1 on the Job entity: one merged attribute map (dynamic schema —
+    * unknown keys carried along, SURVEY §1.3). */
+  lazy val job: DataFrame =
+    ev.filter($"event" === "Job")
+      .select($"line_no", explode($"attrs").as(Seq("k", "v")))
+      .groupBy($"k").agg(max_by($"v", $"line_no").as("v"))
+      .agg(map_from_entries(collect_list(struct($"k", $"v"))).as("attrs"))
+
+  /** A4: global job bounds in scaled units. `finish_u` only from Job
+    * records carrying FINISH_TIME but not SUBMIT_TIME (the reference's
+    * if/else-if, bin/job_history:236-240). */
+  lazy val bounds: DataFrame =
+    ev.filter($"event" === "Job")
+      .agg(
+        u(lastWhen(a("SUBMIT_TIME").isNotNull, a("SUBMIT_TIME")))
+          .as("submit_u"),
+        u(lastWhen(a("SUBMIT_TIME").isNull && a("FINISH_TIME").isNotNull,
+          a("FINISH_TIME"))).as("finish_u"))
+
+  // ------------------------------------------------------------ attempts
+
+  /** P6: SETUP/CLEANUP attempts dropped (MapAttempt branch only —
+    * Groovy-canonical; bin/job_history:242-244). */
+  lazy val mapAttemptEvents: DataFrame =
+    ev.filter($"event" === "MapAttempt" &&
+      !a("TASK_TYPE").isin("SETUP", "CLEANUP"))
+
+  lazy val reduceAttemptEvents: DataFrame =
+    ev.filter($"event" === "ReduceAttempt")
+
+  /** Start/finish records are distinct rows merged per attempt (J4 as a
+    * groupBy, no self-join needed). A start record is one carrying
+    * START_TIME; a finish record carries FINISH_TIME without START_TIME
+    * (reference if/else-if). P7: zero scaled start times are ignored. */
+  private def attemptTimes(df: DataFrame, extra: Seq[(String, Column)]): DataFrame = {
+    val isStart = a("START_TIME").isNotNull && u(a("START_TIME")) =!= 0
+    val isFinish = a("START_TIME").isNull && a("FINISH_TIME").isNotNull
+    val base = Seq(
+      "task_id" -> lastWhen(lit(true), a("TASKID")),
+      "start_u" -> u(lastWhen(isStart, a("START_TIME"))),
+      "end_u" -> u(lastWhen(isFinish, a("FINISH_TIME"))))
+    df.groupBy(a("TASK_ATTEMPT_ID").as("attempt_id"))
+      .agg((base ++ extra).map { case (n, c) => c.as(n) }.head,
+        (base ++ extra).map { case (n, c) => c.as(n) }.tail: _*)
+  }
+
+  lazy val mapAttemptTimes: DataFrame = attemptTimes(mapAttemptEvents, Nil)
+
+  /** Reduce attempts also carry SHUFFLE_FINISHED / SORT_FINISHED on
+    * their finish records (bin/job_history:310-313). */
+  lazy val reduceAttemptTimes: DataFrame = {
+    val isFinish = a("START_TIME").isNull && a("FINISH_TIME").isNotNull
+    attemptTimes(reduceAttemptEvents, Seq(
+      "shuffle_u" -> u(lastWhen(isFinish && a("SHUFFLE_FINISHED").isNotNull,
+        a("SHUFFLE_FINISHED"))),
+      "sort_u" -> u(lastWhen(isFinish && a("SORT_FINISHED").isNotNull,
+        a("SORT_FINISHED")))))
+  }
+
+  /** A3: per task, the attempt id of the last SUCCESS finish record —
+    * across map AND reduce attempts (one shared finalAttempt map,
+    * bin/job_history:276-282, 300-308). */
+  lazy val finalAttempts: DataFrame = {
+    val isSuccessFinish = a("START_TIME").isNull &&
+      a("FINISH_TIME").isNotNull && a("TASK_STATUS") === "SUCCESS"
+    mapAttemptEvents.unionByName(reduceAttemptEvents)
+      .filter(isSuccessFinish)
+      .groupBy(a("TASKID").as("task_id"))
+      .agg(max_by(a("TASK_ATTEMPT_ID"), $"line_no").as("attempt_id"))
+  }
+
+  // -------------------------------------------------------------- tasks
+
+  /** A1 merge of Task-event attributes per task, filtered to one
+    * TASK_TYPE at record level (the reference routes each record by its
+    * own TASK_TYPE — SETUP/CLEANUP Task records reach neither view). */
+  private def mergedTasks(taskType: String): DataFrame =
+    ev.filter($"event" === "Task" && a("TASK_TYPE") === taskType)
+      .select($"line_no", a("TASKID").as("task_id"),
+        explode($"attrs").as(Seq("k", "v")))
+      .groupBy($"task_id", $"k").agg(max_by($"v", $"line_no").as("v"))
+      .groupBy($"task_id")
+      .agg(map_from_entries(collect_list(struct($"k", $"v"))).as("attrs"))
+
+  /** A2: distinct attempt ids per task. */
+  private def attemptCounts(df: DataFrame): DataFrame =
+    df.groupBy(a("TASKID").as("task_id"))
+      .agg(countDistinct(a("TASK_ATTEMPT_ID")).as("num_attempts"))
+
+  /** Map tasks: Task-event attrs (the `-m` columns come from these, not
+    * from attempt records) + NUM_ATTEMPTS. Task ids seen only via
+    * attempts still appear (reference creates the entry), with null
+    * attrs. */
+  lazy val mapTasks: DataFrame =
+    mergedTasks("MAP").join(attemptCounts(mapAttemptEvents),
+      Seq("task_id"), "full_outer")
+      .withColumn("num_attempts", coalesce($"num_attempts", lit(0L)))
+
+  /** A9: HDFS_BYTES_WRITTEN of the reduce task's last COUNTERS-bearing
+    * Task record; missing counter → 0 (py semantics,
+    * bin/job_history.py:104). */
+  lazy val reduceBytes: DataFrame =
+    ev.filter($"event" === "Task" && a("TASK_TYPE") === "REDUCE" &&
+      a("COUNTERS").isNotNull)
+      .groupBy(a("TASKID").as("task_id"))
+      .agg(coalesce(
+        max_by(
+          element_at(element_at(
+            JobHistoryReader.parseCounters("attrs['COUNTERS']"),
+            "FileSystemCounters"), "HDFS_BYTES_WRITTEN"),
+          $"line_no"),
+        lit(0L)).as("reduce_output_bytes"))
+
+  lazy val reduceTasks: DataFrame =
+    mergedTasks("REDUCE").join(attemptCounts(reduceAttemptEvents),
+      Seq("task_id"), "full_outer")
+      .withColumn("num_attempts", coalesce($"num_attempts", lit(0L)))
+}
+
+object JobHistoryViews {
+  def fromFile(spark: SparkSession, path: String, scale: Long = 1000L): JobHistoryViews =
+    new JobHistoryViews(spark, JobHistoryReader.read(spark, path), scale)
+}
