@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection for a training-data pipeline, over the
+  * `documents` / `embeddings` tables: MinHash+LSH, SimHash with
+  * hamming-block candidate generation, and coarse-blocked embedding
+  * cosine. All hashing is `md5`-derived so every query has an exact
+  * DuckDB oracle (`H(s)` = first 32 hex chars... first 8 hex chars of
+  * md5 as a 32-bit integer — identical in both engines).
+  *
+  * Scale design (100 TB):
+  *  - MinHash signatures are one hash-shuffle per doc (12 mins in a
+  *    single groupBy — no row explosion per seed); LSH banding turns
+  *    the quadratic all-pairs problem into an equi-join on (band,
+  *    signature) buckets, the standard shuffle-friendly formulation.
+  *  - SimHash fingerprints are one groupBy with 32 conditional sums;
+  *    candidate pairs come from the 4×8-bit pigeonhole blocks (any
+  *    pair with hamming ≤ 3 shares a block), again an equi-join.
+  *  - Embedding near-dup blocks on the coarse label (IVF-style): only
+  *    within-cell pairs are scored, so the join shuffles on the cell id
+  *    instead of crossing the corpus.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Portable 32-bit hash (Spark side). */
+  private def h32(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Portable 32-bit hash (DuckDB side). */
+  private def h32d(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  /** Distinct 3-word shingles per doc (shared with t6). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
+      .distinct()
+
+  private val NumHashes = 12
+  private val BandSize = 2
+  private val NumBands = NumHashes / BandSize
+
+  /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
+    * Jaccard (signature agreement fraction). Top-20. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumHashes).map(k =>
+      min(expr(h32(s"concat('$k:', shingle)"))).as(s"mh$k"))
+    val sig = shingles(s, dir).groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+        .mkString("concat_ws(':', ", ", ", ")")
+      expr(s"struct($b AS band, $key AS sig)")
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until NumHashes)
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard",
+        round(agree.cast("double") / NumHashes, 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** t8: 32-bit SimHash per doc (term-frequency weighted), then
+    * near-dup pairs with hamming ≤ 3 via the 4×8-bit pigeonhole block
+    * join. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 32).map(b =>
+      sum(expr(s"CASE WHEN (${h32("tok")} >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$b"))
+    val fpExpr = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val fp = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
+    val blocks = fp.select(col("doc_id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), " +
+        "k -> struct(k AS k, shiftright(fp, 8 * k) & 255 AS blk))")).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.k"), col("b.blk"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** t9: embedding cosine near-duplicates, blocked by the coarse label
+    * (IVF cell): only within-cell pairs scored. Top-20 by cosine. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cos =
+      "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v) / " +
+        "(sqrt(aggregate(ea, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
+        "sqrt(aggregate(eb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb")), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr(cos), 6))
+      .select(col("label").cast("long").as("label"),
+        col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_minhash_lsh" -> (minhashLsh _),
+    "t8_simhash_pairs" -> (simhashPairs _),
+    "t9_embedding_neardup" -> (embeddingNearDup _))
+
+  // ------------------------------------------------------------- oracles
+
+  private val shinglesSql =
+    """sh AS (
+      | SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+      |   unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
+
+  private val minhashOracle: String = {
+    val mins = (0 until NumHashes)
+      .map(k => s"min(${h32d(s"concat('$k:', shingle)")}) AS mh$k")
+      .mkString(",\n   ")
+    val bandSel = (0 until NumBands).map { b =>
+      val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+        .mkString("concat_ws(':', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shinglesSql,
+       |sig AS (
+       | SELECT doc_id,
+       |   $mins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       | round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       | JOIN sig sb ON cand.doc_b = sb.doc_id
+       |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (${h32d("tok")} >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n   ")
+    val fpExpr = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sums AS (
+       | SELECT doc_id,
+       |   $bitSums
+       | FROM toks GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM sums),
+       |blocks AS (
+       | SELECT doc_id, fp, k, (fp >> (8 * k)) & 255 AS blk
+       | FROM fp, unnest(generate_series(0, 3)) AS u(k)),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       | FROM blocks a JOIN blocks b
+       |   ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
+  }
+
+  private val nearDupOracle: String =
+    """WITH p AS (
+      | SELECT CAST(a.label AS BIGINT) AS label,
+      |  a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(
+      |   list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |   (sqrt(list_sum(list_transform(a.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |    sqrt(list_sum(list_transform(b.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      | FROM embeddings a JOIN embeddings b
+      |   ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, vec_a, vec_b, cos FROM p
+      |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t7_minhash_lsh" -> minhashOracle,
+    "t8_simhash_pairs" -> simhashOracle,
+    "t9_embedding_neardup" -> nearDupOracle)
+}

@@ -58,9 +58,92 @@ object VectorOps {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy(col("label"))
 
+  // ---------------------------------------------------------- ANN (LSH)
+
+  /** Sign-random-projection hyperplanes: 8 planes × 64 dims of
+    * deterministic ±1 weights (md5-seeded so both engines embed the
+    * same literals). */
+  private[queries] val Planes = 8
+  private[queries] val Dims = 64
+  private[queries] lazy val planeWeights: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until Planes).map(j => (0 until Dims).map { i =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    })
+  }
+
+  /** Bucket id = 8-bit sign pattern of the plane projections. */
+  private def bucketExpr(embCol: String, arrayLit: Int => String): String =
+    (0 until Planes).map { j =>
+      val w = arrayLit(j)
+      val proj = s"aggregate(zip_with($embCol, $w, " +
+        "(x, wt) -> CAST(x AS DOUBLE) * wt), 0D, (a, v) -> a + v)"
+      s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** v3: ANN via LSH buckets — queries probe only their own bucket
+    * (the scale path: the corpus is hash-partitioned by bucket, a query
+    * touches one partition instead of the full corpus; the brute-force
+    * v1 is the recall baseline). Top-3 in-bucket by exact cosine. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lit = (j: Int) => planeWeights(j).mkString("array(", ", ", ")")
+    val e = emb(s, dir)
+      .withColumn("bucket", expr(bucketExpr("embedding", lit)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private lazy val annLshOracle: String = {
+    val lit = (j: Int) => planeWeights(j).mkString("[", ", ", "]")
+    def bucket(embCol: String) = (0 until Planes).map { j =>
+      val proj = s"list_sum(list_transform(range(1, $Dims + 1), " +
+        s"i -> CAST($embCol[i] AS DOUBLE) * (${lit(j)})[i]))"
+      s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       | SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM e
+       |  WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM e),
+       |sc AS (
+       | SELECT q_id, c_id,
+       |  round(
+       |   list_sum(list_transform(range(1, len(qv) + 1),
+       |     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+       |   (sqrt(list_sum(list_transform(qv,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |    sqrt(list_sum(list_transform(cv,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       | FROM q JOIN c USING (bucket) WHERE q_id <> c_id),
+       |r AS (
+       | SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       | FROM sc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK _),
-    "v2_label_norm_stats" -> (labelNormStats _))
+    "v2_label_norm_stats" -> (labelNormStats _),
+    "v3_ann_lsh" -> (annLsh _))
 
   val oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -95,5 +178,6 @@ object VectorOps {
         | round(avg(norm), 6) AS avg_norm,
         | round(min(norm), 6) AS min_norm,
         | round(max(norm), 6) AS max_norm
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v3_ann_lsh" -> annLshOracle)
 }

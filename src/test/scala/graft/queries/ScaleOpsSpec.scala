@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Cross-checks between the dedup family and the multimodal stub on
+  * sf0.001 (fast) — the DuckDB oracles cover exact parity; these pin
+  * the semantics the oracles can't see (consistency across operators,
+  * JVM-side decode values).
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t7: exact duplicate docs get identical MinHash signatures (est_jaccard = 1.0)") {
+    val dups = TextOps.dedupExact(spark, dir)
+      .filter(col("n_copies") > 1)
+    if (dups.count() > 0) {
+      val top = DedupOps.minhashLsh(spark, dir).collect()
+      assert(top.nonEmpty && top.head.getAs[Double]("est_jaccard") === 1.0)
+    }
+  }
+
+  test("t8: exact duplicate docs are hamming-0 SimHash pairs") {
+    val nDups = TextOps.dedupExact(spark, dir)
+      .filter(col("n_copies") > 1).count()
+    val pairs = DedupOps.simhashPairs(spark, dir).collect()
+    if (nDups > 0) {
+      assert(pairs.nonEmpty && pairs.head.getAs[Long]("hamming") === 0L)
+    }
+    // pigeonhole guarantee: reported pairs are within the block bound
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3L))
+  }
+
+  test("t9: near-dup pairs are valid cosines within one label block") {
+    val rows = DedupOps.embeddingNearDup(spark, dir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
+  }
+
+  test("v3: ANN candidates are a subset of same-bucket pairs and ranked by cosine") {
+    val rows = VectorOps.annLsh(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val ranked = g.sortBy(_.getAs[Long]("rnk"))
+      assert(ranked.map(_.getAs[Double]("cos")).toSeq ===
+        ranked.map(_.getAs[Double]("cos")).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("m1/m2: payload plumbing — 64-byte payloads, exact fake-decode features") {
+    val schema = MultimodalOps.mediaSchema(spark, dir).collect()
+    assert(schema.forall(_.getAs[Long]("n_bytes") === 64L))
+
+    val feats = MultimodalOps.mediaFeatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("byte_mean"), r.getAs[Long]("thumb_sum"))).toMap
+
+    // independent reference computation for a few docs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(5).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { d =>
+      val one = md.digest(d.getAs[String]("text").getBytes("UTF-8"))
+      val payload = Array.fill(4)(one).flatten
+      val unsigned = payload.map(b => (b & 0xff).toLong)
+      val mean = math.rint(unsigned.sum.toDouble / unsigned.length * 1e6) / 1e6
+      val thumb = unsigned.take(4).sum
+      assert(feats(d.getAs[Long]("doc_id")) === ((mean, thumb)))
+    }
+  }
+
+  test("m1 plan: payload column pruned when only metadata is projected") {
+    val plan = MultimodalOps.mediaTable(spark, dir)
+      .select("doc_id", "meta").queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id"))
+    assert(!plan.contains("payload"), "payload must not survive pruning")
+  }
+}
