@@ -72,8 +72,10 @@ object JobHistoryReader {
     * Duplicate keys within one record resolve last-wins (reference
     * `attrs[k] = v` overwrite order) via the indexed filter, keeping
     * `map_from_entries` safe under the default EXCEPTION dedup policy.
+    * Public for the streaming path: works identically on a streaming
+    * DataFrame of (line_no, record) rows.
     */
-  private def parse(df: DataFrame): DataFrame =
+  def parse(df: DataFrame): DataFrame =
     df.filter(col("record").isNotNull && length(col("record")) > 0)
       .withColumn("event", substring_index(col("record"), " ", 1))
       .withColumn("tail",

@@ -1,0 +1,125 @@
+package graft.jobhistory
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch ≡ streaming: the same fixture log fed through MemoryStream in
+  * micro-batches must converge to the batch views (SURVEY §2.9, §5.5).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def fixtureRecords: Seq[(Long, String)] = {
+    val text = Files.readString(Paths.get(Fixtures.pig))
+    text.split(" \\.\n", -1).toSeq.filter(_.nonEmpty)
+      .zipWithIndex.map { case (r, i) => (i.toLong, r) }
+  }
+
+  test("stateful task states converge to the batch entity views") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.taskStates(events).writeStream
+      .format("memory").queryName("tstates").outputMode("update").start()
+    try {
+      // four micro-batches, in log order (monotone offsets)
+      fixtureRecords.grouped(1000).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // latest state per task = the row with the highest max_line
+      val streamed = spark.table("tstates").collect()
+        .groupBy(_.getAs[String]("task_id"))
+        .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("max_line")) }
+
+      val v = JobHistoryViews.fromFile(spark, Fixtures.pig)
+      val batchMaps = v.mapTasks.collect()
+        .map(r => r.getAs[String]("task_id") ->
+          (r.getAs[Map[String, String]]("attrs"), r.getAs[Long]("num_attempts")))
+        .toMap
+      val streamedMaps = streamed.filter(_._2.getAs[String]("task_type") == "MAP")
+      assert(streamedMaps.keySet === batchMaps.keySet)
+      streamedMaps.foreach { case (id, row) =>
+        val (battrs, bnum) = batchMaps(id)
+        assert(row.getAs[Map[String, String]]("attrs") === battrs, s"attrs of $id")
+        assert(row.getAs[Long]("num_attempts") === bnum, s"num_attempts of $id")
+      }
+
+      val batchFinals = v.finalAttempts.collect()
+        .map(r => r.getAs[String]("task_id") -> r.getAs[String]("attempt_id"))
+        .toMap
+      val streamedFinals = streamed.collect {
+        case (id, row) if row.getAs[String]("final_attempt") != null =>
+          id -> row.getAs[String]("final_attempt")
+      }
+      assert(streamedFinals === batchFinals)
+    } finally q.stop()
+  }
+
+  test("supersession retracts a previously emitted final attempt (Update mode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.taskStates(events).writeStream
+      .format("memory").queryName("tsuper").outputMode("update").start()
+    try {
+      input.addData(Seq(
+        (0L, """MapAttempt TASK_TYPE="MAP" TASKID="t1" TASK_ATTEMPT_ID="a1" TASK_STATUS="SUCCESS" FINISH_TIME="15000"""")))
+      q.processAllAvailable()
+      val first = spark.table("tsuper").collect().last
+      assert(first.getAs[String]("final_attempt") === "a1")
+
+      input.addData(Seq(
+        (1L, """MapAttempt TASK_TYPE="MAP" TASKID="t1" TASK_ATTEMPT_ID="a2" TASK_STATUS="SUCCESS" FINISH_TIME="16000"""")))
+      q.processAllAvailable()
+      val rows = spark.table("tsuper").collect()
+      val latest = rows.maxBy(_.getAs[Long]("max_line"))
+      assert(latest.getAs[String]("final_attempt") === "a2")
+      assert(latest.getAs[Long]("num_attempts") === 2L)
+    } finally q.stop()
+  }
+
+  test("streaming slot counts equal the batch timeline maps series") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val v = JobHistoryViews.fromFile(spark, Fixtures.ec2)
+    val slots = Reports.intervals(v)
+      .filter(col("phase") === "maps")
+      .select(col("phase"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+      .select(col("phase"), col("slot"))
+      .as[(String, Long)].collect().toSeq
+
+    val input = MemoryStream[(String, Long)]
+    val streamed = Streaming.slotCounts(
+      input.toDF().withColumnRenamed("_1", "phase")
+        .withColumn("slot_ts", timestamp_seconds(col("_2")))
+        .select(col("phase"), col("slot_ts")))
+    val q = streamed.writeStream
+      .format("memory").queryName("slots").outputMode("complete").start()
+    try {
+      slots.grouped(200000).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("slots").collect()
+        .map(r => r.getAs[Long]("time") -> r.getAs[Long]("count")).toMap
+      val want = Reports.timeline(v).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("maps"))
+        .filter(_._2 > 0).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+}
