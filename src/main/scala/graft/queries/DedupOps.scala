@@ -51,13 +51,33 @@ object DedupOps {
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
 
+  /** Universal-hash family over one base md5: H_k(x) = (a_k·h32(x) +
+    * b_k) mod P — one md5 per shingle instead of [[NumHashes]], the
+    * standard MinHash trick. Constants are md5-seeded so both engines
+    * embed identical literals. */
+  private val HashPrime = 4294967311L // smallest prime > 2^32
+  private[queries] lazy val hashParams: IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gen(tag: String): Long = java.lang.Long.parseLong(
+      md.digest(tag.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    // a < 2^30 keeps a·h < 2^62 (h < P ≈ 2^32): no BIGINT overflow
+    (0 until NumHashes).map(k => ((gen(s"a$k") % 1073741823L) | 1L,
+      gen(s"b$k") % HashPrime))
+  }
+
+  private def minExprs(h: String): IndexedSeq[String] =
+    hashParams.zipWithIndex.map { case ((a, b), k) =>
+      s"min(($a * $h + $b) % $HashPrime) AS mh$k"
+    }
+
   /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
     * Jaccard (signature agreement fraction). Top-20. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val mins = (0 until NumHashes).map(k =>
-      min(expr(h32(s"concat('$k:', shingle)"))).as(s"mh$k"))
-    val sig = shingles(s, dir).groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    val sig = shingles(s, dir)
+      .withColumn("h", expr(h32("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(expr(minExprs("h").head),
+        minExprs("h").tail.map(expr(_)): _*)
     val bandStructs = (0 until NumBands).map { b =>
       val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
         .mkString("concat_ws(':', ", ", ", ")")
@@ -117,18 +137,23 @@ object DedupOps {
   }
 
   /** t9: embedding cosine near-duplicates, blocked by the coarse label
-    * (IVF cell): only within-cell pairs scored. Top-20 by cosine. */
+    * (IVF cell): only within-cell pairs scored. Top-20 by cosine.
+    * Norms are precomputed per row *before* the join — each vector
+    * participates in O(cell) pairs, so per-pair norm recomputation is
+    * the dominant wasted work at scale. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    val cos =
-      "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v) / " +
-        "(sqrt(aggregate(ea, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
-        "sqrt(aggregate(eb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val e = Tables(s, dir, "embeddings").select(
+      col("label"), col("vec_id"), col("embedding"),
+      expr("sqrt(aggregate(embedding, 0D, " +
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+    val dot =
+      "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"
+    e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
       .join(e.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb")), Seq("label"))
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr(cos), 6))
+      .withColumn("cos", round(expr(dot) / (col("na") * col("nb")), 6))
       .select(col("label").cast("long").as("label"),
         col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
@@ -149,8 +174,8 @@ object DedupOps {
       |   unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
 
   private val minhashOracle: String = {
-    val mins = (0 until NumHashes)
-      .map(k => s"min(${h32d(s"concat('$k:', shingle)")}) AS mh$k")
+    val mins = hashParams.zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * ${h32d("shingle")} + $b) % $HashPrime) AS mh$k" }
       .mkString(",\n   ")
     val bandSel = (0 until NumBands).map { b =>
       val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")

@@ -35,8 +35,13 @@ object JobHistoryOps {
     FixturePath
   }
 
+  /** One parsed+cached event view per session — the reference reads its
+    * input once and serves every report from it; so do we. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, JobHistoryViews]
+
   private def v(s: SparkSession): JobHistoryViews =
-    JobHistoryViews.fromFile(s, fixture())
+    memo.getOrElseUpdate(s, JobHistoryViews.fromFile(s, fixture()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_map_details" -> ((s, _) => Reports.mapDetails(v(s))),

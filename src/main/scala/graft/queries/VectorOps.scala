@@ -21,22 +21,29 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  private val cosExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v) / " +
-      "(sqrt(aggregate(qv, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
-      "sqrt(aggregate(cv, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private val dotExpr =
+    "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"
+
+  private val normExpr =
+    "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** cos from a precomputed-norm pair: norms are per-row (computed once
+    * before the join), only the dot product is per-pair. */
+  private def cosCol = expr(dotExpr) / (col("qn") * col("cn"))
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("c_id"))
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_raw", expr(cosExpr))
+      .withColumn("cos_raw", cosCol)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
@@ -92,16 +99,17 @@ object VectorOps {
     val lit = (j: Int) => planeWeights(j).mkString("array(", ", ", ")")
     val e = emb(s, dir)
       .withColumn("bucket", expr(bucketExpr("embedding", lit)))
+      .withColumn("nrm", expr(normExpr))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("bucket"))
+        col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      col("bucket"))
+      col("nrm").as("cn"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("cos", round(cosCol, 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
