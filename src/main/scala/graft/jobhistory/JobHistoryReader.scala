@@ -42,6 +42,15 @@ object JobHistoryReader {
   def read(spark: SparkSession, path: String): DataFrame =
     parse(withLineNo(spark, spark.read.option("lineSep", RecordSep).text(path)))
 
+  /** S2: URL scan (the reference fetches `-i http://…` logs over the
+    * network, bin/job_history:181-184). Driver-side fetch → the same
+    * parse; not a perf path (job-history logs are single small files —
+    * bulk ingestion goes through [[read]] on a distributed store). */
+  def readUrl(spark: SparkSession, url: String): DataFrame = {
+    val src = scala.io.Source.fromURL(url)
+    try readString(spark, src.mkString) finally src.close()
+  }
+
   /** S3/S4: in-memory log text (stdin / CGI `log=` param surface). */
   def readString(spark: SparkSession, log: String): DataFrame = {
     import spark.implicits._

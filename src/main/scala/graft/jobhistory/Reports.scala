@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Reports {
 
+  /** S5: delimited-text sink — the reference's `-d`-separated report
+    * output as a distributed write (one file per partition; use
+    * `coalesce(1)` for the single-file CLI parity case). */
+  def writeCsv(df: DataFrame, path: String, sep: String = ", "): Unit =
+    df.write.mode("overwrite").option("sep", sep).option("header", "true")
+      .csv(path)
+
   /** `-m` (bin/job_history:426-436; golden vis/grap/map.d). */
   def mapDetails(v: JobHistoryViews): DataFrame =
     detailsBase(v.mapTasks, v.scale)

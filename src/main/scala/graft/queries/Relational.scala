@@ -225,7 +225,20 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SURVEY §2.11: the 100 TB distinct-count surface — HLL sketches
+    * instead of exact shuffles. No oracle (sketch estimates are
+    * engine-specific); RelationalSpec bounds the relative error against
+    * the exact q14 counts. */
+  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_approx_distinct" -> (q16ApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
     "q3_join_broadcast" -> (q3JoinBroadcast _),

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q16: HLL distinct estimates within the configured 2% rsd of exact") {
+    val truth = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("exact_users"))
+      .toMap
+    val approx = Relational.q16ApproxDistinct(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = truth(r.getAs[String]("event_type")).toDouble
+      val a = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(a - e) / e < 0.10, s"${r.getAs[String]("event_type")}: $a vs $e")
+    }
+  }
+
+  test("URL source (S2): file:// URL reads identically to the file scan") {
+    val viaUrl = graft.jobhistory.JobHistoryReader.readUrl(spark,
+      "file://" + java.nio.file.Paths.get(
+        graft.jobhistory.Fixtures.pig).toAbsolutePath)
+    val viaFile = graft.jobhistory.JobHistoryReader.read(spark,
+      graft.jobhistory.Fixtures.pig)
+    assert(viaUrl.count() === viaFile.count())
+    assert(viaUrl.orderBy("line_no").collect().map(_.toSeq).toSeq ===
+      viaFile.orderBy("line_no").collect().map(_.toSeq).toSeq)
+  }
+
+  test("CSV sink (S5): delimited write round-trips the map details report") {
+    val v = graft.jobhistory.JobHistoryViews.fromFile(spark,
+      graft.jobhistory.Fixtures.pig)
+    val df = graft.jobhistory.Reports.mapDetails(v)
+    val out = "target/csv_sink_test"
+    graft.jobhistory.Reports.writeCsv(df.coalesce(1), out, "|")
+    val back = spark.read.option("sep", "|").option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.count() === 512L)
+    assert(back.columns.toSeq === df.columns.toSeq)
+  }
+}
