@@ -142,12 +142,11 @@ object DedupOps {
     * participates in O(cell) pairs, so per-pair norm recomputation is
     * the dominant wasted work at scale. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
     val e = Tables(s, dir, "embeddings").select(
       col("label"), col("vec_id"), col("embedding"),
-      expr("sqrt(aggregate(embedding, 0D, " +
-        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
-    val dot =
-      "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"
+      expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+    val dot = "vec_dot(ea, eb)"
     e.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
       .join(e.select(col("label"), col("vec_id").as("vec_b"),

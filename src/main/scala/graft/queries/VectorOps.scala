@@ -21,11 +21,13 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"
+  /** Per-pair dot via the native codegen'd expression
+    * ([[graft.functions.VectorDotProduct]]) — same left-to-right
+    * summation as the `aggregate`/`zip_with` formulation it replaced,
+    * so oracles stay bit-identical. */
+  private val dotExpr = "vec_dot(qv, cv)"
 
-  private val normExpr =
-    "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private val normExpr = "sqrt(vec_dot(embedding, embedding))"
 
   /** cos from a precomputed-norm pair: norms are per-row (computed once
     * before the join), only the dot product is per-pair. */
@@ -33,6 +35,7 @@ object VectorOps {
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
     val e = emb(s, dir).withColumn("nrm", expr(normExpr))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -81,12 +84,13 @@ object VectorOps {
     })
   }
 
-  /** Bucket id = 8-bit sign pattern of the plane projections. */
+  /** Bucket id = 8-bit sign pattern of the plane projections (±1
+    * weights are exact in float, so `vec_dot` matches the lambda
+    * formulation bit-for-bit). */
   private def bucketExpr(embCol: String, arrayLit: Int => String): String =
     (0 until Planes).map { j =>
-      val w = arrayLit(j)
-      val proj = s"aggregate(zip_with($embCol, $w, " +
-        "(x, wt) -> CAST(x AS DOUBLE) * wt), 0D, (a, v) -> a + v)"
+      val w = s"CAST(${arrayLit(j)} AS ARRAY<FLOAT>)"
+      val proj = s"vec_dot($embCol, $w)"
       s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -96,6 +100,7 @@ object VectorOps {
     * v1 is the recall baseline). Top-3 in-bucket by exact cosine. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorDotProduct.register(s)
     val lit = (j: Int) => planeWeights(j).mkString("array(", ", ", ")")
     val e = emb(s, dir)
       .withColumn("bucket", expr(bucketExpr("embedding", lit)))
