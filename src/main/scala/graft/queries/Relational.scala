@@ -237,7 +237,24 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** SURVEY §7 scale path: skew-resistant two-stage aggregation. The
+    * events table groups to a handful of event_types (heavy keys): a
+    * deterministic salt fans each hot key across 16 reducers for the
+    * partial stage, the final stage merges 16× fewer rows per key.
+    * Result is identical to the direct groupBy (the oracle computes it
+    * directly). */
+  def q17SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("salt", pmod(col("user_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_salted_agg" -> (q17SaltedAgg _),
     "q16_approx_distinct" -> (q16ApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
@@ -256,6 +273,9 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q17_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

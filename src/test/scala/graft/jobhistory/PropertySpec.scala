@@ -1,0 +1,136 @@
+package graft.jobhistory
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests (SURVEY §5.3): generated event logs, checked against
+  * a tiny in-memory interpreter of the documented reference semantics
+  * (last-write-wins merge, final-attempt supersession, attempt
+  * counting). Spark must agree with the interpreter on every sample.
+  * (Raw ScalaCheck sampling with fixed seeds — the scalatest bridge
+  * isn't in the offline dependency cache.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll(gen: Gen[Seq[Ev]], samples: Int = 8)(body: Seq[Ev] => Unit): Unit =
+    (1 to samples).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private case class Ev(event: String, attrs: Seq[(String, String)]) {
+    def render: String =
+      event + " " + attrs.map { case (k, v) => s"""$k="$v"""" }.mkString(" ")
+  }
+
+  /** The documented semantics, interpreted directly (SURVEY §2.3). */
+  private def interpret(evs: Seq[Ev]) = {
+    val tasks = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    val attempts = scala.collection.mutable.Map.empty[String, Set[String]]
+    var finals = Map.empty[String, String]
+    evs.foreach { e =>
+      val a = e.attrs.toMap
+      e.event match {
+        case "Task" if a.get("TASK_TYPE").contains("MAP") =>
+          val id = a("TASKID")
+          tasks(id) = tasks.getOrElse(id, Map.empty) ++ a
+        case "MapAttempt" if !a.get("TASK_TYPE").exists(Set("SETUP", "CLEANUP")) =>
+          val id = a("TASKID")
+          attempts(id) = attempts.getOrElse(id, Set.empty) + a("TASK_ATTEMPT_ID")
+          if (!a.contains("START_TIME") && a.contains("FINISH_TIME") &&
+            a.get("TASK_STATUS").contains("SUCCESS"))
+            finals += id -> a("TASK_ATTEMPT_ID")
+        case _ =>
+      }
+    }
+    (tasks.toMap, attempts.toMap, finals)
+  }
+
+  private val genLog: Gen[Seq[Ev]] = for {
+    nTasks <- Gen.choose(1, 4)
+    evs <- Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((0 until nTasks).map { t =>
+      val tid = s"task_$t"
+      for {
+        nAtt <- Gen.choose(1, 3)
+        start <- Gen.choose(10L, 50L)
+        dur <- Gen.choose(1L, 40L)
+        statuses <- Gen.listOfN(nAtt, Gen.oneOf("SUCCESS", "FAILED", "KILLED"))
+        restated <- Gen.option(Gen.choose(51L, 99L)) // LWW overwrite record
+      } yield {
+        val base = Seq(
+          Ev("Task", Seq("TASKID" -> tid, "TASK_TYPE" -> "MAP",
+            "START_TIME" -> s"${start * 1000}")))
+        val over = restated.toSeq.map(v => Ev("Task",
+          Seq("TASKID" -> tid, "TASK_TYPE" -> "MAP",
+            "START_TIME" -> s"${v * 1000}")))
+        val atts = statuses.zipWithIndex.flatMap { case (st, i) =>
+          val aid = s"attempt_${t}_$i"
+          Seq(
+            Ev("MapAttempt", Seq("TASK_TYPE" -> "MAP", "TASKID" -> tid,
+              "TASK_ATTEMPT_ID" -> aid, "START_TIME" -> s"${(start + i) * 1000}")),
+            Ev("MapAttempt", Seq("TASK_TYPE" -> "MAP", "TASKID" -> tid,
+              "TASK_ATTEMPT_ID" -> aid, "TASK_STATUS" -> st,
+              "FINISH_TIME" -> s"${(start + i + dur) * 1000}")))
+        }
+        val fin = Ev("Task", Seq("TASKID" -> tid, "TASK_TYPE" -> "MAP",
+          "TASK_STATUS" -> "SUCCESS",
+          "FINISH_TIME" -> s"${(start + dur + nAtt) * 1000}"))
+        base ++ over ++ atts :+ fin
+      }
+    }).map(_.flatten)
+  } yield Seq(
+    Ev("Job", Seq("JOBID" -> "j", "SUBMIT_TIME" -> "5000")),
+    Ev("Job", Seq("JOBID" -> "j", "LAUNCH_TIME" -> "6000"))) ++ evs :+
+    Ev("Job", Seq("JOBID" -> "j", "JOB_STATUS" -> "SUCCESS",
+      "FINISH_TIME" -> "200000"))
+
+  test("generated logs: Spark views agree with the reference interpreter") {
+    forAll(genLog) { evs =>
+      val log = evs.map(_.render + " .\n").mkString
+      val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, log))
+      val (refTasks, refAttempts, refFinals) = interpret(evs)
+
+      val gotTasks = v.mapTasks.collect()
+        .map(r => r.getAs[String]("task_id") ->
+          (r.getAs[Map[String, String]]("attrs"), r.getAs[Long]("num_attempts")))
+        .toMap
+      assert(gotTasks.keySet === refTasks.keySet)
+      refTasks.foreach { case (id, attrs) =>
+        assert(gotTasks(id)._1 === attrs, s"attrs of $id")
+        assert(gotTasks(id)._2 === refAttempts.getOrElse(id, Set.empty).size.toLong,
+          s"num_attempts of $id")
+      }
+
+      val gotFinals = v.finalAttempts.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotFinals === refFinals)
+
+      // partition property: finals ∪ wasted == all finished attempts
+      val finished = evs.collect {
+        case e if e.event == "MapAttempt" &&
+          !e.attrs.toMap.contains("START_TIME") &&
+          e.attrs.toMap.contains("FINISH_TIME") =>
+          e.attrs.toMap.apply("TASK_ATTEMPT_ID")
+      }.toSet
+      val wasted = finished -- refFinals.values.toSet
+      assert(refFinals.values.toSet.subsetOf(finished))
+      assert((refFinals.values.toSet ++ wasted) === finished)
+    }
+  }
+
+  test("generated logs: timeline column sums equal interval slot totals") {
+    forAll(genLog) { evs =>
+      val log = evs.map(_.render + " .\n").mkString
+      val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, log))
+      val slotSums = Reports.intervals(v).collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => r.getLong(2) - r.getLong(1) + 1).sum).toMap
+      val tl = Reports.timeline(v).collect()
+      Seq("maps", "shuffle", "merge", "reduce", "waste").zipWithIndex.foreach {
+        case (p, i) =>
+          assert(tl.map(_.getLong(i + 1)).sum === slotSums.getOrElse(p, 0L), p)
+      }
+    }
+  }
+}
