@@ -134,6 +134,61 @@ object Reports {
         (col("end_u") - col("submit_u")).as("reduce_finish"))
       .orderBy(col("task_id"))
 
+  // ----------------------------------------------------- multi-log (fleet)
+
+  /** Derive the owning job id from a task/attempt id — Hadoop ids embed
+    * it (`task_<ts>_<seq>_m_000000` → `job_<ts>_<seq>`), so a directory
+    * of many job logs analyzes in one pass with every aggregation keyed
+    * by (job_id, …). This is the 100 TB shape: one splittable scan over
+    * the fleet's logs, shuffles keyed on ids that already contain the
+    * job — no per-file driver loop. */
+  private[jobhistory] def jobIdOf(taskId: Column): Column =
+    regexp_replace(taskId, "^(?:task|attempt)_([0-9]+_[0-9]+).*", "job_$1")
+
+  /** Fleet summary: the `-s` statistics per job over a multi-job event
+    * stream (job-level fields from Job records keyed by JOBID; task
+    * aggregates keyed through the id-embedded job). */
+  def summaryPerJob(v: JobHistoryViews): DataFrame = {
+    val scale = v.scale
+    def ms(k: String): Column = col("attrs").getItem(k).cast("long")
+    val elapsed = ((ms("FINISH_TIME") - ms("START_TIME")) / scale).cast("long")
+    val finished = ms("FINISH_TIME").isNotNull
+
+    val jobs = v.events.filter(col("event") === "Job")
+      .select(col("line_no"), col("attrs").getItem("JOBID").as("job_id"),
+        explode(col("attrs")).as(Seq("k", "vv")))
+      .groupBy(col("job_id"), col("k"))
+      .agg(max_by(col("vv"), col("line_no")).as("vv"))
+      .groupBy(col("job_id"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("vv"))))
+        .as("attrs"))
+      .select(col("job_id"),
+        col("attrs").getItem("JOBNAME").as("job_name"),
+        col("attrs").getItem("USER").as("user"),
+        col("attrs").getItem("JOB_STATUS").as("job_status"),
+        ((ms("FINISH_TIME") - ms("LAUNCH_TIME")) / scale).cast("long")
+          .as("total_time"))
+
+    val mapAgg = v.mapTasks
+      .withColumn("job_id", jobIdOf(col("task_id")))
+      .groupBy(col("job_id"))
+      .agg(count(when(finished, 1)).as("num_maps"),
+        sum(when(finished, elapsed)).as("total_map_time"))
+    val reduceAgg = v.reduceTasks
+      .withColumn("job_id", jobIdOf(col("task_id")))
+      .groupBy(col("job_id"))
+      .agg(count(when(finished, 1)).as("num_reduces"),
+        sum(when(finished, elapsed)).as("total_reduce_time"))
+
+    jobs.join(mapAgg, Seq("job_id"), "left")
+      .join(reduceAgg, Seq("job_id"), "left")
+      .withColumn("avg_map_time",
+        col("total_map_time").cast("double") / col("num_maps"))
+      .withColumn("avg_reduce_time",
+        col("total_reduce_time").cast("double") / col("num_reduces"))
+      .orderBy(col("job_id"))
+  }
+
   // ------------------------------------------------------------ timeline
 
   /** T3: each attempt projected to (phase, lo, hi) interval rows on the
