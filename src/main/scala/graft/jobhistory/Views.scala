@@ -161,6 +161,21 @@ final class JobHistoryViews(
           $"line_no"),
         lit(0L)).as("reduce_output_bytes"))
 
+  /** P4 generalized: every counter of every Task record, long format —
+    * (task_id, counter_group, counter_name, value) from the latest
+    * COUNTERS-bearing record per task. The reference only ever reads
+    * FileSystemCounters/HDFS_BYTES_WRITTEN (A9); the engine exposes the
+    * full nested structure as a queryable view. */
+  lazy val taskCounters: DataFrame =
+    ev.filter($"event" === "Task" && a("COUNTERS").isNotNull)
+      .groupBy(a("TASKID").as("task_id"))
+      .agg(max_by(
+        JobHistoryReader.parseCounters("attrs['COUNTERS']"), $"line_no")
+        .as("cmap"))
+      .select($"task_id", explode($"cmap").as(Seq("counter_group", "inner")))
+      .select($"task_id", $"counter_group",
+        explode($"inner").as(Seq("counter_name", "value")))
+
   lazy val reduceTasks: DataFrame =
     mergedTasks("REDUCE").join(attemptCounts(reduceAttemptEvents),
       Seq("task_id"), "full_outer")

@@ -44,6 +44,8 @@ object JobHistoryOps {
     memo.getOrElseUpdate(s, JobHistoryViews.fromFile(s, fixture()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jh_task_counters" -> ((s, _) =>
+      v(s).taskCounters.orderBy("task_id", "counter_group", "counter_name")),
     "jh_map_details" -> ((s, _) => Reports.mapDetails(v(s))),
     "jh_reduce_details" -> ((s, _) => Reports.reduceDetails(v(s))),
     "jh_bytes_report" -> ((s, _) => Reports.bytesReport(v(s))),
@@ -66,6 +68,28 @@ object JobHistoryOps {
     s"""nullif(regexp_extract(rec, '$key="([^"]*)"', 1), '')"""
 
   val oracle: Map[String, String] = Map(
+    "jh_task_counters" ->
+      s"""$prelude, cnt AS (
+         |  SELECT ${attr("TASKID")} AS task_id,
+         |    arg_max(regexp_extract(rec, 'COUNTERS="([^"]*)"', 1), ord) AS cs
+         |  FROM ev WHERE event = 'Task' AND contains(rec, 'COUNTERS="')
+         |  GROUP BY 1
+         |), grps AS (
+         |  SELECT task_id,
+         |    unnest(regexp_extract_all(cs, '\\{\\([^)]+\\)\\([^)]+\\)[^}]+\\}')) AS g
+         |  FROM cnt
+         |), cc AS (
+         |  SELECT task_id,
+         |    regexp_extract(g, '\\{\\(([^)]+)\\)\\(([^)]+)\\)', 2) AS counter_group,
+         |    unnest(regexp_extract_all(g, '\\[\\([^)]+\\)\\([^)]+\\)\\([^)]+\\)\\]')) AS c
+         |  FROM grps
+         |)
+         |SELECT task_id, counter_group,
+         |  regexp_extract(c, '\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]', 2)
+         |    AS counter_name,
+         |  CAST(regexp_extract(c, '\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]', 3)
+         |    AS BIGINT) AS value
+         |FROM cc ORDER BY task_id, counter_group, counter_name""".stripMargin,
     "jh_map_details" ->
       s"""$prelude, mt AS (
          |  SELECT ${attr("TASKID")} AS task_id,
