@@ -189,6 +189,75 @@ object Reports {
       .orderBy(col("job_id"))
   }
 
+  /** Per-job bounds for a multi-job stream (A4 keyed by JOBID). */
+  private def boundsPerJob(v: JobHistoryViews): DataFrame = {
+    val a = (k: String) => col("attrs").getItem(k)
+    def u(c: Column): Column = (c.cast("long") / v.scale).cast("long")
+    def lastWhen(cond: Column, value: Column): Column =
+      max_by(when(cond, value), when(cond, col("line_no")))
+    v.events.filter(col("event") === "Job")
+      .groupBy(a("JOBID").as("job_id"))
+      .agg(
+        u(lastWhen(a("SUBMIT_TIME").isNotNull, a("SUBMIT_TIME")))
+          .as("submit_u"),
+        u(lastWhen(a("SUBMIT_TIME").isNull && a("FINISH_TIME").isNotNull,
+          a("FINISH_TIME"))).as("finish_u"))
+  }
+
+  /** Fleet timeline: the concurrency series per job over a multi-job
+    * stream — interval classification joins each attempt to its own
+    * job's bounds (keyed through the id-embedded job, J5 becomes a
+    * keyed join instead of a scalar broadcast), and the dense spine is
+    * generated per job. One scan, shuffles keyed by (job_id, …). */
+  def timelinePerJob(v: JobHistoryViews): DataFrame = {
+    val bounds = boundsPerJob(v)
+    val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
+    def rel(c: Column): Column = c - col("submit_u")
+    def clamp0(c: Column): Column = greatest(lit(0L), c)
+    def capped(c: Column): Column = rel(least(c, col("finish_u")))
+
+    def withBounds(df: DataFrame): DataFrame =
+      df.withColumn("job_id", jobIdOf(col("attempt_id")))
+        .join(bounds, Seq("job_id"))
+
+    val maps = withBounds(v.mapAttemptTimes
+      .filter(col("start_u").isNotNull && col("end_u").isNotNull)
+      .join(finals, Seq("attempt_id"), "left"))
+      .select(col("job_id"),
+        when(col("is_final"), "maps").otherwise("waste").as("phase"),
+        clamp0(rel(col("start_u"))).as("lo"), capped(col("end_u")).as("hi"))
+    val reduces = withBounds(v.reduceAttemptTimes
+      .filter(col("start_u").isNotNull && col("end_u").isNotNull)
+      .join(finals, Seq("attempt_id"), "left"))
+    val finalReduces = reduces.filter(col("is_final"))
+      .select(col("job_id"), explode(array(
+        struct(lit("shuffle").as("phase"), clamp0(rel(col("start_u"))).as("lo"),
+          capped(col("shuffle_u")).as("hi")),
+        struct(lit("merge").as("phase"), clamp0(rel(col("shuffle_u"))).as("lo"),
+          capped(col("sort_u")).as("hi")),
+        struct(lit("reduce").as("phase"), clamp0(rel(col("sort_u"))).as("lo"),
+          capped(col("end_u")).as("hi")))).as("iv"))
+      .select(col("job_id"), col("iv.phase"), col("iv.lo"), col("iv.hi"))
+    val wastedReduces = reduces.filter(col("is_final").isNull)
+      .select(col("job_id"), lit("waste").as("phase"),
+        clamp0(rel(col("start_u"))).as("lo"), capped(col("end_u")).as("hi"))
+
+    val ivs = maps.unionByName(finalReduces).unionByName(wastedReduces)
+      .filter(col("lo") <= col("hi") && col("lo").isNotNull)
+    val expanded = ivs.select(col("job_id"), col("phase"),
+      explode(sequence(col("lo"), col("hi"))).as("time"))
+    val aggs = phaseNames.map(p =>
+      coalesce(sum(when(col("phase") === p, 1L)), lit(0L)).as(p))
+    val counts = expanded.groupBy(col("job_id"), col("time"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spine = bounds.select(col("job_id"), explode(
+      sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
+    spine.join(counts, Seq("job_id", "time"), "left")
+      .select(col("job_id") +: col("time") +:
+        phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+      .orderBy(col("job_id"), col("time"))
+  }
+
   // ------------------------------------------------------------ timeline
 
   /** T3: each attempt projected to (phase, lo, hi) interval rows on the

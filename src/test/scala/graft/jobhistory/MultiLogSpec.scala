@@ -55,6 +55,22 @@ class MultiLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timelinePerJob slices equal the single-log timelines") {
+    import org.apache.spark.sql.functions._
+    val v = JobHistoryViews.fromFile(spark, dir)
+    val fleet = Reports.timelinePerJob(v).collect()
+      .groupBy(_.getAs[String]("job_id"))
+    for ((fixture, job) <- Seq(
+      Fixtures.pig -> "job_201010291643_0125",
+      Fixtures.ec2 -> "job_201012162033_0001")) {
+      val single = Reports.timeline(JobHistoryViews.fromFile(spark, fixture))
+        .collect().map(_.toSeq)
+      val slice = fleet(job).sortBy(_.getAs[Long]("time"))
+        .map(_.toSeq.drop(1)) // drop job_id
+      assert(slice.toSeq === single.toSeq, job)
+    }
+  }
+
   test("task-level reports are already fleet-safe (globally unique task ids)") {
     val v = JobHistoryViews.fromFile(spark, dir)
     val all = Reports.mapDetails(v)
