@@ -38,14 +38,16 @@ object DedupOps {
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
   /** Distinct 3-word shingles per doc (shared with t6). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
+  private def shinglesOf(d: DataFrame): DataFrame =
+    d.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(words) - 3), " +
           "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
       .distinct()
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(docs(s, dir))
 
   private val NumHashes = 12
   private val BandSize = 2
@@ -70,10 +72,10 @@ object DedupOps {
       s"min(($a * $h + $b) % $HashPrime) AS mh$k"
     }
 
-  /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
-    * Jaccard (signature agreement fraction). Top-20. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingles(s, dir)
+  /** MinHash candidate pairs with estimated Jaccard over any (doc_id,
+    * text) set — the LSH core shared by t7 and the t10 pipeline. */
+  private def minhashPairsOf(d: DataFrame): DataFrame = {
+    val sig = shinglesOf(d)
       .withColumn("h", expr(h32("shingle")))
       .groupBy(col("doc_id"))
       .agg(expr(minExprs("h").head),
@@ -101,8 +103,43 @@ object DedupOps {
       .withColumn("est_jaccard",
         round(agree.cast("double") / NumHashes, 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
+    * Jaccard (signature agreement fraction). Top-20. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docs(s, dir))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+
+  /** t10: the composed cleaning pipeline a training-data corpus runs —
+    * quality filter → exact dedup (keep lowest doc_id per digest) →
+    * near-dup removal (drop the higher id of every MinHash candidate
+    * pair with est ≥ 0.5). Emits the surviving doc ids. Three stages,
+    * three keyed shuffles, no driver-side loops — the shape scales
+    * linearly with corpus size. */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = d
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("uniq_ratio",
+        round(expr("size(array_distinct(words))").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .filter(col("n_tokens").between(15, 90) && col("uniq_ratio") >= 0.15)
+      .select(col("doc_id"), col("text"))
+    val deduped = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val nearDupLosers = minhashPairsOf(deduped)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    deduped.select(col("doc_id"))
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
   }
 
   /** t8: 32-bit SimHash per doc (term-frequency weighted), then
@@ -162,7 +199,8 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t7_minhash_lsh" -> (minhashLsh _),
     "t8_simhash_pairs" -> (simhashPairs _),
-    "t9_embedding_neardup" -> (embeddingNearDup _))
+    "t9_embedding_neardup" -> (embeddingNearDup _),
+    "t10_clean_corpus" -> (cleanCorpus _))
 
   // ------------------------------------------------------------- oracles
 
@@ -244,8 +282,59 @@ object DedupOps {
       |SELECT label, vec_a, vec_b, cos FROM p
       |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
+  private val cleanCorpusOracle: String = {
+    val mins = hashParams.zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * ${h32d("shingle")} + $b) % $HashPrime) AS mh$k" }
+      .mkString(",\n   ")
+    val bandSel = (0 until NumBands).map { b =>
+      val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+        .mkString("concat_ws(':', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH quality AS (
+       | SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |     CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio
+       |  FROM documents)
+       | WHERE n_tokens BETWEEN 15 AND 90 AND uniq_ratio >= 0.15),
+       |deduped AS (
+       | SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       |dd AS (
+       | SELECT d.doc_id, d.text FROM documents d JOIN deduped USING (doc_id)),
+       |sh AS (
+       | SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM dd) w,
+       |   unnest(generate_series(1, len(words) - 2)) AS u(i)),
+       |sig AS (
+       | SELECT doc_id,
+       |   $mins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |est AS (
+       | SELECT doc_a, doc_b,
+       |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       | FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |  JOIN sig sb ON cand.doc_b = sb.doc_id),
+       |losers AS (
+       | SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.5)
+       |SELECT doc_id FROM deduped
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t7_minhash_lsh" -> minhashOracle,
     "t8_simhash_pairs" -> simhashOracle,
-    "t9_embedding_neardup" -> nearDupOracle)
+    "t9_embedding_neardup" -> nearDupOracle,
+    "t10_clean_corpus" -> cleanCorpusOracle)
 }

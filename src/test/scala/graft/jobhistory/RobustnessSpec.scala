@@ -1,0 +1,54 @@
+package graft.jobhistory
+
+import graft.SparkSpec
+
+/** Malformed-input behavior and scale-parameter plumbing. */
+class RobustnessSpec extends SparkSpec {
+
+  test("garbage records parse to empty attr maps without throwing") {
+    val log = "complete garbage line .\n" +
+      "NoAttrsEvent .\n" +
+      "Task TASKID=\"t1\" TASK_TYPE=\"MAP\" START_TIME=\"1000\" .\n" +
+      "key=value-without-quotes .\n"
+    val df = JobHistoryReader.readString(spark, log)
+    val rows = df.collect()
+    assert(rows.length === 4)
+    val byEvent = rows.map(r =>
+      r.getAs[String]("event") -> r.getAs[Map[String, String]]("attrs")).toMap
+    assert(byEvent("NoAttrsEvent").isEmpty)
+    assert(byEvent("complete").isEmpty)
+    assert(byEvent("Task")("TASKID") === "t1")
+    // reports over a log with no Job/attempt records don't throw
+    val v = new JobHistoryViews(spark, df)
+    assert(Reports.mapDetails(v).count() === 1L)
+    assert(Reports.summary(v).collect().length <= 1)
+  }
+
+  test("empty input yields empty views, not exceptions") {
+    val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, ""))
+    assert(v.events.count() === 0L)
+    assert(Reports.mapDetails(v).count() === 0L)
+    assert(v.finalAttempts.count() === 0L)
+  }
+
+  test("scale parameter: CLI (1e6) and CGI (100) units flow through the reports") {
+    val sec = JobHistoryViews.fromFile(spark, Fixtures.pig, scale = 1000L)
+    val cli = JobHistoryViews.fromFile(spark, Fixtures.pig, scale = 1000000L)
+    val cgi = JobHistoryViews.fromFile(spark, Fixtures.pig, scale = 100L)
+
+    val sSec = Reports.summary(sec).collect().head
+    val sCli = Reports.summary(cli).collect().head
+    val sCgi = Reports.summary(cgi).collect().head
+    // total_time = (FINISH - LAUNCH) DIV scale at each unit
+    val f = 1289568296892L; val l = 1289542275747L
+    assert(sSec.getAs[Long]("total_time") === (f - l) / 1000)
+    assert(sCli.getAs[Long]("total_time") === (f - l) / 1000000)
+    assert(sCgi.getAs[Long]("total_time") === (f - l) / 100)
+    // counts are unit-independent
+    assert(sCli.getAs[Long]("num_maps") === 512L)
+    assert(sCgi.getAs[Long]("num_reduces") === 320L)
+    // timeline spine scales with the unit
+    assert(Reports.timeline(cgi).count() ===
+      (1289568296892L / 100 - 1289542263300L / 100 + 1))
+  }
+}
