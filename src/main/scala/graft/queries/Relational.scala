@@ -253,7 +253,39 @@ object Relational {
         round(sum(col("pv")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** SURVEY §2.6 beyond-reference windows: rollup with grouping ids —
+    * subtotal rows materialize map-side-combined partials per grouping
+    * set, no extra scans. */
+  def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** SURVEY §2.6: lag-based sessionization — per-user event gaps > 30
+    * minutes open a new session; one window shuffle on the user key. */
+  def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("us") - col("prev") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_rollup" -> (q18Rollup _),
+    "q19_sessionize" -> (q19Sessionize _),
     "q17_salted_agg" -> (q17SaltedAgg _),
     "q16_approx_distinct" -> (q16ApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -273,6 +305,23 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q18_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q19_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |    AS prev
+        | FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN prev IS NULL OR us - prev > 30 * 60 * 1000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
