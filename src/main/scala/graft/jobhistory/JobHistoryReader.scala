@@ -89,12 +89,16 @@ object JobHistoryReader {
       .withColumn("event", substring_index(col("record"), " ", 1))
       .withColumn("tail",
         expr("substring(record, length(event) + 2, length(record))"))
+      // materialize the entry array once per row — referencing the
+      // extraction expression inside the dedup lambda would re-run the
+      // regex scan per entry (O(n·scan) per record)
+      .withColumn("entries", expr(attrEntries))
       .withColumn("attrs", expr(
-        s"""map_from_entries(
-           |  filter($attrEntries,
-           |    (e, i) -> !exists(
-           |      slice($attrEntries, i + 2, size($attrEntries) - i - 1),
-           |      x -> x.key = e.key)))""".stripMargin))
+        """map_from_entries(
+          |  filter(entries,
+          |    (e, i) -> !exists(
+          |      slice(entries, i + 2, size(entries) - i - 1),
+          |      x -> x.key = e.key)))""".stripMargin))
       .select("line_no", "event", "attrs")
 
   /** P4: nested COUNTERS sub-format →

@@ -142,21 +142,26 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** t8: 32-bit SimHash per doc (term-frequency weighted), then
-    * near-dup pairs with hamming ≤ 3 via the 4×8-bit pigeonhole block
-    * join. */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** 32-bit term-frequency SimHash fingerprints per doc. */
+  private[queries] def simhashFingerprints(d: DataFrame): DataFrame = {
     val bitSums = (0 until 32).map(b =>
       sum(expr(s"CASE WHEN (${h32("tok")} >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
         .as(s"s$b"))
     val fpExpr = (0 until 32)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    val fp = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(fpExpr).as("fp"))
+  }
+
+  /** t8: SimHash near-dup pairs with hamming ≤ 3 via the 4×8-bit
+    * pigeonhole block join (complete: any pair within hamming 3 shares
+    * at least one block — asserted against brute force in tests). */
+  /** All hamming ≤ 3 pairs via the block join (unlimited). */
+  private[queries] def simhashCandidates(d: DataFrame): DataFrame = {
+    val fp = simhashFingerprints(d)
     val blocks = fp.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), " +
         "k -> struct(k AS k, shiftright(fp, 8 * k) & 255 AS blk))")).as("b"))
@@ -169,9 +174,12 @@ object DedupOps {
         expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashCandidates(docs(s, dir))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
-  }
 
   /** t9: embedding cosine near-duplicates, blocked by the coarse label
     * (IVF cell): only within-cell pairs scored. Top-20 by cosine.

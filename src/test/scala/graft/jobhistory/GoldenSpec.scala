@@ -85,6 +85,14 @@ class GoldenSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("sweep-line equivalence holds at the CGI's 10x finer scale (100ms units)") {
+    val fine = JobHistoryViews.fromFile(spark, Fixtures.ec2, scale = 100L)
+    val a = Reports.timeline(fine).collect().map(_.toSeq)
+    val b = Reports.timelineSweepLine(fine).collect().map(_.toSeq)
+    assert(a.length > 300000) // ~312k slots — the wide-spine regime
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("bytesReport: every reduce task reports bytes and final-attempt times") {
     val rows = Reports.bytesReport(v).collect()
     assert(rows.length === 320)

@@ -33,6 +33,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3L))
   }
 
+  test("t8 pigeonhole completeness: block join finds every hamming<=3 pair (brute force)") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val fp = DedupOps.simhashFingerprints(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.fp ^ b.fp)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    val viaBlocks = DedupOps.simhashCandidates(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    assert(viaBlocks === brute)
+  }
+
   test("t9: near-dup pairs are valid cosines within one label block") {
     val rows = DedupOps.embeddingNearDup(spark, dir).collect()
     assert(rows.length === 20)
