@@ -92,6 +92,32 @@ object Streaming {
       }
   }
 
+  /** The `-m` report as a live view: each state update re-emits the
+    * task's current detail row (Update mode) — the final snapshot per
+    * task equals the batch [[Reports.mapDetails]]. */
+  def mapDetailsStream(events: Dataset[Rec], scale: Long = 1000L): DataFrame =
+    taskStates(events)
+      .filter(col("task_type") === "MAP")
+      .select(
+        col("task_id"),
+        expr(s"CAST(attrs['START_TIME'] AS BIGINT) DIV $scale").as("start_time"),
+        expr(s"CAST(attrs['FINISH_TIME'] AS BIGINT) DIV $scale").as("end_time"),
+        ((col("attrs").getItem("FINISH_TIME").cast("long") -
+          col("attrs").getItem("START_TIME").cast("long")) / scale)
+          .cast("long").as("elapsed"),
+        col("num_attempts"),
+        col("max_line"))
+
+  /** Streaming exact dedup (the t2 operator on a stream): first
+    * occurrence of each content digest survives; duplicates arriving
+    * within the watermark are dropped, state for old digests is
+    * reclaimed past it. */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** T1-T4 streaming: phase-classified slot events → windowed counts
     * with a watermark (slots arrive as attempts finish; late finishes
     * update their slots). `slots` carries (phase, slot_ts). */

@@ -91,6 +91,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming map details converge to the batch -m report") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.mapDetailsStream(events).writeStream
+      .format("memory").queryName("mdetails").outputMode("update").start()
+    try {
+      fixtureRecords.grouped(1500).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("mdetails").collect()
+        .groupBy(_.getAs[String]("task_id"))
+        .map { case (_, rows) => rows.maxBy(_.getAs[Long]("max_line")) }
+        .map(r => r.toSeq.dropRight(1)) // drop max_line
+        .toSet
+      val batch = Reports.mapDetails(
+        JobHistoryViews.fromFile(spark, Fixtures.pig))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: first digest occurrence survives across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .withColumn("event_ts", timestamp_seconds(col("_1")))
+      .withColumnRenamed("_2", "text")
+      .select(col("_1").as("doc_id"), col("text"), col("event_ts"))
+    val q = Streaming.dedupStream(docs).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")))
+      q.processAllAvailable()
+      input.addData(Seq((4L, "beta"), (5L, "gamma")))
+      q.processAllAvailable()
+      val survivors = spark.table("dedup").collect()
+        .map(_.getAs[String]("text")).sorted.toSeq
+      assert(survivors === Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("streaming slot counts equal the batch timeline maps series") {
     val spark2 = spark
     import spark2.implicits._
