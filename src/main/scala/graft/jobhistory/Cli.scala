@@ -46,6 +46,7 @@ object Cli {
     val events =
       if (input == "-")
         JobHistoryReader.readString(spark, scala.io.Source.stdin.mkString)
+      else if (input.contains("://")) JobHistoryReader.readUrl(spark, input)
       else JobHistoryReader.read(spark, input)
     val v = new JobHistoryViews(spark, events, scale)
 

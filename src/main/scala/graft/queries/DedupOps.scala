@@ -142,7 +142,11 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** 32-bit term-frequency SimHash fingerprints per doc. */
+  /** 32-bit term-frequency SimHash fingerprints per doc. Hashing per
+    * occurrence + map-side partial aggregation: the only shuffle is the
+    * per-doc group. (A distinct-token broadcast variant benches the
+    * same here and breaks at corpus scale — vocabulary grows with the
+    * corpus, so the "small" side wouldn't stay broadcastable.) */
   private[queries] def simhashFingerprints(d: DataFrame): DataFrame = {
     val bitSums = (0 until 32).map(b =>
       sum(expr(s"CASE WHEN (${h32("tok")} >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
