@@ -22,11 +22,20 @@ object Cli {
     var scale = 1000L
     var report = "t"
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) sys.error(s"$flag requires a value")
+      i += 2; args(i - 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-i" => input = args(i + 1); i += 2
-        case "-d" => sep = args(i + 1); i += 2
-        case "--scale" => scale = args(i + 1).toLong; i += 2
+        case "-i" => input = value("-i")
+        case "-d" => sep = value("-d")
+        case "--scale" =>
+          val v = value("--scale")
+          scale = try v.toLong catch {
+            case _: NumberFormatException =>
+              sys.error(s"--scale requires a number, got: $v")
+          }
         case "-s" | "-m" | "-r" | "-b" | "-t" =>
           report = args(i).substring(1); i += 1
         case a if a.startsWith("-D") => i += 1 // P10: java-opts absorbed

@@ -112,15 +112,26 @@ object JobHistoryReader {
     // regex `\{` is written `\\\\{` in literals below — but interpolated
     // *values* skip the s-pass, so this one carries `\\[` per level.
     val counterRe = """\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]"""
-    expr(
-      s"""map_from_entries(transform(
+    // last-wins duplicate-key dedup at both nesting levels, mirroring
+    // the reference's `counters[match[2]] = v` overwrite (and keeping
+    // map_from_entries safe under the default EXCEPTION policy) —
+    // display names are not guaranteed unique
+    def dedup(entries: String): String =
+      s"""filter($entries,
+         |  (e, i) -> !exists(slice($entries, i + 2, size($entries) - i - 1),
+         |    x -> x.key = e.key))""".stripMargin
+    val counterEntries =
+      s"""transform(
+         |  regexp_extract_all(g, '$counterRe', 0),
+         |  cc -> struct(
+         |    regexp_extract(cc, '$counterRe', 2) AS key,
+         |    CAST(regexp_extract(cc, '$counterRe', 3) AS BIGINT) AS value))""".stripMargin
+    val groupEntries =
+      s"""transform(
          |  regexp_extract_all($c, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)([^}]+)\\\\}', 0),
          |  g -> struct(
          |    regexp_extract(g, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)', 2) AS key,
-         |    map_from_entries(transform(
-         |      regexp_extract_all(g, '$counterRe', 0),
-         |      cc -> struct(
-         |        regexp_extract(cc, '$counterRe', 2) AS key,
-         |        CAST(regexp_extract(cc, '$counterRe', 3) AS BIGINT) AS value))) AS value)))""".stripMargin)
+         |    map_from_entries(${dedup(counterEntries)}) AS value))""".stripMargin
+    expr(s"map_from_entries(${dedup(groupEntries)})")
   }
 }

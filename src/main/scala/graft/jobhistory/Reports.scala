@@ -189,28 +189,13 @@ object Reports {
       .orderBy(col("job_id"))
   }
 
-  /** Per-job bounds for a multi-job stream (A4 keyed by JOBID). */
-  private def boundsPerJob(v: JobHistoryViews): DataFrame = {
-    val a = (k: String) => col("attrs").getItem(k)
-    def u(c: Column): Column = (c.cast("long") / v.scale).cast("long")
-    def lastWhen(cond: Column, value: Column): Column =
-      max_by(when(cond, value), when(cond, col("line_no")))
-    v.events.filter(col("event") === "Job")
-      .groupBy(a("JOBID").as("job_id"))
-      .agg(
-        u(lastWhen(a("SUBMIT_TIME").isNotNull, a("SUBMIT_TIME")))
-          .as("submit_u"),
-        u(lastWhen(a("SUBMIT_TIME").isNull && a("FINISH_TIME").isNotNull,
-          a("FINISH_TIME"))).as("finish_u"))
-  }
-
   /** Fleet timeline: the concurrency series per job over a multi-job
     * stream — interval classification joins each attempt to its own
     * job's bounds (keyed through the id-embedded job, J5 becomes a
     * keyed join instead of a scalar broadcast), and the dense spine is
     * generated per job. One scan, shuffles keyed by (job_id, …). */
   def timelinePerJob(v: JobHistoryViews): DataFrame = {
-    val bounds = boundsPerJob(v)
+    val bounds = v.boundsPerJob
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
     def rel(c: Column): Column = c - col("submit_u")
     def clamp0(c: Column): Column = greatest(lit(0L), c)
@@ -229,7 +214,8 @@ object Reports {
     val reduces = withBounds(v.reduceAttemptTimes
       .filter(col("start_u").isNotNull && col("end_u").isNotNull)
       .join(finals, Seq("attempt_id"), "left"))
-    val finalReduces = reduces.filter(col("is_final"))
+    val finalReduces = reduces.filter(col("is_final") &&
+      col("shuffle_u").isNotNull && col("sort_u").isNotNull)
       .select(col("job_id"), explode(array(
         struct(lit("shuffle").as("phase"), clamp0(rel(col("start_u"))).as("lo"),
           capped(col("shuffle_u")).as("hi")),
@@ -284,7 +270,12 @@ object Reports {
       .filter(col("start_u").isNotNull && col("end_u").isNotNull)
       .join(finals, Seq("attempt_id"), "left")
       .crossJoin(broadcast(v.bounds))
-    val finalReduces = reduces.filter(col("is_final"))
+    // shuffle_u/sort_u must exist for the phase split: with NULLs,
+    // greatest/least would silently produce [start, job_finish] /
+    // [0, …] intervals (the reference NPEs loudly here — we drop the
+    // malformed attempt instead, documented divergence)
+    val finalReduces = reduces.filter(col("is_final") &&
+      col("shuffle_u").isNotNull && col("sort_u").isNotNull)
       .select(explode(array(
         struct(lit("shuffle").as("phase"),
           clamp0(rel(col("start_u"))).as("lo"),

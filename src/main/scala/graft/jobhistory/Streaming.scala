@@ -72,8 +72,11 @@ object Streaming {
                   task_type = r.attrs.getOrElse("TASK_TYPE", st.task_type),
                   attrs = st.attrs ++ r.attrs,
                   max_line = math.max(st.max_line, r.line_no))
+              case _ if !r.attrs.contains("TASK_ATTEMPT_ID") =>
+                // batch countDistinct ignores NULL ids; mirror that
+                st.copy(max_line = math.max(st.max_line, r.line_no))
               case _ =>
-                val id = r.attrs.getOrElse("TASK_ATTEMPT_ID", "")
+                val id = r.attrs("TASK_ATTEMPT_ID")
                 val isFinish = !r.attrs.contains("START_TIME") &&
                   r.attrs.contains("FINISH_TIME")
                 val newFinal =

@@ -67,13 +67,26 @@ final class JobHistoryViews(
         u(lastWhen(a("SUBMIT_TIME").isNull && a("FINISH_TIME").isNotNull,
           a("FINISH_TIME"))).as("finish_u"))
 
+  /** [[bounds]] keyed by JOBID — the fleet (multi-job) variant with the
+    * same if/else-if semantics. */
+  lazy val boundsPerJob: DataFrame =
+    ev.filter($"event" === "Job")
+      .groupBy(a("JOBID").as("job_id"))
+      .agg(
+        u(lastWhen(a("SUBMIT_TIME").isNotNull, a("SUBMIT_TIME")))
+          .as("submit_u"),
+        u(lastWhen(a("SUBMIT_TIME").isNull && a("FINISH_TIME").isNotNull,
+          a("FINISH_TIME"))).as("finish_u"))
+
   // ------------------------------------------------------------ attempts
 
   /** P6: SETUP/CLEANUP attempts dropped (MapAttempt branch only —
-    * Groovy-canonical; bin/job_history:242-244). */
+    * Groovy-canonical; bin/job_history:242-244). Records *without* a
+    * TASK_TYPE are kept, as in the reference (null != "SETUP") — a bare
+    * `!isin` would evaluate to NULL and silently drop them. */
   lazy val mapAttemptEvents: DataFrame =
     ev.filter($"event" === "MapAttempt" &&
-      !a("TASK_TYPE").isin("SETUP", "CLEANUP"))
+      coalesce(!a("TASK_TYPE").isin("SETUP", "CLEANUP"), lit(true)))
 
   lazy val reduceAttemptEvents: DataFrame =
     ev.filter($"event" === "ReduceAttempt")

@@ -38,7 +38,7 @@ object DedupOps {
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
   /** Distinct 3-word shingles per doc (shared with t6). */
-  private def shinglesOf(d: DataFrame): DataFrame =
+  private[queries] def shinglesOf(d: DataFrame): DataFrame =
     d.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(

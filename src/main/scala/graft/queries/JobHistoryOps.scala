@@ -36,12 +36,14 @@ object JobHistoryOps {
   }
 
   /** One parsed+cached event view per session — the reference reads its
-    * input once and serves every report from it; so do we. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, JobHistoryViews]
+    * input once and serves every report from it; so do we. Weak keys:
+    * a retired session's views (and cached events) become collectable
+    * instead of pinning memory for the JVM lifetime. */
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, JobHistoryViews]())
 
   private def v(s: SparkSession): JobHistoryViews =
-    memo.getOrElseUpdate(s, JobHistoryViews.fromFile(s, fixture()))
+    memo.computeIfAbsent(s, s2 => JobHistoryViews.fromFile(s2, fixture()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_task_counters" -> ((s, _) =>

@@ -87,16 +87,7 @@ object TextOps {
     * The same dataflow as MinHash-LSH candidate generation, with exact
     * Jaccard instead of the sketch. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      // guard: <3 tokens would make sequence(0, size-3) descend and
-      // slice() throw; the oracle's generate_series is empty instead —
-      // short docs must contribute zero shingles.
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(words) - 3), " +
-          "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
-      .distinct()
+    val sh = DedupOps.shinglesOf(docs(s, dir))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&

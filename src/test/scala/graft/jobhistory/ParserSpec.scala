@@ -67,6 +67,17 @@ class ParserSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("reduce_output_bytes") > 0L))
   }
 
+  test("P4: duplicate group/counter display names resolve last-wins") {
+    import spark.implicits._
+    val c = "{(k1)(Grp)[(A)(Name)(1)][(B)(Name)(2)]}" +
+      "{(k2)(Grp)[(C)(Other)(3)]}"
+    val parsed = Seq(c).toDF("cs")
+      .select(JobHistoryReader.parseCounters("cs").as("m"))
+      .collect().head.getAs[Map[String, Map[String, Long]]]("m")
+    // second "Grp" group wins; within a group the later "Name" wins
+    assert(parsed("Grp") === Map("Other" -> 3L))
+  }
+
   test("duplicate keys within one record resolve last-wins") {
     val df = JobHistoryReader.readString(spark,
       "Job JOBID=\"first\" JOBID=\"second\" .\n")

@@ -24,6 +24,13 @@ class RobustnessSpec extends SparkSpec {
     assert(Reports.summary(v).collect().length <= 1)
   }
 
+  test("CLI: dangling or malformed flags fail with a usage error, not a stack bug") {
+    val e1 = intercept[RuntimeException](Cli.main(Array("-i")))
+    assert(e1.getMessage.contains("-i requires a value"))
+    val e2 = intercept[RuntimeException](Cli.main(Array("--scale", "abc")))
+    assert(e2.getMessage.contains("--scale requires a number"))
+  }
+
   test("empty input yields empty views, not exceptions") {
     val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, ""))
     assert(v.events.count() === 0L)

@@ -88,6 +88,30 @@ class SemanticsSpec extends SparkSpec {
     assert(row.getAs[Long]("num_attempts") === 1L)
   }
 
+  test("MapAttempt records without TASK_TYPE are kept (null != SETUP, reference parity)") {
+    val v = views(header ++ Seq(
+      """Task TASKID="t1" TASK_TYPE="MAP" START_TIME="12000"""",
+      """MapAttempt TASKID="t1" TASK_ATTEMPT_ID="a1" START_TIME="12000"""",
+      """MapAttempt TASKID="t1" TASK_ATTEMPT_ID="a1" TASK_STATUS="SUCCESS" FINISH_TIME="15000"""",
+      """Task TASKID="t1" TASK_TYPE="MAP" TASK_STATUS="SUCCESS" FINISH_TIME="15000"""") :+ footer: _*)
+    val row = Reports.mapDetails(v).collect().head
+    assert(row.getAs[Long]("num_attempts") === 1L)
+    assert(v.finalAttempts.collect().map(_.getString(1)).toSet === Set("a1"))
+    val tl = timelineMap(v)
+    assert((2L to 5L).forall(t => tl(t)(0) === 1L), "maps series")
+  }
+
+  test("final reduce lacking SHUFFLE/SORT_FINISHED is dropped from phase series, not corrupted") {
+    val v = views(header ++ Seq(
+      """Task TASKID="r1" TASK_TYPE="REDUCE" START_TIME="12000"""",
+      """ReduceAttempt TASK_TYPE="REDUCE" TASKID="r1" TASK_ATTEMPT_ID="ra1" START_TIME="12000"""",
+      """ReduceAttempt TASK_TYPE="REDUCE" TASKID="r1" TASK_ATTEMPT_ID="ra1" TASK_STATUS="SUCCESS" FINISH_TIME="18000"""",
+      """Task TASKID="r1" TASK_TYPE="REDUCE" TASK_STATUS="SUCCESS" FINISH_TIME="18000"""") :+ footer: _*)
+    val tl = timelineMap(v)
+    // no [start, job_finish] shuffle blowup and no [0, ...] merge rows
+    assert(tl.values.forall(_.forall(_ === 0L)))
+  }
+
   test("A1: later Task records overwrite earlier attribute values") {
     val v = views(header ++ Seq(
       """Task TASKID="t1" TASK_TYPE="MAP" START_TIME="12000"""",
