@@ -15,10 +15,10 @@ import graft.jobhistory.{JobHistoryViews, Reports}
   * `read_text` + regexes, with `arg_max(value, record_ordinal)`
   * reproducing the last-write-wins merge — an independent second
   * implementation, complementing the byte-for-byte golden-file tests in
-  * GoldenSpec (vis/grap/map.d, reduce.d, README scalars). summary and
-  * the timelines are covered by goldens + the sweep-line equivalence
-  * spec instead of SQL (fractional averages / interval expansion don't
-  * hash stably across engines).
+  * GoldenSpec (vis/grap/map.d, reduce.d, README scalars). Every entry —
+  * including the timeline (full interval expansion in SQL) and the
+  * summary (whose long/long → double averages are IEEE-identical across
+  * engines) — carries an oracle.
   */
 object JobHistoryOps {
 
@@ -69,7 +69,170 @@ object JobHistoryOps {
   private def attr(key: String) =
     s"""nullif(regexp_extract(rec, '$key="([^"]*)"', 1), '')"""
 
+  /** Attempt time tables (shared by the summary and timeline oracles):
+    * last-write-wins per attempt with the reference's guards (P7 zero
+    * scaled starts ignored; finish records carry no START_TIME; null
+    * TASK_TYPE attempts kept). */
+  private def attemptTimesSql(event: String, extraCols: String) =
+    s"""  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
+       |    arg_max(${attr("TASKID")}, ord) AS task_id,
+       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT) // 1000, ord)
+       |      FILTER (${attr("START_TIME")} IS NOT NULL
+       |        AND CAST(${attr("START_TIME")} AS BIGINT) // 1000 <> 0) AS start_u,
+       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT) // 1000, ord)
+       |      FILTER (${attr("START_TIME")} IS NULL
+       |        AND ${attr("FINISH_TIME")} IS NOT NULL) AS end_u$extraCols
+       |  FROM ev WHERE event = '$event'
+       |    AND NOT (contains(rec, 'TASK_TYPE="SETUP"')
+       |             OR contains(rec, 'TASK_TYPE="CLEANUP"'))
+       |  GROUP BY 1""".stripMargin
+
+  private val finSql =
+    s"""fin AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    arg_max(${attr("TASK_ATTEMPT_ID")}, ord) AS attempt_id
+       |  FROM ev
+       |  WHERE ((event = 'MapAttempt' AND NOT contains(rec, 'TASK_TYPE="SETUP"')
+       |          AND NOT contains(rec, 'TASK_TYPE="CLEANUP"'))
+       |         OR event = 'ReduceAttempt')
+       |    AND ${attr("START_TIME")} IS NULL
+       |    AND ${attr("FINISH_TIME")} IS NOT NULL
+       |    AND contains(rec, 'TASK_STATUS="SUCCESS"')
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  private val summaryOracle: String =
+    s"""$prelude, job AS (
+       |  SELECT
+       |    arg_max(${attr("JOBID")}, ord)
+       |      FILTER (${attr("JOBID")} IS NOT NULL) AS job_id,
+       |    arg_max(${attr("JOBNAME")}, ord)
+       |      FILTER (${attr("JOBNAME")} IS NOT NULL) AS job_name,
+       |    arg_max(${attr("USER")}, ord)
+       |      FILTER (${attr("USER")} IS NOT NULL) AS "user",
+       |    arg_max(${attr("JOB_STATUS")}, ord)
+       |      FILTER (${attr("JOB_STATUS")} IS NOT NULL) AS job_status,
+       |    (arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
+       |       FILTER (${attr("FINISH_TIME")} IS NOT NULL) -
+       |     arg_max(CAST(${attr("LAUNCH_TIME")} AS BIGINT), ord)
+       |       FILTER (${attr("LAUNCH_TIME")} IS NOT NULL)) // 1000 AS total_time
+       |  FROM ev WHERE event = 'Job'
+       |), mt AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
+       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
+       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="MAP"')
+       |  GROUP BY 1
+       |), rt AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
+       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
+       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="REDUCE"')
+       |  GROUP BY 1
+       |), $finSql, shuf AS (
+       |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
+       |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT) // 1000, ord)
+       |      FILTER (${attr("START_TIME")} IS NULL
+       |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_u
+       |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
+       |), magg AS (
+       |  SELECT count(*) FILTER (ft IS NOT NULL) AS num_maps,
+       |    CAST(sum((ft - st) // 1000) FILTER (ft IS NOT NULL) AS BIGINT)
+       |      AS total_map_time,
+       |    max(ft // 1000) FILTER (ft IS NOT NULL) AS all_maps_complete
+       |  FROM mt
+       |), ragg AS (
+       |  SELECT count(*) FILTER (ft IS NOT NULL) AS num_reduces,
+       |    CAST(sum((ft - st) // 1000) FILTER (ft IS NOT NULL) AS BIGINT)
+       |      AS total_reduce_time,
+       |    CAST(sum((shuf.shuffle_u * 1000 - rt.st) // 1000)
+       |      FILTER (rt.ft IS NOT NULL) AS BIGINT) AS total_shuffle_time
+       |  FROM rt LEFT JOIN fin USING (task_id) LEFT JOIN shuf USING (attempt_id)
+       |)
+       |SELECT job_id, job_name, "user", job_status, total_time,
+       |  num_maps, total_map_time, all_maps_complete,
+       |  num_reduces, total_reduce_time, total_shuffle_time,
+       |  CAST(total_map_time AS DOUBLE) / num_maps AS avg_map_time,
+       |  CAST(total_shuffle_time AS DOUBLE) / num_reduces AS avg_shuffle_time,
+       |  CAST(total_reduce_time AS DOUBLE) / num_reduces AS avg_reduce_time
+       |FROM job CROSS JOIN magg CROSS JOIN ragg""".stripMargin
+
+  private val timelineOracle: String =
+    s"""$prelude, sub AS (
+       |  SELECT
+       |    arg_max(CAST(${attr("SUBMIT_TIME")} AS BIGINT) // 1000, ord)
+       |      FILTER (${attr("SUBMIT_TIME")} IS NOT NULL) AS submit_u,
+       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT) // 1000, ord)
+       |      FILTER (${attr("SUBMIT_TIME")} IS NULL
+       |              AND ${attr("FINISH_TIME")} IS NOT NULL) AS finish_u
+       |  FROM ev WHERE event = 'Job'
+       |), mat AS (
+       |${attemptTimesSql("MapAttempt", "")}
+       |), rat AS (
+       |${attemptTimesSql("ReduceAttempt",
+      s""",
+         |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT) // 1000, ord)
+         |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_u,
+         |    arg_max(CAST(${attr("SORT_FINISHED")} AS BIGINT) // 1000, ord)
+         |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("SORT_FINISHED")} IS NOT NULL) AS sort_u""".stripMargin)}
+       |), $finSql, iv AS (
+       |  SELECT CASE WHEN fin.attempt_id IS NOT NULL THEN 'maps'
+       |              ELSE 'waste' END AS phase,
+       |    greatest(0, mat.start_u - sub.submit_u) AS lo,
+       |    least(mat.end_u, sub.finish_u) - sub.submit_u AS hi
+       |  FROM mat LEFT JOIN fin ON mat.attempt_id = fin.attempt_id
+       |  CROSS JOIN sub
+       |  WHERE mat.start_u IS NOT NULL AND mat.end_u IS NOT NULL
+       |  UNION ALL
+       |  SELECT p.phase,
+       |    greatest(0, p.lo - sub.submit_u) AS lo,
+       |    least(p.hi, sub.finish_u) - sub.submit_u AS hi
+       |  FROM rat JOIN fin ON rat.attempt_id = fin.attempt_id
+       |  CROSS JOIN sub
+       |  CROSS JOIN LATERAL (VALUES
+       |    ('shuffle', rat.start_u, rat.shuffle_u),
+       |    ('merge', rat.shuffle_u, rat.sort_u),
+       |    ('reduce', rat.sort_u, rat.end_u)) AS p(phase, lo, hi)
+       |  WHERE rat.start_u IS NOT NULL AND rat.end_u IS NOT NULL
+       |    AND rat.shuffle_u IS NOT NULL AND rat.sort_u IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'waste' AS phase,
+       |    greatest(0, rat.start_u - sub.submit_u) AS lo,
+       |    least(rat.end_u, sub.finish_u) - sub.submit_u AS hi
+       |  FROM rat LEFT JOIN fin ON rat.attempt_id = fin.attempt_id
+       |  CROSS JOIN sub
+       |  WHERE fin.attempt_id IS NULL
+       |    AND rat.start_u IS NOT NULL AND rat.end_u IS NOT NULL
+       |), expanded AS (
+       |  SELECT phase, unnest(generate_series(lo, hi)) AS time
+       |  FROM iv WHERE lo <= hi
+       |), counts AS (
+       |  SELECT time,
+       |    CAST(sum(CASE WHEN phase = 'maps' THEN 1 ELSE 0 END) AS BIGINT) AS maps,
+       |    CAST(sum(CASE WHEN phase = 'shuffle' THEN 1 ELSE 0 END) AS BIGINT) AS shuffle,
+       |    CAST(sum(CASE WHEN phase = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS "merge",
+       |    CAST(sum(CASE WHEN phase = 'reduce' THEN 1 ELSE 0 END) AS BIGINT) AS reduce,
+       |    CAST(sum(CASE WHEN phase = 'waste' THEN 1 ELSE 0 END) AS BIGINT) AS waste
+       |  FROM expanded GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(generate_series(0, finish_u - submit_u)) AS time FROM sub
+       |)
+       |SELECT spine.time,
+       |  COALESCE(maps, 0) AS maps, COALESCE(shuffle, 0) AS shuffle,
+       |  COALESCE("merge", 0) AS "merge", COALESCE(reduce, 0) AS reduce,
+       |  COALESCE(waste, 0) AS waste
+       |FROM spine LEFT JOIN counts USING (time) ORDER BY time""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "jh_summary" -> summaryOracle,
+    "jh_timeline" -> timelineOracle,
+    "jh_timeline_sweep" -> timelineOracle,
     "jh_task_counters" ->
       s"""$prelude, cnt AS (
          |  SELECT ${attr("TASKID")} AS task_id,
