@@ -283,7 +283,21 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Exact interpolated percentiles per group (the linear-interpolation
+    * definition both engines share). Exact percentile is a sort-based
+    * aggregate; at 100 TB the approx_percentile sketch (q16's HLL
+    * sibling) is the scale path — this is the exact baseline. */
+  def q20Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_percentiles" -> (q20Percentiles _),
     "q18_rollup" -> (q18Rollup _),
     "q19_sessionize" -> (q19Sessionize _),
     "q17_salted_agg" -> (q17SaltedAgg _),
@@ -305,6 +319,12 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         | coalesce(l_linestatus, 'ALL') AS lstatus,

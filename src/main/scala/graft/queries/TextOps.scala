@@ -105,7 +105,29 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 
+  /** t11: TF-IDF scoring — term frequencies per doc joined with
+    * document frequencies, smoothed idf, top-20 (doc, term) pairs.
+    * Two keyed aggregations + one broadcastable join on the term; the
+    * classic inverted-index build shape. Cutoff ordering uses the
+    * rounded score so both engines agree at the limit boundary. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count() // corpus size: one scalar, computed once
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", round(col("tf") *
+        (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_tfidf_topterms" -> (tfidfTopTerms _),
     "t1_token_count" -> (tokenCount _),
     "t2_dedup_exact" -> (dedupExact _),
     "t3_lang_stopword" -> (langStopwordRatio _),
@@ -114,6 +136,19 @@ object TextOps {
     "t6_ngram_jaccard" -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "t11_tfidf_topterms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (
+        | SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        | round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY score DESC, doc_id, term LIMIT 20""".stripMargin,
     "t1_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | n_chars
