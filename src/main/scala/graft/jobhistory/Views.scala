@@ -166,12 +166,12 @@ final class JobHistoryViews(
     ev.filter($"event" === "Task" && a("TASK_TYPE") === "REDUCE" &&
       a("COUNTERS").isNotNull)
       .groupBy(a("TASKID").as("task_id"))
-      .agg(coalesce(
-        max_by(
-          element_at(element_at(
-            JobHistoryReader.parseCounters("attrs['COUNTERS']"),
-            "FileSystemCounters"), "HDFS_BYTES_WRITTEN"),
-          $"line_no"),
+      // LWW on the raw string first: parse once per task, not per record
+      .agg(max_by(a("COUNTERS"), $"line_no").as("cs"))
+      .select($"task_id", coalesce(
+        element_at(element_at(
+          JobHistoryReader.parseCounters("cs"),
+          "FileSystemCounters"), "HDFS_BYTES_WRITTEN"),
         lit(0L)).as("reduce_output_bytes"))
 
   /** P4 generalized: every counter of every Task record, long format —
@@ -182,9 +182,9 @@ final class JobHistoryViews(
   lazy val taskCounters: DataFrame =
     ev.filter($"event" === "Task" && a("COUNTERS").isNotNull)
       .groupBy(a("TASKID").as("task_id"))
-      .agg(max_by(
-        JobHistoryReader.parseCounters("attrs['COUNTERS']"), $"line_no")
-        .as("cmap"))
+      // LWW on the raw string first: parse once per task, not per record
+      .agg(max_by(a("COUNTERS"), $"line_no").as("cs"))
+      .withColumn("cmap", JobHistoryReader.parseCounters("cs"))
       .select($"task_id", explode($"cmap").as(Seq("counter_group", "inner")))
       .select($"task_id", $"counter_group",
         explode($"inner").as(Seq("counter_name", "value")))
