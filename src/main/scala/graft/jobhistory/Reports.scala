@@ -236,8 +236,9 @@ object Reports {
       coalesce(sum(when(col("phase") === p, 1L)), lit(0L)).as(p))
     val counts = expanded.groupBy(col("job_id"), col("time"))
       .agg(aggs.head, aggs.tail: _*)
-    val spine = bounds.select(col("job_id"), explode(
-      sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
+    val spine = bounds.filter(col("finish_u") >= col("submit_u"))
+      .select(col("job_id"), explode(
+        sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
     spine.join(counts, Seq("job_id", "time"), "left")
       .select(col("job_id") +: col("time") +:
         phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
@@ -297,8 +298,12 @@ object Reports {
   }
 
   private def spine(v: JobHistoryViews): DataFrame =
-    v.bounds.select(explode(
-      sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
+    v.bounds
+      // inverted bounds (clock-skewed log) → empty timeline, not a
+      // descending sequence
+      .filter(col("finish_u") >= col("submit_u"))
+      .select(explode(
+        sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
 
   private val phaseNames = Seq("maps", "shuffle", "merge", "reduce", "waste")
 

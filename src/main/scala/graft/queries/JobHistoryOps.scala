@@ -69,11 +69,26 @@ object JobHistoryOps {
   private def attr(key: String) =
     s"""nullif(regexp_extract(rec, '$key="([^"]*)"', 1), '')"""
 
+  /** Presence-based string attribute: distinguishes a *missing* key
+    * from an explicit empty value (`KEY=""` must overwrite in LWW, as
+    * the engine and reference do). Keys are always space-preceded and
+    * values cannot contain quotes, so the contains() probe is exact. */
+  private def strAttr(key: String) =
+    (s"""regexp_extract(rec, '$key="([^"]*)"', 1)""",
+      s"""contains(rec, ' $key="')""")
+
   /** Attempt time tables (shared by the summary and timeline oracles):
     * last-write-wins per attempt with the reference's guards (P7 zero
-    * scaled starts ignored; finish records carry no START_TIME; null
-    * TASK_TYPE attempts kept). */
-  private def attemptTimesSql(event: String, extraCols: String) =
+    * scaled starts ignored; finish records carry no START_TIME; the
+    * SETUP/CLEANUP drop applies to the MapAttempt branch ONLY, and
+    * null-TASK_TYPE attempts are kept — both reference-canonical). */
+  private def attemptTimesSql(event: String, extraCols: String) = {
+    val typeFilter =
+      if (event == "MapAttempt")
+        """
+          |    AND NOT (contains(rec, 'TASK_TYPE="SETUP"')
+          |             OR contains(rec, 'TASK_TYPE="CLEANUP"'))""".stripMargin
+      else ""
     s"""  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
        |    arg_max(${attr("TASKID")}, ord) AS task_id,
        |    arg_max(CAST(${attr("START_TIME")} AS BIGINT) // 1000, ord)
@@ -82,9 +97,19 @@ object JobHistoryOps {
        |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT) // 1000, ord)
        |      FILTER (${attr("START_TIME")} IS NULL
        |        AND ${attr("FINISH_TIME")} IS NOT NULL) AS end_u$extraCols
-       |  FROM ev WHERE event = '$event'
-       |    AND NOT (contains(rec, 'TASK_TYPE="SETUP"')
-       |             OR contains(rec, 'TASK_TYPE="CLEANUP"'))
+       |  FROM ev WHERE event = '$event'$typeFilter
+       |  GROUP BY 1""".stripMargin
+  }
+
+  /** Task-level LWW time table per TASK_TYPE (shared by the detail and
+    * summary oracles). */
+  private def taskTimesSql(taskType: String) =
+    s"""  SELECT ${attr("TASKID")} AS task_id,
+       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
+       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
+       |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
+       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="$taskType"')
        |  GROUP BY 1""".stripMargin
 
   private val finSql =
@@ -101,42 +126,32 @@ object JobHistoryOps {
        |  GROUP BY 1
        |)""".stripMargin
 
+  private def lastStr(key: String, alias: String): String = {
+    val (value, present) = strAttr(key)
+    s"""arg_max($value, ord) FILTER ($present) AS $alias"""
+  }
+
   private val summaryOracle: String =
     s"""$prelude, job AS (
        |  SELECT
-       |    arg_max(${attr("JOBID")}, ord)
-       |      FILTER (${attr("JOBID")} IS NOT NULL) AS job_id,
-       |    arg_max(${attr("JOBNAME")}, ord)
-       |      FILTER (${attr("JOBNAME")} IS NOT NULL) AS job_name,
-       |    arg_max(${attr("USER")}, ord)
-       |      FILTER (${attr("USER")} IS NOT NULL) AS "user",
-       |    arg_max(${attr("JOB_STATUS")}, ord)
-       |      FILTER (${attr("JOB_STATUS")} IS NOT NULL) AS job_status,
+       |    ${lastStr("JOBID", "job_id")},
+       |    ${lastStr("JOBNAME", "job_name")},
+       |    ${lastStr("USER", "\"user\"")},
+       |    ${lastStr("JOB_STATUS", "job_status")},
        |    (arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
        |       FILTER (${attr("FINISH_TIME")} IS NOT NULL) -
        |     arg_max(CAST(${attr("LAUNCH_TIME")} AS BIGINT), ord)
        |       FILTER (${attr("LAUNCH_TIME")} IS NOT NULL)) // 1000 AS total_time
        |  FROM ev WHERE event = 'Job'
        |), mt AS (
-       |  SELECT ${attr("TASKID")} AS task_id,
-       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
-       |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
-       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
-       |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
-       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="MAP"')
-       |  GROUP BY 1
+       |${taskTimesSql("MAP")}
        |), rt AS (
-       |  SELECT ${attr("TASKID")} AS task_id,
-       |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
-       |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
-       |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
-       |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
-       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="REDUCE"')
-       |  GROUP BY 1
+       |${taskTimesSql("REDUCE")}
        |), $finSql, shuf AS (
        |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
        |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT) // 1000, ord)
        |      FILTER (${attr("START_TIME")} IS NULL
+       |              AND ${attr("FINISH_TIME")} IS NOT NULL
        |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_u
        |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
        |), magg AS (
@@ -177,9 +192,11 @@ object JobHistoryOps {
       s""",
          |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT) // 1000, ord)
          |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("FINISH_TIME")} IS NOT NULL
          |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_u,
          |    arg_max(CAST(${attr("SORT_FINISHED")} AS BIGINT) // 1000, ord)
          |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("FINISH_TIME")} IS NOT NULL
          |              AND ${attr("SORT_FINISHED")} IS NOT NULL) AS sort_u""".stripMargin)}
        |), $finSql, iv AS (
        |  SELECT CASE WHEN fin.attempt_id IS NOT NULL THEN 'maps'
@@ -257,13 +274,7 @@ object JobHistoryOps {
          |FROM cc ORDER BY task_id, counter_group, counter_name""".stripMargin,
     "jh_map_details" ->
       s"""$prelude, mt AS (
-         |  SELECT ${attr("TASKID")} AS task_id,
-         |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
-         |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
-         |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
-         |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
-         |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="MAP"')
-         |  GROUP BY 1
+         |${taskTimesSql("MAP")}
          |), att AS (
          |  SELECT ${attr("TASKID")} AS task_id,
          |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
@@ -278,13 +289,7 @@ object JobHistoryOps {
          |FROM mt LEFT JOIN att USING (task_id) ORDER BY task_id""".stripMargin,
     "jh_reduce_details" ->
       s"""$prelude, rt AS (
-         |  SELECT ${attr("TASKID")} AS task_id,
-         |    arg_max(CAST(${attr("START_TIME")} AS BIGINT), ord)
-         |      FILTER (${attr("START_TIME")} IS NOT NULL) AS st,
-         |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
-         |      FILTER (${attr("FINISH_TIME")} IS NOT NULL) AS ft
-         |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="REDUCE"')
-         |  GROUP BY 1
+         |${taskTimesSql("REDUCE")}
          |), att AS (
          |  SELECT ${attr("TASKID")} AS task_id,
          |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
@@ -304,6 +309,7 @@ object JobHistoryOps {
          |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
          |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT), ord)
          |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("FINISH_TIME")} IS NOT NULL
          |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_ms
          |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
          |), amc AS (
@@ -340,6 +346,7 @@ object JobHistoryOps {
          |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
          |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT), ord)
          |      FILTER (${attr("START_TIME")} IS NULL
+         |              AND ${attr("FINISH_TIME")} IS NOT NULL
          |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_ms,
          |    arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
          |      FILTER (${attr("START_TIME")} IS NULL

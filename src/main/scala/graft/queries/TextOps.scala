@@ -112,15 +112,16 @@ object TextOps {
     * rounded score so both engines agree at the limit boundary. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val n = d.count() // corpus size: one scalar, computed once
+    val n = broadcast(d.agg(count(lit(1)).as("n"))) // corpus size, lazy
     val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df = tf's key count per term: no second tokenization/distinct pass
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
+      .crossJoin(n)
       .withColumn("score", round(col("tf") *
-        (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+        (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("score").desc, col("doc_id"), col("term"))
       .limit(20)

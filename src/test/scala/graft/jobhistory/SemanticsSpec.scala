@@ -112,6 +112,14 @@ class SemanticsSpec extends SparkSpec {
     assert(tl.values.forall(_.forall(_ === 0L)))
   }
 
+  test("inverted job bounds (finish < submit) yield an empty timeline, not a descending spine") {
+    val v = views(
+      """Job JOBID="j" SUBMIT_TIME="20000"""",
+      """Job JOBID="j" JOB_STATUS="SUCCESS" FINISH_TIME="10000"""")
+    assert(Reports.timeline(v).count() === 0L)
+    assert(Reports.timelineSweepLine(v).count() === 0L)
+  }
+
   test("A1: later Task records overwrite earlier attribute values") {
     val v = views(header ++ Seq(
       """Task TASKID="t1" TASK_TYPE="MAP" START_TIME="12000"""",
