@@ -189,6 +189,13 @@ final class JobHistoryViews(
       .select($"task_id", $"counter_group",
         explode($"inner").as(Seq("counter_name", "value")))
 
+  /** Diagnostics: records whose tail parsed to no attributes at all
+    * (framing glitches, truncated lines) — the engine carries them
+    * through silently like the reference; this view makes them
+    * inspectable. */
+  lazy val malformedRecords: DataFrame =
+    ev.filter(size($"attrs") === 0)
+
   lazy val reduceTasks: DataFrame =
     mergedTasks("REDUCE").join(attemptCounts(reduceAttemptEvents),
       Seq("task_id"), "full_outer")

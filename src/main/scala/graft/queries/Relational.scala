@@ -296,7 +296,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Range-frame window: per-user moving event count over a 10-minute
+    * time window (RANGE frame on the microsecond axis — q7's running
+    * sum covers ROWS frames; this is the value-based sibling). */
+  def q21RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val tenMinUs = 10L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-tenMinUs, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_in_window"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_range_frame" -> (q21RangeFrame _),
     "q20_percentiles" -> (q20Percentiles _),
     "q18_rollup" -> (q18Rollup _),
     "q19_sessionize" -> (q19Sessionize _),
@@ -319,6 +334,12 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q21_range_frame" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |   AS n_in_window
+        |FROM events ORDER BY event_id""".stripMargin,
     "q20_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

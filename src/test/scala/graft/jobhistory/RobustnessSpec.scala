@@ -31,6 +31,18 @@ class RobustnessSpec extends SparkSpec {
     assert(e2.getMessage.contains("--scale requires a number"))
   }
 
+  test("malformedRecords surfaces attribute-less records for inspection") {
+    val log = "garbage line with no attrs .\n" +
+      "Task TASKID=\"t1\" TASK_TYPE=\"MAP\" START_TIME=\"1000\" .\n"
+    val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, log))
+    val bad = v.malformedRecords.collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("event") === "garbage")
+    // clean fixtures have none
+    val pig = JobHistoryViews.fromFile(spark, Fixtures.pig)
+    assert(pig.malformedRecords.count() === 0L)
+  }
+
   test("empty input yields empty views, not exceptions") {
     val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, ""))
     assert(v.events.count() === 0L)
