@@ -153,10 +153,101 @@ object VectorOps {
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------- ANN (IVF)
+
+  /** v4: IVF-style ANN — coarse cells are the labels, each cell carries
+    * its centroid (per-dimension mean, rounded so both engines agree),
+    * a query routes to its nearest centroid by cosine and probes only
+    * that cell. The inverted-file layout at 100 TB: the corpus is
+    * partitioned by cell, a query touches one partition; centroids are
+    * a tiny broadcast table. Top-3 in-cell by exact cosine. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorDotProduct.register(s)
+    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("cx"))
+      .groupBy(col("label"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cvec"))
+      .withColumn("cnorm", expr(
+        "sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    // route: nearest centroid by (rounded) cosine, label as tie-break
+    val qcos =
+      "aggregate(zip_with(qv, cvec, (x, c) -> CAST(x AS DOUBLE) * c), 0D, (a, v) -> a + v)"
+    val routeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("label"))
+    val routed = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(expr(qcos) / (col("qn") * col("cnorm")), 6))
+      .withColumn("rc", row_number().over(routeW))
+      .filter(col("rc") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    // probe: exact cosine within the routed cell only
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    broadcast(routed).join(c, Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosCol, 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val annIvfOracle: String =
+    """WITH e AS (
+      | SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |dims AS (
+      | SELECT label, i - 1 AS pos,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cx
+      | FROM e, unnest(generate_series(1, len(embedding))) AS u(i)
+      | GROUP BY 1, 2),
+      |cent AS (
+      | SELECT label, array_agg(cx ORDER BY pos) AS cvec FROM dims GROUP BY 1),
+      |centn AS (
+      | SELECT label, cvec,
+      |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm
+      | FROM cent),
+      |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e
+      |  WHERE vec_id < 10),
+      |route AS (
+      | SELECT q_id, qv, qn, label,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY
+      |    round(list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(qv[i] AS DOUBLE) * cvec[i])) / (qn * cnorm), 6) DESC,
+      |    label) AS rc
+      | FROM q CROSS JOIN centn),
+      |routed AS (SELECT q_id, qv, qn, label FROM route WHERE rc = 1),
+      |sc AS (
+      | SELECT q_id, e.vec_id AS c_id,
+      |  round(list_sum(list_transform(range(1, len(qv) + 1),
+      |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |   (qn * e.nrm), 6) AS cos
+      | FROM routed JOIN e USING (label) WHERE q_id <> e.vec_id),
+      |r AS (
+      | SELECT q_id, c_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      | FROM sc)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
+      |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK _),
     "v2_label_norm_stats" -> (labelNormStats _),
-    "v3_ann_lsh" -> (annLsh _))
+    "v3_ann_lsh" -> (annLsh _),
+    "v4_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -192,5 +283,6 @@ object VectorOps {
         | round(min(norm), 6) AS min_norm,
         | round(max(norm), 6) AS max_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
-    "v3_ann_lsh" -> annLshOracle)
+    "v3_ann_lsh" -> annLshOracle,
+    "v4_ann_ivf" -> annIvfOracle)
 }
