@@ -16,11 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `-i -` reads stdin (S3). `-Dk=v` args are absorbed (P10).
   */
 object Cli {
-  def main(args: Array[String]): Unit = {
-    var input = "-"
-    var sep = ", "
-    var scale = 1000L
-    var report = "t"
+
+  private[jobhistory] case class Config(input: String = "-", sep: String = ", ",
+    scale: Long = 1000L, report: String = "t")
+
+  private[jobhistory] def parseArgs(args: Array[String]): Config = {
+    var cfg = Config()
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= args.length) sys.error(s"$flag requires a value")
@@ -28,21 +29,25 @@ object Cli {
     }
     while (i < args.length) {
       args(i) match {
-        case "-i" => input = value("-i")
-        case "-d" => sep = value("-d")
+        case "-i" => cfg = cfg.copy(input = value("-i"))
+        case "-d" => cfg = cfg.copy(sep = value("-d"))
         case "--scale" =>
           val v = value("--scale")
-          scale = try v.toLong catch {
+          cfg = cfg.copy(scale = try v.toLong catch {
             case _: NumberFormatException =>
               sys.error(s"--scale requires a number, got: $v")
-          }
+          })
         case "-s" | "-m" | "-r" | "-b" | "-t" =>
-          report = args(i).substring(1); i += 1
+          cfg = cfg.copy(report = args(i).substring(1)); i += 1
         case a if a.startsWith("-D") => i += 1 // P10: java-opts absorbed
         case a => sys.error(s"unknown argument: $a")
       }
     }
+    cfg
+  }
 
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args) // fail fast, before a session spins up
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("job-history")
@@ -51,7 +56,11 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg) finally spark.stop()
+  }
 
+  private[jobhistory] def run(spark: SparkSession, cfg: Config): Unit = {
+    val Config(input, sep, scale, report) = cfg
     val events =
       if (input == "-")
         JobHistoryReader.readString(spark, scala.io.Source.stdin.mkString)
@@ -64,12 +73,16 @@ object Cli {
         val r = Reports.summary(v).collect().head
         println("Job details: ")
         r.schema.fieldNames.foreach(f => println(s"    $f=${r.getAs[Any](f)}"))
-        println("Overview statistics")
-        println(s"    Total time: ${r.getAs[Long]("total_time")}")
-        println(s"    Average map task length: ${r.getAs[Double]("avg_map_time")}")
-        println(s"    All Maps complete in: ${r.getAs[Long]("all_maps_complete")}")
-        println(s"    Average shuffle task length: ${r.getAs[Double]("avg_shuffle_time")}")
-        println(s"    Average reduce task length: ${r.getAs[Double]("avg_reduce_time")}")
+        // reference parity (bin/job_history:384-386): a job that did not
+        // finish SUCCESS gets details only — no overview statistics
+        if (r.getAs[String]("job_status") == "SUCCESS") {
+          println("Overview statistics")
+          println(s"    Total time: ${r.getAs[Long]("total_time")}")
+          println(s"    Average map task length: ${r.getAs[Double]("avg_map_time")}")
+          println(s"    All Maps complete in: ${r.getAs[Long]("all_maps_complete")}")
+          println(s"    Average shuffle task length: ${r.getAs[Double]("avg_shuffle_time")}")
+          println(s"    Average reduce task length: ${r.getAs[Double]("avg_reduce_time")}")
+        }
       case "m" => printCsv(Reports.mapDetails(v), sep,
         Seq("taskid", "start-time", "end-time", "elapsed-time", "number-of-attempts"))
       case "r" => printCsv(Reports.reduceDetails(v), sep,
@@ -80,7 +93,6 @@ object Cli {
       case _ => printCsv(Reports.timeline(v), sep,
         Seq("time", "maps", "shuffle", "merge", "reduce", "waste"))
     }
-    spark.stop()
   }
 
   private def printCsv(df: DataFrame, sep: String, header: Seq[String]): Unit = {

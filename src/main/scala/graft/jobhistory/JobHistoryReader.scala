@@ -24,10 +24,15 @@ import org.apache.spark.sql.types._
   *    (`regexp_extract_all` + `transform` + `map_from_entries`) — no
   *    UDFs, so the whole parse stage stays inside whole-stage codegen.
   *  - `line_no` (the reference's implicit record order, which
-  *    last-write-wins merging depends on — SURVEY §7.4) comes from
-  *    `zipWithIndex` on the record RDD: deterministic file order, unlike
-  *    `monotonically_increasing_id` whose partition numbering is not
-  *    guaranteed to follow file offsets.
+  *    last-write-wins merging depends on — SURVEY §7.4) is the record's
+  *    *byte offset* within its file: the key a Hadoop text input split
+  *    already carries. Order-stable with zero extra passes — unlike
+  *    `zipWithIndex` (a second job to count partition sizes, i.e. a
+  *    second scan of the corpus) or `monotonically_increasing_id`
+  *    (partition numbering not guaranteed to follow file offsets).
+  *    `line_no` is an ordering key, not a dense index; all consumers
+  *    (`max_by` LWW merges) only need within-entity monotonicity, and
+  *    an entity's records always come from one log file.
   */
 object JobHistoryReader {
 
@@ -38,9 +43,22 @@ object JobHistoryReader {
     StructField("line_no", LongType, nullable = false),
     StructField("record", StringType, nullable = true)))
 
-  /** S1: local file / directory / glob scan. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    parse(withLineNo(spark, spark.read.option("lineSep", RecordSep).text(path)))
+  /** S1: local file / directory / glob scan. One pass: the Hadoop text
+    * reader splits on [[RecordSep]] and its `LongWritable` key is the
+    * record's byte offset — the deterministic `line_no` for free. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", RecordSep)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      // Text buffers are reused by the record reader: copy eagerly
+      .map { case (off, text) => Row(off.get(), text.toString) }
+    parse(spark.createDataFrame(rdd, rawSchema))
+  }
 
   /** S2: URL scan (the reference fetches `-i http://…` logs over the
     * network, bin/job_history:181-184). Driver-side fetch → the same
@@ -58,12 +76,6 @@ object JobHistoryReader {
     parse(recs.zipWithIndex
       .map { case (r, i) => (i.toLong, r) }
       .toDF("line_no", "record"))
-  }
-
-  /** Deterministic record order (file order) for last-write-wins. */
-  private def withLineNo(spark: SparkSession, df: DataFrame): DataFrame = {
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row(i, r.getString(0)) }
-    spark.createDataFrame(rdd, rawSchema)
   }
 
   /** Attr-map regex — reference parity: `([^=]+)="([^"]*)" *`

@@ -251,8 +251,21 @@ object Reports {
     * 0-based scaled spine. Canonical semantics (SURVEY §2.10): Groovy
     * CLI phases + inclusive upper ends, CGI's `Math.max(0, lo)` clamp;
     * final attempts drive the real-work series, non-final attempts are
-    * waste (J2/J3 as a left join on attempt_id). */
-  private[jobhistory] def intervals(v: JobHistoryViews): DataFrame = {
+    * waste (J2/J3 as a left join on attempt_id).
+    *
+    * Memoized + persisted per views object (same weak-key pattern as
+    * the per-session event cache): the sweep-line timeline references
+    * it twice (+1/-1 deltas) and `timeline`/`timelineSweepLine` share
+    * one classification pass instead of re-joining finals per caller.
+    * Attempt-cardinality rows — tiny relative to the raw log. */
+  private val intervalsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[JobHistoryViews, DataFrame]())
+
+  private[jobhistory] def intervals(v: JobHistoryViews): DataFrame =
+    intervalsMemo.computeIfAbsent(v, v2 => computeIntervals(v2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def computeIntervals(v: JobHistoryViews): DataFrame = {
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
     def rel(c: Column): Column = c - col("submit_u")
     def clamp0(c: Column): Column = greatest(lit(0L), c)

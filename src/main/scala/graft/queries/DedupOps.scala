@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -73,36 +74,41 @@ object DedupOps {
     }
 
   /** MinHash candidate pairs with estimated Jaccard over any (doc_id,
-    * text) set — the LSH core shared by t7 and the t10 pipeline. */
+    * text) set — the LSH core shared by t7 and the t10 pipeline.
+    *
+    * The signature DataFrame (shingle explode → distinct → 12-min
+    * groupBy) is the expensive subtree; it is persisted so the band
+    * self-join reads it from cache instead of re-running the whole
+    * shingle pipeline per branch. The full 12-hash signature rides
+    * through the band explode as one array column, so signature
+    * agreement is computed directly on the join output — no re-join
+    * back to the signatures. At corpus scale the cached signatures are
+    * 12 longs + id per doc: tiny relative to the corpus. */
   private def minhashPairsOf(d: DataFrame): DataFrame = {
     val sig = shinglesOf(d)
       .withColumn("h", expr(h32("shingle")))
       .groupBy(col("doc_id"))
       .agg(expr(minExprs("h").head),
         minExprs("h").tail.map(expr(_)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigArr = array((0 until NumHashes).map(k => col(s"mh$k")): _*)
     val bandStructs = (0 until NumBands).map { b =>
       val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
         .mkString("concat_ws(':', ", ", ", ")")
       expr(s"struct($b AS band, $key AS sig)")
     }
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), sigArr.as("sig_arr"),
       explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("sig_arr"), col("bs.band"), col("bs.sig"))
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(expr("aggregate(zip_with(a.sig_arr, b.sig_arr, " +
+          "(x, y) -> IF(x = y, 1, 0)), 0, (s, v) -> s + v)").cast("double")
+          / NumHashes, 6).as("est_jaccard"))
       .distinct()
-    val agree = (0 until NumHashes)
-      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("est_jaccard",
-        round(agree.cast("double") / NumHashes, 6))
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
@@ -128,11 +134,15 @@ object DedupOps {
           col("n_tokens").cast("double"), 6))
       .filter(col("n_tokens").between(15, 90) && col("uniq_ratio") >= 0.15)
       .select(col("doc_id"), col("text"))
+    // `deduped` feeds both the MinHash pipeline and the final
+    // anti-join; persisted so the quality filter + digest groupBy run
+    // once (survivor ids + text only — far smaller than the corpus).
     val deduped = quality
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nearDupLosers = minhashPairsOf(deduped)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_b").as("doc_id"))

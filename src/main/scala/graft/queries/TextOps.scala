@@ -13,10 +13,14 @@ import graft.Tables
   *
   * Scale notes: token/quality/fingerprint ops are embarrassingly
   * parallel map-only scans. Exact dedup is one hash-shuffle on a
-  * 16-byte digest. The n-gram Jaccard join shuffles on the shingle —
-  * at 100 TB you'd pre-filter shingles by document frequency (drop
-  * stop-shingles) before the self-join; here df-filtering is already
-  * modeled by the distinct() on (doc, shingle).
+  * 16-byte digest. The n-gram Jaccard join shuffles on the shingle,
+  * and candidate rows grow quadratically in any one shingle's
+  * document frequency — so shingles with df > [[TextOps.MaxShingleDf]]
+  * (stop-shingles: boilerplate that appears everywhere and carries no
+  * dedup signal) are dropped *before* the self-join, bounding each
+  * shingle's contribution to ≤ MaxShingleDf² candidate rows. The
+  * DuckDB oracle applies the identical filter, so the gate stays
+  * exact.
   */
 object TextOps {
 
@@ -82,12 +86,36 @@ object TextOps {
         countDistinct(col("fp")).as("n_unique"))
       .orderBy(col("source"))
 
+  /** Stop-shingle cutoff: a shingle in more than this many documents is
+    * corpus boilerplate, not a duplication signal. One hot shingle in d
+    * documents otherwise produces d²/2 candidate rows in the self-join
+    * — the classic quadratic blow-up at corpus scale. */
+  private[queries] val MaxShingleDf = 100L
+
+  /** Distinct (doc, shingle) pairs with the stop-shingle df filter
+    * applied: one window count over the shingle (the same shuffle key
+    * the self-join needs anyway), high-df shingles dropped. */
+  private[queries] def rareShinglesOf(d: DataFrame,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    DedupOps.shinglesOf(d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("shingle"))
+
   /** N-gram (3-word shingle) Jaccard near-duplicate pairs: shingle →
-    * inverted-index self-join → |∩|/|∪|. Top-20 by similarity.
+    * df stop-shingle filter → inverted-index self-join → |∩|/|∪| over
+    * the surviving (rare) shingles. Top-20 by similarity.
     * The same dataflow as MinHash-LSH candidate generation, with exact
-    * Jaccard instead of the sketch. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.shinglesOf(docs(s, dir))
+    * Jaccard instead of the sketch. The filtered shingle set feeds the
+    * size aggregate and both join sides, so it is persisted (one
+    * shingling pass per run). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(docs(s, dir))
+
+  private[queries] def ngramJaccardOf(d: DataFrame,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val sh = rareShinglesOf(d, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -183,11 +211,17 @@ object TextOps {
         | count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t6_ngram_jaccard" ->
-      """WITH w AS (
-        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (
+      s"""WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
         | SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
         | FROM w, unnest(generate_series(1, len(words) - 2)) AS u(i)),
+        |sh AS (
+        | SELECT doc_id, shingle FROM (
+        |  SELECT doc_id, shingle,
+        |   count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+        | WHERE df <= $MaxShingleDf),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -160,8 +160,19 @@ object VectorOps {
     * a query routes to its nearest centroid by cosine and probes only
     * that cell. The inverted-file layout at 100 TB: the corpus is
     * partitioned by cell, a query touches one partition; centroids are
-    * a tiny broadcast table. Top-3 in-cell by exact cosine. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    * a tiny broadcast table. Top-3 in-cell by exact cosine.
+    * The gate query uses nprobe=1 (matching the oracle); see
+    * [[annIvfProbes]] for the recall dial. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfProbes(s, dir, nprobe = 1)
+
+  /** Multi-probe IVF: a query routes to its `nprobe` nearest centroids
+    * and the top-k ranks across all probed cells. nprobe bounds the
+    * recall loss of a query sitting on a cell boundary — the standard
+    * IVF recall/latency dial (probing all cells ≡ brute force). Cells
+    * stay disjoint, so widening the probe multiplies the scanned
+    * fraction of the corpus by nprobe/num_cells, never the whole. */
+  def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorDotProduct.register(s)
     val e = emb(s, dir).withColumn("nrm", expr(normExpr))
@@ -178,7 +189,7 @@ object VectorOps {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
-    // route: nearest centroid by (rounded) cosine, label as tie-break
+    // route: nprobe nearest centroids by (rounded) cosine, label tie-break
     val qcos =
       "aggregate(zip_with(qv, cvec, (x, c) -> CAST(x AS DOUBLE) * c), 0D, (a, v) -> a + v)"
     val routeW = Window.partitionBy(col("q_id"))
@@ -186,7 +197,7 @@ object VectorOps {
     val routed = broadcast(q).crossJoin(broadcast(cent))
       .withColumn("cos_c", round(expr(qcos) / (col("qn") * col("cnorm")), 6))
       .withColumn("rc", row_number().over(routeW))
-      .filter(col("rc") === 1)
+      .filter(col("rc") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("label"))
     // probe: exact cosine within the routed cell only
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),

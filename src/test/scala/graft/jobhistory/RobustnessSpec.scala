@@ -31,6 +31,31 @@ class RobustnessSpec extends SparkSpec {
     assert(e2.getMessage.contains("--scale requires a number"))
   }
 
+  test("CLI -s parity: non-SUCCESS job prints details only, no overview (bin/job_history:384-386)") {
+    val log =
+      "Job JOBID=\"job_1_0001\" JOBNAME=\"x\" USER=\"u\" SUBMIT_TIME=\"900\" " +
+        "LAUNCH_TIME=\"1000\" FINISH_TIME=\"5000\" JOB_STATUS=\"FAILED\" .\n" +
+      "Task TASKID=\"task_1_0001_m_000000\" TASK_TYPE=\"MAP\" " +
+        "START_TIME=\"1000\" FINISH_TIME=\"2000\" .\n"
+    val f = java.nio.file.Files.createTempFile("failedjob", ".txt")
+    java.nio.file.Files.writeString(f, log)
+    def capture(cfg: Cli.Config): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Cli.run(spark, cfg)
+      }
+      out.toString("UTF-8")
+    }
+    val failed = capture(Cli.Config(input = f.toString, report = "s"))
+    assert(failed.contains("Job details:"))
+    assert(failed.contains("JOB_STATUS") || failed.contains("job_status"))
+    assert(!failed.contains("Overview statistics"))
+    // a SUCCESS job still gets the full overview
+    val ok = capture(Cli.Config(input = Fixtures.pig, report = "s"))
+    assert(ok.contains("Overview statistics"))
+    java.nio.file.Files.delete(f)
+  }
+
   test("malformedRecords surfaces attribute-less records for inspection") {
     val log = "garbage line with no attrs .\n" +
       "Task TASKID=\"t1\" TASK_TYPE=\"MAP\" START_TIME=\"1000\" .\n"

@@ -31,8 +31,13 @@ class RelationalSpec extends SparkSpec {
     val viaFile = graft.jobhistory.JobHistoryReader.read(spark,
       graft.jobhistory.Fixtures.pig)
     assert(viaUrl.count() === viaFile.count())
-    assert(viaUrl.orderBy("line_no").collect().map(_.toSeq).toSeq ===
-      viaFile.orderBy("line_no").collect().map(_.toSeq).toSeq)
+    // line_no is an ordering key, not a dense index (byte offsets on
+    // the file path, sequence on the in-memory path): compare parsed
+    // content in record order, not the key values
+    assert(viaUrl.orderBy("line_no").drop("line_no")
+      .collect().map(_.toSeq).toSeq ===
+      viaFile.orderBy("line_no").drop("line_no")
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("CSV sink (S5): delimited write round-trips the map details report") {

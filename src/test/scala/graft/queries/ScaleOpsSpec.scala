@@ -50,6 +50,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaBlocks === brute)
   }
 
+  test("t6 stop-shingle df filter: a hot shingle stops generating quadratic candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 40 docs share a boilerplate prefix (3 hot shingles, df=40 each);
+    // the rest of every doc is unique (df=1 shingles)
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"common boiler plate phrase u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    def candidates(sh: DataFrame): Long = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    val unfiltered = candidates(DedupOps.shinglesOf(docs))
+    val filtered = candidates(TextOps.rareShinglesOf(docs, maxDf = 5))
+    // 2 boilerplate-only shingles x 40·39/2 pairs each, plus the
+    // doc-unique tail — the df filter removes all of the quadratic part
+    assert(unfiltered >= 2L * (40L * 39 / 2))
+    assert(filtered === 0L)
+    // end-to-end: t6 on the hot corpus emits no boilerplate-only pairs
+    assert(TextOps.ngramJaccardOf(docs, maxDf = 5).count() === 0L)
+  }
+
+  test("v4 IVF multi-probe: recall@3 vs brute force is monotone in nprobe, ~1.0 at full probe") {
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val brute = top3(VectorOps.cosineTopK(spark, dir)
+      .filter(col("rnk") <= 3).collect())
+    def recall(np: Int): Double = {
+      val got = top3(VectorOps.annIvfProbes(spark, dir, np).collect())
+      val hits = brute.toSeq
+        .map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val nCells = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label").distinct().count().toInt
+    val r1 = recall(1)
+    val r3 = recall(3)
+    val rAll = recall(nCells)
+    assert(r3 >= r1, s"recall@3 must not drop when widening: $r1 -> $r3")
+    // probing every cell is brute force (rounded-cos ties aside)
+    assert(rAll >= 0.9, s"full probe recall was $rAll")
+  }
+
   test("t9: near-dup pairs are valid cosines within one label block") {
     val rows = DedupOps.embeddingNearDup(spark, dir).collect()
     assert(rows.length === 20)
