@@ -1,0 +1,142 @@
+package graft.jobhistory
+
+import java.awt.image.BufferedImage
+import java.awt.{BasicStroke, Color, Font, Graphics2D, RenderingHints}
+import java.io.OutputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** S6: the PNG chart sink — renders the timeline DataFrame as the
+  * reference CGI's stacked chart (job_history.cgi:344-390: JFreeChart
+  * stacked bar, 1200x800, five series). Rendered here with plain
+  * `java.awt` so the engine carries no charting dependency.
+  *
+  * Series colors are the reference's exact legend paints
+  * (job_history.cgi:359-363): Map #2222FF, Shuffle #22FF22,
+  * Sort/"merge" #FF2222, Reduce #FFFF22, Waste #000000; chart
+  * background #F9E7EC (job_history.cgi:372).
+  *
+  * This is presentation, not a distributed operator: the timeline DF is
+  * collected to the driver (one row per scaled time unit — bounded by
+  * the scale parameter, exactly as the reference's in-memory series
+  * arrays are). When the spine is wider than the plot, adjacent time
+  * units share a pixel column and the column shows their max — the same
+  * visual downsampling a 1200px JFreeChart bar plot performs.
+  */
+object ChartSink {
+
+  val Width = 1200
+  val Height = 800
+
+  private val seriesColors: Seq[(String, Color)] = Seq(
+    "maps" -> new Color(0x22, 0x22, 0xFF),
+    "shuffle" -> new Color(0x22, 0xFF, 0x22),
+    "merge" -> new Color(0xFF, 0x22, 0x22),
+    "reduce" -> new Color(0xFF, 0xFF, 0x22),
+    "waste" -> new Color(0x00, 0x00, 0x00))
+
+  private val background = new Color(249, 231, 236)
+  private val plotBackground = Color.WHITE
+
+  // legend labels as the reference names them (job_history.cgi:359-363)
+  private val legendNames =
+    Map("maps" -> "Map", "shuffle" -> "Shuffle", "merge" -> "Sort",
+      "reduce" -> "Reduce", "waste" -> "Waste")
+
+  /** Render a timeline DataFrame (`time, maps, shuffle, merge, reduce,
+    * waste` — [[Reports.timeline]]'s shape) to a PNG file. */
+  def writePng(timeline: DataFrame, path: String, title: String = "",
+      width: Int = Width, height: Int = Height): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    try writePng(timeline, out, title, width, height) finally out.close()
+  }
+
+  /** Render to an arbitrary stream — the CGI surface (HTTP response
+    * OutputStream, job_history.cgi:387). */
+  def writePng(timeline: DataFrame, out: OutputStream, title: String,
+      width: Int, height: Int): Unit = {
+    val rows = timeline.collect()
+    val series = seriesColors.map { case (name, _) =>
+      rows.map(r => r.getAs[Long](name))
+    }
+    javax.imageio.ImageIO.write(render(series, title, width, height), "png", out)
+  }
+
+  /** Pure rendering core (testable without Spark): one array per series,
+    * index = time unit. */
+  private[jobhistory] def render(series: Seq[Array[Long]], title: String,
+      width: Int, height: Int): BufferedImage = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      // crisp 1px columns: no antialiasing, so the golden spec can
+      // assert exact series colors
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+        RenderingHints.VALUE_ANTIALIAS_OFF)
+      g.setColor(background)
+      g.fillRect(0, 0, width, height)
+
+      val (left, right, top, bottom) = (60, 20, 40, 60)
+      val plotW = width - left - right
+      val plotH = height - top - bottom
+      g.setColor(plotBackground)
+      g.fillRect(left, top, plotW, plotH)
+
+      val n = series.headOption.map(_.length).getOrElse(0)
+      val maxTotal = math.max(1L,
+        (0 until n).map(t => series.map(_(t)).sum).foldLeft(0L)(math.max))
+
+      if (n > 0) {
+        // column-max downsampling when n > plotW; bar-widening when
+        // n < plotW (stacked-bar look)
+        var px = 0
+        while (px < plotW) {
+          val lo = (px.toLong * n / plotW).toInt
+          val hi = math.max(lo, ((px + 1).toLong * n / plotW).toInt - 1)
+          // the time unit with the tallest stack owns this pixel column
+          val t = (lo to hi).maxBy(u => series.map(_(u)).sum)
+          var yTop = top + plotH
+          series.zip(seriesColors).foreach { case (s, (_, color)) =>
+            val h = (s(t) * plotH.toLong / maxTotal).toInt
+            if (h > 0) {
+              g.setColor(color)
+              g.fillRect(left + px, yTop - h, 1, h)
+              yTop -= h
+            }
+          }
+          px += 1
+        }
+      }
+
+      // axes
+      g.setColor(Color.DARK_GRAY)
+      g.setStroke(new BasicStroke(1f))
+      g.drawRect(left, top, plotW, plotH)
+      g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 12))
+      g.drawString("time", left + plotW / 2 - 12, height - 24)
+      g.drawString("number of instances", 8, top - 8)
+      g.drawString(s"0", left - 14, top + plotH + 4)
+      g.drawString(maxTotal.toString, left - 14 - 7 * (maxTotal.toString.length - 1), top + 10)
+      if (n > 0) g.drawString((n - 1).toString, left + plotW - 10, top + plotH + 16)
+      if (title.nonEmpty) g.drawString(title, left, 20)
+
+      drawLegend(g, left, height - 40)
+      img
+    } finally g.dispose()
+  }
+
+  private def drawLegend(g: Graphics2D, x0: Int, y: Int): Unit = {
+    var x = x0
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 12))
+    seriesColors.foreach { case (name, color) =>
+      g.setColor(color)
+      g.fillRect(x, y, 12, 12)
+      g.setColor(Color.DARK_GRAY)
+      g.drawRect(x, y, 12, 12)
+      val label = legendNames(name)
+      g.drawString(label, x + 16, y + 11)
+      x += 16 + 8 * label.length + 24
+    }
+  }
+}

@@ -10,6 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `-s` summary, `-m` map details, `-r` reduce details, `-b` the
   * python-surface bytes report, `-t`/default the concurrency timeline.
+  * `-png <path>` additionally renders the timeline as the reference
+  * CGI's stacked chart (S6, job_history.cgi:344-390).
   * Reports print CSV-style with the `-d` delimiter (default ", ").
   * `--scale` defaults to 1000 (seconds — the golden-output scale);
   * the reference CLI's 1000000 and the CGI's 100 are both reachable.
@@ -18,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Cli {
 
   private[jobhistory] case class Config(input: String = "-", sep: String = ", ",
-    scale: Long = 1000L, report: String = "t")
+    scale: Long = 1000L, report: String = "t", png: Option[String] = None)
 
   private[jobhistory] def parseArgs(args: Array[String]): Config = {
     var cfg = Config()
@@ -37,6 +39,7 @@ object Cli {
             case _: NumberFormatException =>
               sys.error(s"--scale requires a number, got: $v")
           })
+        case "-png" => cfg = cfg.copy(png = Some(value("-png")))
         case "-s" | "-m" | "-r" | "-b" | "-t" =>
           cfg = cfg.copy(report = args(i).substring(1)); i += 1
         case a if a.startsWith("-D") => i += 1 // P10: java-opts absorbed
@@ -60,7 +63,7 @@ object Cli {
   }
 
   private[jobhistory] def run(spark: SparkSession, cfg: Config): Unit = {
-    val Config(input, sep, scale, report) = cfg
+    val Config(input, sep, scale, report, _) = cfg
     val events =
       if (input == "-")
         JobHistoryReader.readString(spark, scala.io.Source.stdin.mkString)
@@ -90,8 +93,13 @@ object Cli {
           "end-time", "elapsed-time", "number-of-attempts"))
       case "b" => printCsv(Reports.bytesReport(v), sep,
         Seq("Name", "reduce-output-bytes", "shuffle-finish", "reduce-finish"))
-      case _ => printCsv(Reports.timeline(v), sep,
-        Seq("time", "maps", "shuffle", "merge", "reduce", "waste"))
+      case _ =>
+        val tl = Reports.timeline(v)
+        cfg.png match {
+          case Some(path) => ChartSink.writePng(tl, path, title = input)
+          case None => printCsv(tl, sep,
+            Seq("time", "maps", "shuffle", "merge", "reduce", "waste"))
+        }
     }
   }
 

@@ -1,0 +1,61 @@
+package graft.jobhistory
+
+import java.awt.Color
+import java.nio.file.Files
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+
+/** S6 PNG chart sink: reference-CGI parity (1200x800, five stacked
+  * series in the CGI's exact paints — job_history.cgi:344-390). */
+class ChartSpec extends SparkSpec {
+
+  private val blue = new Color(0x22, 0x22, 0xFF).getRGB
+  private val green = new Color(0x22, 0xFF, 0x22).getRGB
+  private val red = new Color(0xFF, 0x22, 0x22).getRGB
+  private val yellow = new Color(0xFF, 0xFF, 0x22).getRGB
+  private val black = new Color(0, 0, 0).getRGB
+  private val bg = new Color(249, 231, 236).getRGB
+
+  test("stacked series render bottom-up in the reference's colors") {
+    // one time unit, stack = maps 2 / shuffle 1 / merge 1 / reduce 1 /
+    // waste 1 (maxTotal 6, plotH 700 => bands of 233/116 px)
+    val img = ChartSink.render(
+      Seq(Array(2L), Array(1L), Array(1L), Array(1L), Array(1L)),
+      "t", 1200, 800)
+    assert(img.getWidth === 1200 && img.getHeight === 800)
+    assert(img.getRGB(5, 5) === bg)
+    val x = 60 + 10 // inside the plot
+    assert(img.getRGB(x, 600) === blue, "maps band")
+    assert(img.getRGB(x, 450) === green, "shuffle band")
+    assert(img.getRGB(x, 330) === red, "merge band")
+    assert(img.getRGB(x, 200) === yellow, "reduce band")
+    assert(img.getRGB(x, 100) === black, "waste band")
+    assert(img.getRGB(x, 41) === Color.WHITE.getRGB, "above the stack")
+  }
+
+  test("empty timeline still renders a valid chart") {
+    val img = ChartSink.render(Seq.fill(5)(Array.empty[Long]), "", 1200, 800)
+    assert(img.getWidth === 1200 && img.getHeight === 800)
+  }
+
+  test("CLI -png writes the reference-sized chart for the Pig fixture") {
+    val out = Files.createTempFile("graft-chart", ".png")
+    try {
+      Cli.run(spark, Cli.Config(input = Fixtures.pig, png = Some(out.toString)))
+      val img = ImageIO.read(out.toFile)
+      assert(img != null, "valid PNG")
+      assert(img.getWidth === 1200 && img.getHeight === 800)
+      val pixels = for {
+        x <- 60 until (1200 - 20)
+        y <- 40 until (800 - 60)
+      } yield img.getRGB(x, y)
+      val present = pixels.toSet
+      // the Pig job has long map and reduce phases and 127 failed map
+      // attempts: real-work and waste series must both be visible
+      assert(present.contains(blue), "maps series rendered")
+      assert(present.contains(black), "waste series rendered")
+    } finally Files.deleteIfExists(out)
+  }
+}

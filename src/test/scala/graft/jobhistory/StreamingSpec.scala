@@ -141,6 +141,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classification: incremental emission + supersession retraction") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.timelineStream(events).writeStream
+      .format("memory").queryName("tlsynth").outputMode("complete").start()
+    try {
+      def table(): Map[(Long, String), Long] = spark.table("tlsynth").collect()
+        .map(r => (r.getAs[Long]("time"), r.getAs[String]("phase")) ->
+          r.getAs[Long]("count"))
+        .filter(_._2 > 0).toMap
+
+      // batch 1: job bounds land first (submit 10s, finish 100s)
+      input.addData(Seq(
+        (0L, """Job JOBID="job_1111_0001" SUBMIT_TIME="10000""""),
+        (1L, """Job JOBID="job_1111_0001" JOB_STATUS="SUCCESS" FINISH_TIME="100000"""")))
+      q.processAllAvailable()
+      assert(table().isEmpty, "no attempts yet")
+
+      // batch 2: attempt a1 runs [20s, 30s] and succeeds -> final
+      input.addData(Seq(
+        (2L, """MapAttempt TASK_TYPE="MAP" TASKID="task_1111_0001_m_000001" TASK_ATTEMPT_ID="a1" START_TIME="20000""""),
+        (3L, """MapAttempt TASK_TYPE="MAP" TASKID="task_1111_0001_m_000001" TASK_ATTEMPT_ID="a1" TASK_STATUS="SUCCESS" FINISH_TIME="30000"""")))
+      q.processAllAvailable()
+      val mid = table()
+      assert((10L to 20L).forall(t => mid.get((t, "maps")).contains(1L)),
+        "a1 counts as real map work once final")
+      assert(!mid.exists(_._1._2 == "waste"), "no waste yet")
+
+      // batch 3: a2 [25s, 35s] succeeds later -> supersedes a1, which
+      // is retracted from maps and re-emitted as waste
+      input.addData(Seq(
+        (4L, """MapAttempt TASK_TYPE="MAP" TASKID="task_1111_0001_m_000001" TASK_ATTEMPT_ID="a2" START_TIME="25000""""),
+        (5L, """MapAttempt TASK_TYPE="MAP" TASKID="task_1111_0001_m_000001" TASK_ATTEMPT_ID="a2" TASK_STATUS="SUCCESS" FINISH_TIME="35000"""")))
+      q.processAllAvailable()
+      val end = table()
+      assert((15L to 25L).forall(t => end.get((t, "maps")).contains(1L)),
+        "a2 is the final attempt")
+      assert((10L to 14L).forall(t => !end.contains((t, "maps"))),
+        "a1's maps slots retracted")
+      assert((10L to 20L).forall(t => end.get((t, "waste")).contains(1L)),
+        "a1 demoted to waste")
+    } finally q.stop()
+  }
+
+  test("end-to-end streaming timeline equals the batch timeline (Pig fixture)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // scale 10000 keeps the slot volume test-sized; semantics identical
+    val scale = 10000L
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.timelineStream(events, scale).writeStream
+      .format("memory").queryName("tlpig").outputMode("complete").start()
+    try {
+      fixtureRecords.grouped(1000).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("tlpig").collect()
+        .map(r => (r.getAs[Long]("time"), r.getAs[String]("phase")) ->
+          r.getAs[Long]("count"))
+        .filter(_._2 > 0).toMap
+      val want = Reports.timeline(
+        JobHistoryViews.fromFile(spark, Fixtures.pig, scale)).collect()
+        .flatMap { r =>
+          Seq("maps", "shuffle", "merge", "reduce", "waste").flatMap { p =>
+            val c = r.getAs[Long](p)
+            if (c > 0) Some((r.getAs[Long]("time"), p) -> c) else None
+          }
+        }.toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming slot counts equal the batch timeline maps series") {
     val spark2 = spark
     import spark2.implicits._
