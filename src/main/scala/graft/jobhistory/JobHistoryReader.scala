@@ -125,13 +125,18 @@ object JobHistoryReader {
     // *values* skip the s-pass, so this one carries `\\[` per level.
     val counterRe = """\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]"""
     // last-wins duplicate-key dedup at both nesting levels, mirroring
-    // the reference's `counters[match[2]] = v` overwrite (and keeping
-    // map_from_entries safe under the default EXCEPTION policy) —
-    // display names are not guaranteed unique
-    def dedup(entries: String): String =
-      s"""filter($entries,
-         |  (e, i) -> !exists(slice($entries, i + 2, size($entries) - i - 1),
-         |    x -> x.key = e.key))""".stripMargin
+    // the reference's `counters[match[2]] = v` overwrite (display names
+    // are not guaranteed unique). Built as a left fold that overwrites
+    // re-seen keys: the entry array is referenced exactly ONCE, so the
+    // regex extraction runs once per string — a filter+exists(slice(…))
+    // formulation would re-run the whole extraction per element
+    // (O(n²) regex scans; measured 3-5 s/query on the fixture).
+    def dedup(entries: String, valueType: String): String =
+      s"""aggregate($entries,
+         |  cast(map() as map<string,$valueType>),
+         |  (acc, e) -> map_concat(
+         |    map_filter(acc, (k, v) -> k != e.key),
+         |    map(e.key, e.value)))""".stripMargin
     val counterEntries =
       s"""transform(
          |  regexp_extract_all(g, '$counterRe', 0),
@@ -143,7 +148,7 @@ object JobHistoryReader {
          |  regexp_extract_all($c, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)([^}]+)\\\\}', 0),
          |  g -> struct(
          |    regexp_extract(g, '\\\\{\\\\(([^)]+)\\\\)\\\\(([^)]+)\\\\)', 2) AS key,
-         |    map_from_entries(${dedup(counterEntries)}) AS value))""".stripMargin
-    expr(s"map_from_entries(${dedup(groupEntries)})")
+         |    ${dedup(counterEntries, "bigint")} AS value))""".stripMargin
+    expr(dedup(groupEntries, "map<string,bigint>"))
   }
 }

@@ -158,13 +158,15 @@ object DedupOps {
     * same here and breaks at corpus scale — vocabulary grows with the
     * corpus, so the "small" side wouldn't stay broadcastable.) */
   private[queries] def simhashFingerprints(d: DataFrame): DataFrame = {
+    // hash materialized once per token occurrence — embedding h32(tok)
+    // in each conditional sum would run the md5 32x per token
     val bitSums = (0 until 32).map(b =>
-      sum(expr(s"CASE WHEN (${h32("tok")} >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
-        .as(s"s$b"))
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val fpExpr = (0 until 32)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", expr(h32("tok")))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(fpExpr).as("fp"))
