@@ -85,17 +85,102 @@ object MultimodalOps {
     out.orderBy(col("doc_id"))
   }
 
+  /** m3: batched "resize" — 2x2 average-pool of the 8x8 byte grid down
+    * to 4x4 (the deterministic stand-in for an image resize kernel),
+    * long format: one row per output pixel. Same batched mapPartitions
+    * shape as m2 (an opaque image library call in production); map-only,
+    * no shuffle, and — unlike m2 — integer/byte arithmetic, so the gate
+    * holds an exact DuckDB oracle over the hex encoding. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap {
+        case (id, p) =>
+          def b(i: Int): Long = (p(i) & 0xff).toLong
+          for (y <- 0 until 4; x <- 0 until 4) yield {
+            val (r, c) = (2 * y, 2 * x)
+            val v = (b(r * 8 + c) + b(r * 8 + c + 1) +
+              b((r + 1) * 8 + c) + b((r + 1) * 8 + c + 1)) / 4
+            (id, x.toLong, y.toLong, v)
+          }
+      }))
+      .toDF("doc_id", "x", "y", "v")
+      .orderBy(col("doc_id"), col("y"), col("x"))
+  }
+
+  private[queries] val FrameBytes = 4
+  private[queries] val FrameStride = 4
+
+  /** m4: temporal frame sampling — the payload read as a 16-frame
+    * "video" (4 bytes/frame), keeping every 4th frame; one output row
+    * per sampled frame with a per-frame digest. The one→many batched
+    * UDF shape of a video pipeline (decode container → sample frames →
+    * per-frame features) with a deterministic fake decode; map-only. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, p) =>
+          (0 until p.length / FrameBytes by FrameStride).map { f =>
+            val frame = p.slice(f * FrameBytes, (f + 1) * FrameBytes)
+            // digest over the hex encoding (DuckDB md5 takes VARCHAR)
+            val hex = frame.map("%02x".format(_)).mkString
+            val digest = md.digest(hex.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, f.toLong, frame.map(b => (b & 0xff).toLong).sum, digest)
+          }
+        })
+      }
+      .toDF("doc_id", "frame_idx", "frame_sum", "frame_md5")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_schema" -> (mediaSchema _),
-    "m2_media_features" -> (mediaFeatures _))
+    "m2_media_features" -> (mediaFeatures _),
+    "m3_media_resize" -> (mediaResize _),
+    "m4_frame_sample" -> (frameSample _))
 
   /** m2 is not SQL-expressible (JVM decode stub) → rows-only gate +
-    * MultimodalSpec's exact-value assertions. */
+    * ScaleOpsSpec's exact-value assertions. m3/m4 are byte-exact in SQL
+    * over the payload's hex encoding (byte i = hex chars 2i+1..2i+2),
+    * so they carry full oracles. */
   val oracle: Map[String, String] = Map(
     "m1_media_schema" ->
       s"""SELECT doc_id, 'image' AS media_type, 8 AS width, 8 AS height,
          | CAST(octet_length(unhex(repeat(md5(text), $PayloadRepeats))) AS BIGINT)
          |   AS n_bytes,
          | md5(lower(hex(unhex(repeat(md5(text), $PayloadRepeats))))) AS payload_md5
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_media_resize" -> {
+      def b(i: String) = s"('0x' || substr(hx, ($i) * 2 + 1, 2))::BIGINT"
+      s"""WITH h AS (
+         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+         |px AS (
+         | SELECT doc_id, hx, x, y
+         | FROM h, generate_series(0, 3) AS gx(x), generate_series(0, 3) AS gy(y))
+         |SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         | CAST((${b("2*y*8 + 2*x")} + ${b("2*y*8 + 2*x + 1")} +
+         |       ${b("(2*y+1)*8 + 2*x")} + ${b("(2*y+1)*8 + 2*x + 1")}) // 4
+         |   AS BIGINT) AS v
+         |FROM px ORDER BY doc_id, y, x""".stripMargin
+    },
+    "m4_frame_sample" -> {
+      def b(i: String) = s"('0x' || substr(hx, ($i) * 2 + 1, 2))::BIGINT"
+      s"""WITH h AS (
+         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+         |f AS (
+         | SELECT doc_id, hx, fi FROM h, unnest([0, 4, 8, 12]) AS u(fi))
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         | CAST((${b(s"fi * $FrameBytes")} + ${b(s"fi * $FrameBytes + 1")} +
+         |       ${b(s"fi * $FrameBytes + 2")} + ${b(s"fi * $FrameBytes + 3")})
+         |   AS BIGINT) AS frame_sum,
+         | md5(substr(hx, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS frame_md5
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    })
 }

@@ -131,6 +131,41 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("m3/m4: pooled pixels and sampled frames match an independent computation") {
+    val resized = MultimodalOps.mediaResize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        r.getAs[Long]("v")).toMap
+    val frames = MultimodalOps.frameSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("frame_sum"), r.getAs[String]("frame_md5"))).toMap
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(3).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { d =>
+      val id = d.getAs[Long]("doc_id")
+      val one = md.digest(d.getAs[String]("text").getBytes("UTF-8"))
+      val p = Array.fill(4)(one).flatten
+      def b(i: Int): Long = (p(i) & 0xff).toLong
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val want = (b(2 * y * 8 + 2 * x) + b(2 * y * 8 + 2 * x + 1) +
+          b((2 * y + 1) * 8 + 2 * x) + b((2 * y + 1) * 8 + 2 * x + 1)) / 4
+        assert(resized((id, x.toLong, y.toLong)) === want, s"pixel ($x,$y) of $id")
+      }
+      Seq(0, 4, 8, 12).foreach { f =>
+        val frame = p.slice(f * 4, f * 4 + 4)
+        val hex = frame.map("%02x".format(_)).mkString
+        val wantMd5 = md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(frames((id, f.toLong)) ===
+          ((frame.map(x => (x & 0xff).toLong).sum, wantMd5)), s"frame $f of $id")
+      }
+    }
+    // every doc contributes 16 pixels and 4 frames
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(resized.size === 16 * nDocs)
+    assert(frames.size === 4 * nDocs)
+  }
+
   test("m1 plan: payload column pruned when only metadata is projected") {
     val plan = MultimodalOps.mediaTable(spark, dir)
       .select("doc_id", "meta").queryExecution.executedPlan.toString
