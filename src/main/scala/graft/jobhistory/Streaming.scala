@@ -158,8 +158,23 @@ object Streaming {
       finals: Map[String, String],
       emitted: Map[String, (Long, Long)])
 
-  private[jobhistory] def jobIdOf(id: String): String =
-    id.replaceAll("^(?:task|attempt)_([0-9]+_[0-9]+).*", "job_$1")
+  private val TaskIdRe = "^(?:task|attempt)_([0-9]+_[0-9]+).*".r
+
+  /** State-group key for a record: the Hadoop id convention embeds the
+    * owning job in every task/attempt id (`task_<ts>_<seq>_m_000000` →
+    * `job_<ts>_<seq>`), which is what lets a fleet of interleaved logs
+    * stream per-job. Ids outside the convention (hand-written logs)
+    * can't be associated with their Job record, so they fall back to
+    * ONE global group — exactly the batch single-log semantics, where
+    * bounds are a global cross join. */
+  private[jobhistory] def jobKeyOf(r: Rec): String =
+    if (r.event == "Job")
+      r.attrs.get("JOBID").filter(_.matches("^job_[0-9]+_[0-9]+$")).getOrElse("")
+    else
+      r.attrs.getOrElse("TASKID", r.attrs.getOrElse("TASK_ATTEMPT_ID", "")) match {
+        case TaskIdRe(j) => s"job_$j"
+        case _ => ""
+      }
 
   /** The attempt→(phase, lo, hi) classification (T3 + J2/J3 + the CGI
     * clamp) as keyed streaming state, emitting signed deltas.
@@ -187,11 +202,7 @@ object Streaming {
       // P6: SETUP/CLEANUP map attempts never reach classification
       .filter(r => !(r.event == "MapAttempt" &&
         Set("SETUP", "CLEANUP").contains(r.attrs.getOrElse("TASK_TYPE", ""))))
-      .groupByKey { r =>
-        if (r.event == "Job") r.attrs.getOrElse("JOBID", "")
-        else jobIdOf(r.attrs.getOrElse("TASKID",
-          r.attrs.getOrElse("TASK_ATTEMPT_ID", "")))
-      }
+      .groupByKey(jobKeyOf)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Rec], state: GroupState[JobTimelineState]) =>
           val init = state.getOption.getOrElse(
@@ -306,5 +317,16 @@ object Streaming {
       .select(col("phase"), col("sign").cast("long").as("sign"),
         explode(sequence(col("lo"), col("hi"))).as("time"))
       .groupBy(col("time"), col("phase"))
+      .agg(sum(col("sign")).as("count"))
+
+  /** Fleet variant: the same pipeline keyed by job — [[intervalDeltas]]
+    * already groups state per job id, so a directory of interleaved job
+    * logs streams into per-job concurrency series in one query
+    * ([[Reports.timelinePerJob]]'s shape, live). */
+  def timelineStreamPerJob(events: Dataset[Rec], scale: Long = 1000L): DataFrame =
+    intervalDeltas(events, scale).toDF()
+      .select(col("job_id"), col("phase"), col("sign").cast("long").as("sign"),
+        explode(sequence(col("lo"), col("hi"))).as("time"))
+      .groupBy(col("job_id"), col("time"), col("phase"))
       .agg(sum(col("sign")).as("count"))
 }

@@ -36,6 +36,27 @@ object TextOps {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization split a byte-pair
+    * encoder runs before merges. Kept to a subset with identical
+    * semantics in Java regex and DuckDB's RE2. */
+  private[queries] val SubtokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** t12: subword-style token counting — whitespace tokens (t1) vs the
+    * BPE-ish regex split, plus their ratio (the "fertility" a tokenizer
+    * budget estimate needs). Map-only. */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(expr(s"regexp_extract_all(text, '$SubtokenRe', 0)"))
+          .cast("long").as("n_subtokens"))
+      .withColumn("fertility",
+        round(col("n_subtokens").cast("double") /
+          col("n_words").cast("double"), 6))
+      .orderBy(col("doc_id"))
+
   /** Exact dedup: keep the lowest doc_id per md5(text) digest.
     * One shuffle on the digest; survivors returned. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -162,7 +183,8 @@ object TextOps {
     "t3_lang_stopword" -> (langStopwordRatio _),
     "t4_quality_score" -> (qualityScore _),
     "t5_fingerprint_stats" -> (fingerprintStats _),
-    "t6_ngram_jaccard" -> (ngramJaccard _))
+    "t6_ngram_jaccard" -> (ngramJaccard _),
+    "t12_bpe_tokens" -> (bpeTokenCount _))
 
   val oracle: Map[String, String] = Map(
     "t11_tfidf_topterms" ->
@@ -182,6 +204,17 @@ object TextOps {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t12_bpe_tokens" ->
+      s"""WITH c AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '$SubtokenRe')) AS BIGINT)
+         |    AS n_subtokens
+         | FROM documents)
+         |SELECT doc_id, n_words, n_subtokens,
+         | round(CAST(n_subtokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |   AS fertility
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t2_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin,

@@ -119,6 +119,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("generated logs: streaming interval deltas sum to the batch timeline") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    var chunkSize = 2
+    forAll(genLog, samples = 4) { evs =>
+      chunkSize += 3 // vary the micro-batch split across samples
+      val records = evs.map(_.render).zipWithIndex
+        .map { case (r, i) => (i.toLong, r) }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val events = Streaming.parseRecords(
+        input.toDF().withColumnRenamed("_1", "line_no")
+          .withColumnRenamed("_2", "record"))
+      val name = s"tlprop$chunkSize"
+      val q = Streaming.timelineStream(events).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try {
+        records.grouped(chunkSize).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        }
+        val got = spark.table(name).collect()
+          .map(r => (r.getAs[Long]("time"), r.getAs[String]("phase")) ->
+            r.getAs[Long]("count"))
+          .filter(_._2 > 0).toMap
+        val v = new JobHistoryViews(spark,
+          JobHistoryReader.readString(spark, evs.map(_.render + " .\n").mkString))
+        val want = Reports.timeline(v).collect()
+          .flatMap { r =>
+            Seq("maps", "shuffle", "merge", "reduce", "waste").flatMap { p =>
+              val c = r.getAs[Long](p)
+              if (c > 0) Some((r.getAs[Long]("time"), p) -> c) else None
+            }
+          }.toMap
+        assert(got === want)
+      } finally q.stop()
+    }
+  }
+
   test("generated logs: timeline column sums equal interval slot totals") {
     forAll(genLog) { evs =>
       val log = evs.map(_.render + " .\n").mkString

@@ -224,6 +224,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fleet: interleaved logs stream into correct per-job timelines") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val scale = 10000L
+    def recordsOf(path: String): Seq[(Long, String)] = {
+      val text = Files.readString(Paths.get(path))
+      text.split(" \\.\n", -1).toSeq.filter(_.nonEmpty)
+        .zipWithIndex.map { case (r, i) => (i.toLong, r) }
+    }
+    // two jobs' records interleaved chunk-by-chunk — the multi-log
+    // directory scan shape, live
+    val pig = recordsOf(Fixtures.pig).grouped(800).toSeq
+    val ec2 = recordsOf(Fixtures.ec2).grouped(800).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val events = Streaming.parseRecords(
+      input.toDF().withColumnRenamed("_1", "line_no")
+        .withColumnRenamed("_2", "record"))
+    val q = Streaming.timelineStreamPerJob(events, scale).writeStream
+      .format("memory").queryName("tlfleet").outputMode("complete").start()
+    try {
+      pig.map(Some(_)).zipAll(ec2.map(Some(_)), None, None).foreach {
+        case (a, b) =>
+          a.foreach(input.addData(_)); b.foreach(input.addData(_))
+          q.processAllAvailable()
+      }
+      val got = spark.table("tlfleet").collect()
+        .map(r => (r.getAs[String]("job_id"), r.getAs[Long]("time"),
+          r.getAs[String]("phase")) -> r.getAs[Long]("count"))
+        .filter(_._2 > 0).toMap
+
+      Seq(Fixtures.pig, Fixtures.ec2).foreach { path =>
+        val v = JobHistoryViews.fromFile(spark, path, scale)
+        val jobId = v.job.collect().head
+          .getAs[Map[String, String]]("attrs")("JOBID")
+        val want = Reports.timeline(v).collect()
+          .flatMap { r =>
+            Seq("maps", "shuffle", "merge", "reduce", "waste").flatMap { p =>
+              val c = r.getAs[Long](p)
+              if (c > 0) Some((jobId, r.getAs[Long]("time"), p) -> c) else None
+            }
+          }.toMap
+        val gotJob = got.filter(_._1._1 == jobId)
+        assert(gotJob === want, s"timeline of $jobId")
+      }
+    } finally q.stop()
+  }
+
   test("streaming slot counts equal the batch timeline maps series") {
     val spark2 = spark
     import spark2.implicits._
