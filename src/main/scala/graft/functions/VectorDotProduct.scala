@@ -82,9 +82,14 @@ object VectorDotProduct {
     (children: Seq[Expression]) => VectorDotProduct(children(0), children(1)))
 
   /** Idempotent per-session registration (for sessions built without
-    * [[graft.GraftExtensions]]). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", children => VectorDotProduct(children(0), children(1)),
-      "built-in")
+    * [[graft.GraftExtensions]]). Checks first so repeated calls from
+    * the vector operators don't log "function vec_dot replaced" and
+    * don't churn the registry on every query. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", children => VectorDotProduct(children(0), children(1)),
+        "built-in")
+  }
 }

@@ -77,20 +77,21 @@ object DedupOps {
     * text) set — the LSH core shared by t7 and the t10 pipeline.
     *
     * The signature DataFrame (shingle explode → distinct → 12-min
-    * groupBy) is the expensive subtree; it is persisted so the band
-    * self-join reads it from cache instead of re-running the whole
-    * shingle pipeline per branch. The full 12-hash signature rides
-    * through the band explode as one array column, so signature
-    * agreement is computed directly on the join output — no re-join
-    * back to the signatures. At corpus scale the cached signatures are
-    * 12 longs + id per doc: tiny relative to the corpus. */
+    * groupBy) is the expensive subtree and feeds both sides of the
+    * band self-join — but both sides canonicalize to the same
+    * exchange, so Spark's exchange reuse computes the shingle
+    * pipeline once per execution. No persist: nothing to unpersist,
+    * no MEMORY_AND_DISK blocks outliving the query to evict a later
+    * cache (guarded by CacheLifecycleSpec + PlanSpec's ReusedExchange
+    * check). The full 12-hash signature rides through the band
+    * explode as one array column, so signature agreement is computed
+    * directly on the join output — no re-join back to the signatures. */
   private def minhashPairsOf(d: DataFrame): DataFrame = {
     val sig = shinglesOf(d)
       .withColumn("h", expr(h32("shingle")))
       .groupBy(col("doc_id"))
       .agg(expr(minExprs("h").head),
         minExprs("h").tail.map(expr(_)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigArr = array((0 until NumHashes).map(k => col(s"mh$k")): _*)
     val bandStructs = (0 until NumBands).map { b =>
       val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
@@ -135,14 +136,14 @@ object DedupOps {
       .filter(col("n_tokens").between(15, 90) && col("uniq_ratio") >= 0.15)
       .select(col("doc_id"), col("text"))
     // `deduped` feeds both the MinHash pipeline and the final
-    // anti-join; persisted so the quality filter + digest groupBy run
-    // once (survivor ids + text only — far smaller than the corpus).
+    // anti-join; its digest-groupBy exchange canonicalizes identically
+    // in both branches, so exchange reuse runs the quality filter +
+    // digest groupBy once per execution — no persist to leak.
     val deduped = quality
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nearDupLosers = minhashPairsOf(deduped)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_b").as("doc_id"))

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -114,29 +113,40 @@ object TextOps {
   private[queries] val MaxShingleDf = 100L
 
   /** Distinct (doc, shingle) pairs with the stop-shingle df filter
-    * applied: one window count over the shingle (the same shuffle key
-    * the self-join needs anyway), high-df shingles dropped. */
+    * applied. The df count is `groupBy(shingle).count()` joined back,
+    * not `count().over(Window.partitionBy(shingle))`: a window
+    * materializes every row of a hot shingle on one task (a straggler
+    * at corpus scale), while the aggregate combines map-side and the
+    * join drops the hot shingle before its rows ever co-locate. The
+    * shingle subtree feeds both branches; its distinct-exchange is
+    * reused, not recomputed (see [[ngramJaccardOf]]). */
   private[queries] def rareShinglesOf(d: DataFrame,
-      maxDf: Long = MaxShingleDf): DataFrame =
-    DedupOps.shinglesOf(d)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val shingles = DedupOps.shinglesOf(d)
+    val rare = shingles
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    shingles.join(rare, Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
+  }
 
   /** N-gram (3-word shingle) Jaccard near-duplicate pairs: shingle →
     * df stop-shingle filter → inverted-index self-join → |∩|/|∪| over
     * the surviving (rare) shingles. Top-20 by similarity.
     * The same dataflow as MinHash-LSH candidate generation, with exact
     * Jaccard instead of the sketch. The filtered shingle set feeds the
-    * size aggregate and both join sides, so it is persisted (one
-    * shingling pass per run). */
+    * size aggregate and both join sides; the branches canonicalize to
+    * the same exchanges, so Spark's exchange reuse runs the shingling
+    * pass once per execution with no persist — nothing to unpersist,
+    * no MEMORY_AND_DISK blocks left to evict a later query's cache
+    * (guarded by CacheLifecycleSpec). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(docs(s, dir))
 
   private[queries] def ngramJaccardOf(d: DataFrame,
       maxDf: Long = MaxShingleDf): DataFrame = {
     val sh = rareShinglesOf(d, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
