@@ -261,9 +261,14 @@ object Reports {
   private val intervalsMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[JobHistoryViews, DataFrame]())
 
-  private[jobhistory] def intervals(v: JobHistoryViews): DataFrame =
-    intervalsMemo.computeIfAbsent(v, v2 => computeIntervals(v2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private[jobhistory] def intervals(v: JobHistoryViews): DataFrame = {
+    val df = intervalsMemo.computeIfAbsent(v, v2 => computeIntervals(v2))
+    // re-pin per call: clearCache() drops the registration permanently
+    // (same failure mode as the events cache — see Views.ensureCached)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   private def computeIntervals(v: JobHistoryViews): DataFrame = {
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
@@ -343,25 +348,43 @@ object Reports {
   }
 
   /** W2: the same timeline via sweep-line running sums — +1 at lo,
-    * -1 at hi+1, cumulative per phase. O(attempts) rows regardless of
-    * duration, so a month-long job at millisecond scale costs the same
-    * as a minute-long one; the window runs 5 phase partitions in
-    * parallel. Identical output to [[timeline]] (asserted in tests). */
+    * -1 at hi+1, cumulative per phase. Only the O(attempts) sparse
+    * delta rows go through the sort-based window (5 tiny phase
+    * partitions); each resulting step `[time, next_time)` then fills
+    * its span of the spine by a map-only `sequence` explode, so a
+    * month-long job at millisecond scale sorts exactly as many rows as
+    * a minute-long one. Identical output to [[timeline]] (asserted in
+    * tests). */
   def timelineSweepLine(v: JobHistoryViews): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both deltas of an interval in ONE pass over the classification
+    // (a union of two selects would run the parse → classify pipeline
+    // twice whenever the events cache is cold, e.g. under the bench's
+    // per-query clearCache isolation)
     val deltas = intervals(v)
-      .select(col("phase"), col("lo").as("time"), lit(1L).as("d"))
-      .unionByName(intervals(v)
-        .select(col("phase"), (col("hi") + 1).as("time"), lit(-1L).as("d")))
-      .groupBy(col("phase"), col("time")).agg(sum(col("d")).as("d"))
-    val phases = deltas.sparkSession.createDataFrame(
-      phaseNames.map(Tuple1(_))).toDF("phase")
-    val dense = spine(v).crossJoin(phases)
-      .join(deltas, Seq("phase", "time"), "left")
-      .withColumn("running", sum(coalesce(col("d"), lit(0L)))
-        .over(Window.partitionBy(col("phase")).orderBy(col("time"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    widen(dense.select(col("time"), col("phase"), col("running")), col("running"))
+      .select(col("phase"), explode(array(
+        struct(col("lo").as("time"), lit(1L).as("d")),
+        struct((col("hi") + 1).as("time"), lit(-1L).as("d")))).as("td"))
+      .groupBy(col("phase"), col("td.time").as("time"))
+      .agg(sum(col("td.d")).as("d"))
+    val w = Window.partitionBy(col("phase")).orderBy(col("time"))
+    // running value + the half-open step it holds for. No bound scalar
+    // needed: each interval contributes a +1 and a matching -1, so the
+    // highest delta per phase always closes to running = 0 — every
+    // surviving step has a next delta, and the closing -1 sits at
+    // hi+1 <= duration+1 (intervals are clamped to the job bounds), so
+    // no step outruns the spine. The spine left join below remains the
+    // outer clamp for degenerate (empty/inverted-bounds) logs.
+    val steps = deltas
+      .withColumn("running", sum(col("d"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_t", lead(col("time"), 1).over(w))
+      .filter(col("running") =!= 0)
+      .select(col("phase"), col("running"), col("time").as("lo"),
+        (col("next_t") - 1).as("hi"))
+    val filled = steps.select(col("phase"), col("running"),
+      explode(sequence(col("lo"), col("hi"))).as("time"))
+    spine(v).join(widen(filled, col("running")), Seq("time"), "left")
       .select(col("time") +: phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
       .orderBy(col("time"))
   }

@@ -33,7 +33,24 @@ final class JobHistoryViews(
 
   import spark.implicits._
 
-  private val ev = events.cache()
+  private val ev = events
+
+  /** Pin (or re-pin) the parsed-event cache. A one-shot `.cache()`
+    * registration is dropped permanently by
+    * `spark.catalog.clearCache()` (or an explicit unpersist elsewhere
+    * in the session), after which every report silently re-runs the
+    * text-parse pipeline once per referencing subtree — the timeline
+    * reports touch the event stream from 4-6 subtrees, so an evicted
+    * cache means 4-6 full re-parses per execution. Callers that hand
+    * out memoized views (JobHistoryOps) re-check before every query.
+    * `storageLevel` is NONE exactly when no registration exists, so
+    * this never double-caches. */
+  def ensureCached(): this.type = {
+    if (ev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      ev.cache()
+    this
+  }
+  ensureCached()
 
   /** Scaled time unit: Groovy `(long)(x.toLong()/scale)` ≡ truncating
     * integral division (all fixture timestamps are positive). */

@@ -43,7 +43,11 @@ object JobHistoryOps {
     new java.util.WeakHashMap[SparkSession, JobHistoryViews]())
 
   private def v(s: SparkSession): JobHistoryViews =
+    // ensureCached per query call: a clearCache() between queries (the
+    // bench's isolation step) must re-pin the parsed-event cache, not
+    // degrade every later report to one re-parse per subtree
     memo.computeIfAbsent(s, s2 => JobHistoryViews.fromFile(s2, fixture()))
+      .ensureCached()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_task_counters" -> ((s, _) =>

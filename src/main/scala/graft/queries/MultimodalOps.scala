@@ -146,11 +146,31 @@ object MultimodalOps {
     "m3_media_resize" -> (mediaResize _),
     "m4_frame_sample" -> (frameSample _))
 
-  /** m2 is not SQL-expressible (JVM decode stub) → rows-only gate +
-    * ScaleOpsSpec's exact-value assertions. m3/m4 are byte-exact in SQL
-    * over the payload's hex encoding (byte i = hex chars 2i+1..2i+2),
-    * so they carry full oracles. */
+  /** All four carry exact DuckDB oracles over the payload's hex
+    * encoding (byte i = hex chars 2i+1..2i+2). m2's `byte_mean` is
+    * bit-exact across engines despite the doubles: the byte sum S is an
+    * integer, the payload length 64 divides 1e6 (1e6/64 = 15625), so
+    * `mean * 1e6 = S * 15625` is an exactly-representable integer —
+    * `math.rint` is the identity on it — and both engines perform the
+    * same single IEEE division `(S * 15625) / 1e6`. */
   val oracle: Map[String, String] = Map(
+    "m2_media_features" -> {
+      // byte sum over hex chars [first, first + 2*n) as one list fold
+      def bsum(n: Int) =
+        s"CAST(list_sum(list_transform(range(0, $n), " +
+          s"i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)) AS BIGINT)"
+      s"""WITH h AS (
+         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+         |s AS (
+         | SELECT doc_id, ${bsum(16 * PayloadRepeats)} AS s_all,
+         |  ${bsum(4)} AS s4, CAST(len(hx) // 2 AS BIGINT) AS n_bytes
+         | FROM h)
+         |SELECT doc_id,
+         | CAST(s_all * ${1000000 / (16 * PayloadRepeats)} AS DOUBLE) / 1000000.0
+         |   AS byte_mean,
+         | s4 AS thumb_sum, n_bytes
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "m1_media_schema" ->
       s"""SELECT doc_id, 'image' AS media_type, 8 AS width, 8 AS height,
          | CAST(octet_length(unhex(repeat(md5(text), $PayloadRepeats))) AS BIGINT)

@@ -49,4 +49,30 @@ class PlanSpec extends SparkSpec {
     // partial HashAggregate before the exchange, final after
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  /** The plan string AFTER execution — AQE rewrites the plan at
+    * runtime, and `ReusedExchange` only materializes in the final
+    * adaptive plan (`isFinalPlan=true`), so the query must be executed
+    * before inspection. */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("t6/t7/t10: shared subtrees reuse one exchange (no persist needed)") {
+    // DedupOps/TextOps removed their persist() calls on the grounds
+    // that the expensive shared subtrees (shingle pipeline, signature
+    // aggregation, digest dedup) canonicalize to the same exchange and
+    // are computed once per execution. This is that claim, asserted:
+    // a refactor that de-canonicalizes the branches (e.g. divergent
+    // aliases on the two join sides) would recompute the shingle
+    // pipeline per branch and this test would fail.
+    for (q <- Seq("t6_ngram_jaccard", "t7_minhash_lsh", "t10_clean_corpus")) {
+      val p = finalPlan(q)
+      assert(p.contains("isFinalPlan=true"), s"$q: expected a final adaptive plan")
+      assert(p.contains("ReusedExchange"),
+        s"$q: shared subtree no longer reuses its exchange")
+    }
+  }
 }
