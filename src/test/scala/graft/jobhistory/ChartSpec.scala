@@ -40,6 +40,29 @@ class ChartSpec extends SparkSpec {
     assert(img.getWidth === 1200 && img.getHeight === 800)
   }
 
+  test("golden chart: Pig-fixture pixels at scale 1000 are pinned by hash") {
+    // Hash of the raw ARGB pixel rows (not the PNG byte stream, which
+    // can legally differ across encoder versions): any drift in series
+    // classification, stacking order, paints, axes, or geometry changes
+    // the hash. Re-pin deliberately if the rendering is ever *meant*
+    // to change.
+    val out = Files.createTempFile("graft-chart-golden", ".png")
+    try {
+      Cli.run(spark, Cli.Config(input = Fixtures.pig, png = Some(out.toString)))
+      val img = ImageIO.read(out.toFile)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4 * img.getWidth)
+      for (y <- 0 until img.getHeight) {
+        buf.clear()
+        for (x <- 0 until img.getWidth) buf.putInt(img.getRGB(x, y))
+        md.update(buf.array())
+      }
+      val hash = md.digest().map("%02x".format(_)).mkString
+      assert(hash === "c5bae08793068ce95181c6982201e926",
+        s"rendered pixel hash drifted: $hash")
+    } finally Files.deleteIfExists(out)
+  }
+
   test("CLI -png writes the reference-sized chart for the Pig fixture") {
     val out = Files.createTempFile("graft-chart", ".png")
     try {

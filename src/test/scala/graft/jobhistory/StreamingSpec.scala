@@ -274,6 +274,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source: a growing log directory converges to the batch timeline") {
+    val spark2 = spark
+    import spark2.implicits._
+
+    // The live ingestion path claimed at Streaming.scala:13-17:
+    // readStream.option("lineSep", " .\n").text(dir), with the
+    // record-order contract (`line_no`) provided by the source — here
+    // file sequence (zero-padded name) + in-file record offset, the
+    // file-source analogue of a Kafka offset. No MemoryStream anywhere.
+    val dir = Files.createTempDirectory("graft-stream-logs")
+    val scale = 10000L
+    val lines = spark.readStream
+      .option("lineSep", " .\n")
+      .text(dir.toString)
+      .select(input_file_name().as("file"), col("value").as("record"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        // rows arrive in (file, offset) order within a partition; the
+        // file's sequence number makes line_no globally monotone
+        val seqRe = "chunk-(\\d+)".r
+        var lastFile = ""
+        var idx = 0L
+        it.map { case (f, r) =>
+          if (f != lastFile) { lastFile = f; idx = 0L }
+          idx += 1
+          val seq = seqRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(0L)
+          (seq * 1000000L + idx, r)
+        }
+      }
+      .toDF("line_no", "record")
+      .filter(length(col("record")) > 0)
+
+    val events = Streaming.parseRecords(lines)
+    val q = Streaming.timelineStream(events, scale).writeStream
+      .format("memory").queryName("tlfile").outputMode("complete").start()
+    try {
+      // the directory grows one chunk file per micro-batch
+      fixtureRecords.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = dir.resolve(s".chunk-$i.tmp")
+        Files.writeString(tmp, chunk.map(_._2).mkString("", " .\n", " .\n"))
+        Files.move(tmp, dir.resolve(f"chunk-$i%05d.txt"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        q.processAllAvailable()
+      }
+      val got = spark.table("tlfile").collect()
+        .map(r => (r.getAs[Long]("time"), r.getAs[String]("phase")) ->
+          r.getAs[Long]("count"))
+        .filter(_._2 > 0).toMap
+      val want = Reports.timeline(
+        JobHistoryViews.fromFile(spark, Fixtures.pig, scale)).collect()
+        .flatMap { r =>
+          Seq("maps", "shuffle", "merge", "reduce", "waste").flatMap { p =>
+            val c = r.getAs[Long](p)
+            if (c > 0) Some((r.getAs[Long]("time"), p) -> c) else None
+          }
+        }.toMap
+      assert(got === want)
+    } finally {
+      q.stop()
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("streaming slot counts equal the batch timeline maps series") {
     val spark2 = spark
     import spark2.implicits._
