@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100x-scale local demonstration (recorded in BASELINE.md's
+  * "Fleet-scale measurement" section): generates a multi-GB fleet of
+  * job logs — N copies of the reference's Pig fixture with rewritten
+  * job ids, the same corpus shape as MultiLogSpec writ large — plus a
+  * word-rotated `copies`x `documents` corpus, then records wall-times
+  * for the fleet reports and the dedup operators over them.
+  *
+  * Usage: `SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32
+  *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies]"`
+  * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
+  * (500k documents). Generation is idempotent — corpora are kept under
+  * `target/` and reused.
+  *
+  * The rotated copies are mostly-overlapping shingle sets, so the
+  * corpus is near-duplicate-heavy by construction — the dedup
+  * operators run against a workload that actually exercises their
+  * candidate generation, not 500k unrelated documents.
+  */
+object ScaleDemo {
+
+  private val FixtureSrc =
+    "/root/reference/test/cvrsvc11-ib_1288370608574_job_201010291643_0125_kbhatia_PigLatin%3AkmerStats.pig.txt"
+  private val BaseJobId = "201010291643_0125"
+
+  def main(args: Array[String]): Unit = {
+    val nLogs = args.lift(0).map(_.toInt).getOrElse(10000)
+    val copies = args.lift(1).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---------------------------------------------- corpus generation
+    val fleetDir = Paths.get("target", "scale_fleet").toAbsolutePath
+    val haveLogs = Files.isDirectory(fleetDir) &&
+      fleetDir.toFile.list().count(_.endsWith(".txt")) >= nLogs
+    if (!haveLogs) {
+      Files.createDirectories(fleetDir)
+      val (src, base, dir) = (FixtureSrc, BaseJobId, fleetDir.toString)
+      time(s"generate $nLogs logs") {
+        // executors write the files: the rewrite is embarrassingly
+        // parallel and the fixture is re-read once per partition
+        spark.range(nLogs.toLong).repartition(cpus.toInt)
+          .foreachPartition { it: java.util.Iterator[java.lang.Long] =>
+            val text = new String(Files.readAllBytes(Paths.get(src)), "UTF-8")
+            it.forEachRemaining { iL =>
+              val i = iL.toLong
+              val id = f"2010102900${i / 10000}%02d_${i % 10000}%04d"
+              Files.write(Paths.get(dir, f"log-$i%05d.txt"),
+                text.replace(base, id).getBytes("UTF-8"))
+            }
+          }
+      }
+    }
+
+    val docsDir = Paths.get("target", "scale_docs").toAbsolutePath
+    val docsParquet = docsDir.resolve("documents.parquet")
+    if (!Files.exists(docsParquet)) {
+      time(s"generate ${copies}x documents") {
+        // copy k of each doc rotates its word order by k: every copy
+        // family is a cluster of mutual near-duplicates (overlapping
+        // circular shingles) with distinct exact digests
+        Tables(spark, "/root/testdata/sf0.1", "documents")
+          .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("r", pmod(col("k"), size(col("words"))))
+          .withColumn("text", when(col("k") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              concat(expr("slice(words, r + 1, size(words) - r)"),
+                expr("slice(words, 1, r)")))))
+          .withColumn("doc_id", col("doc_id") * copies + col("k"))
+          .drop("k", "words", "r")
+          .repartition(cpus.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(docsParquet.toString)
+      }
+    }
+
+    // --------------------------------------------------- measurements
+    // Fleet reports: ONE splittable scan over the whole directory,
+    // every aggregation keyed by the id-embedded job — no per-file
+    // driver loop (Reports.scala fleet section).
+    val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
+    time(s"fleet summaryPerJob ($nLogs jobs, one scan)") {
+      noop(jobhistory.Reports.summaryPerJob(v))
+    }
+    spark.catalog.clearCache()
+    // timelinePerJob expands O(duration x attempts) slot rows per job
+    // (~15M for the Pig job at scale 1000, i.e. ~1.5B rows per 100
+    // jobs): measured on a 100-log slice so the demo stays minutes —
+    // the per-job cost is constant, jobs are independent.
+    val slice = jobhistory.JobHistoryViews.fromFile(spark,
+      s"$fleetDir/log-000*.txt")
+    time("fleet timelinePerJob (100-log slice)") {
+      noop(jobhistory.Reports.timelinePerJob(slice))
+    }
+    spark.catalog.clearCache()
+    time(s"t2 exact dedup (${copies}x docs)") {
+      noop(queries.TextOps.dedupExact(spark, docsDir.toString))
+    }
+    time(s"t7 MinHash LSH (${copies}x docs)") {
+      noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
+    }
+    spark.stop()
+  }
+}

@@ -70,7 +70,11 @@ object Cli {
       else if (input.contains("://")) JobHistoryReader.readUrl(spark, input)
       else JobHistoryReader.read(spark, input)
     val v = new JobHistoryViews(spark, events, scale)
+    try runReport(v, cfg) finally v.release() // per-run caches
+  }
 
+  private def runReport(v: JobHistoryViews, cfg: Config): Unit = {
+    val Config(input, sep, _, report, _) = cfg
     report match {
       case "s" =>
         val r = Reports.summary(v).collect().head

@@ -270,6 +270,16 @@ object Reports {
     df
   }
 
+  /** Drop the memoized interval classification (and its persisted
+    * blocks) for a retiring views object — the counterpart of
+    * [[JobHistoryViews.release]] for short-lived (e.g. per-request)
+    * views, where waiting for the weak map to collect would leave the
+    * cache registration pinned indefinitely. */
+  private[jobhistory] def releaseIntervals(v: JobHistoryViews): Unit = {
+    val df = intervalsMemo.remove(v)
+    if (df != null) df.unpersist()
+  }
+
   private def computeIntervals(v: JobHistoryViews): DataFrame = {
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
     def rel(c: Column): Column = c - col("submit_u")

@@ -52,6 +52,16 @@ final class JobHistoryViews(
   }
   ensureCached()
 
+  /** Unpin everything this views object cached (the event cache and
+    * the memoized interval classification). Session-scoped views live
+    * for the session and never call this; short-lived views — one HTTP
+    * request, one CLI run — must, or each one leaks a cache
+    * registration the weak maps cannot reclaim. */
+  def release(): Unit = {
+    Reports.releaseIntervals(this)
+    ev.unpersist()
+  }
+
   /** Scaled time unit: Groovy `(long)(x.toLong()/scale)` ≡ truncating
     * integral division (all fixture timestamps are positive). */
   private def u(c: Column): Column = (c.cast("long") / scale).cast("long")

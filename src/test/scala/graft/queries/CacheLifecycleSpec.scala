@@ -22,14 +22,17 @@ class CacheLifecycleSpec extends SparkSpec {
       .write.format("noop").mode("overwrite").save()
 
   test("full query sweep persists only the session-scoped views caches") {
+    // relative baseline: other suites sharing the session may have
+    // legitimately pinned their own caches before this one runs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (jh, rest) = SparkEntry.queries.keys.toSeq.sorted
       .partition(_.startsWith("jh_"))
     // Materialize the job-history family first: it is ALLOWED to pin
     // its two views-scoped caches (events + intervals)...
     jh.foreach(run)
     val afterJh = spark.sparkContext.getPersistentRDDs.keySet
-    assert(afterJh.size <= 2,
-      s"expected at most events+intervals caches, got ${afterJh.size}")
+    assert((afterJh -- before).size <= 2,
+      s"expected at most events+intervals caches, got ${afterJh -- before}")
     // ...then every other operator must add nothing: same persistent
     // RDD set before and after the full non-jh sweep.
     rest.foreach(run)
