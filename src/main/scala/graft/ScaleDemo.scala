@@ -96,20 +96,33 @@ object ScaleDemo {
     // --------------------------------------------------- measurements
     // Fleet reports: ONE splittable scan over the whole directory,
     // every aggregation keyed by the id-embedded job — no per-file
-    // driver loop (Reports.scala fleet section).
+    // driver loop (Reports.scala fleet section). Each measurement
+    // starts from a clear cache and re-pins its own (the measured time
+    // includes one parse + cache build — the cost a fresh session
+    // pays).
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
     time(s"fleet summaryPerJob ($nLogs jobs, one scan)") {
       noop(jobhistory.Reports.summaryPerJob(v))
     }
-    spark.catalog.clearCache()
     // timelinePerJob expands O(duration x attempts) slot rows per job
     // (~15M for the Pig job at scale 1000, i.e. ~1.5B rows per 100
-    // jobs): measured on a 100-log slice so the demo stays minutes —
-    // the per-job cost is constant, jobs are independent.
+    // jobs): expansion is measured on a 100-log slice so the demo
+    // stays minutes — the per-job cost is constant, jobs are
+    // independent. The sweep-line variant generates ~100x fewer rows:
+    // same slice for the direct comparison, then the full fleet.
+    spark.catalog.clearCache()
     val slice = jobhistory.JobHistoryViews.fromFile(spark,
       s"$fleetDir/log-000*.txt")
-    time("fleet timelinePerJob (100-log slice)") {
+    time("fleet timelinePerJob (100-log slice, expansion)") {
       noop(jobhistory.Reports.timelinePerJob(slice))
+    }
+    spark.catalog.clearCache(); slice.ensureCached()
+    time("fleet timelinePerJobSweepLine (100-log slice)") {
+      noop(jobhistory.Reports.timelinePerJobSweepLine(slice))
+    }
+    spark.catalog.clearCache(); v.ensureCached()
+    time(s"fleet timelinePerJobSweepLine ($nLogs jobs)") {
+      noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     spark.catalog.clearCache()
     time(s"t2 exact dedup (${copies}x docs)") {

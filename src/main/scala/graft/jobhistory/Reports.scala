@@ -147,41 +147,63 @@ object Reports {
 
   /** Fleet summary: the `-s` statistics per job over a multi-job event
     * stream (job-level fields from Job records keyed by JOBID; task
-    * aggregates keyed through the id-embedded job). */
+    * aggregates keyed through the id-embedded job).
+    *
+    * Unlike the single-job [[summary]] (which reuses the dynamic-schema
+    * entity views), the fleet path reads a FIXED set of attribute keys
+    * — so every last-write-wins merge is a conditional `max_by`
+    * aggregate, not an attrs explode. At fleet scale the explode is
+    * the dominant cost: merging all attrs of 36 M task records
+    * multiplies them ~10× before two groupBys; the conditional
+    * aggregates read each record once with map-side combine. Same
+    * semantics (LWW per key = last record CARRYING the key), guarded
+    * by MultiLogSpec's equality with the single-log golden summary. */
   def summaryPerJob(v: JobHistoryViews): DataFrame = {
     val scale = v.scale
-    def ms(k: String): Column = col("attrs").getItem(k).cast("long")
-    val elapsed = ((ms("FINISH_TIME") - ms("START_TIME")) / scale).cast("long")
-    val finished = ms("FINISH_TIME").isNotNull
+    def a(k: String): Column = col("attrs").getItem(k)
+    def lastWhen(cond: Column, value: Column): Column =
+      max_by(when(cond, value), when(cond, col("line_no")))
 
     val jobs = v.events.filter(col("event") === "Job")
-      .select(col("line_no"), col("attrs").getItem("JOBID").as("job_id"),
-        explode(col("attrs")).as(Seq("k", "vv")))
-      .groupBy(col("job_id"), col("k"))
-      .agg(max_by(col("vv"), col("line_no")).as("vv"))
-      .groupBy(col("job_id"))
-      .agg(map_from_entries(collect_list(struct(col("k"), col("vv"))))
-        .as("attrs"))
-      .select(col("job_id"),
-        col("attrs").getItem("JOBNAME").as("job_name"),
-        col("attrs").getItem("USER").as("user"),
-        col("attrs").getItem("JOB_STATUS").as("job_status"),
-        ((ms("FINISH_TIME") - ms("LAUNCH_TIME")) / scale).cast("long")
-          .as("total_time"))
+      .groupBy(a("JOBID").as("job_id"))
+      .agg(
+        lastWhen(a("JOBNAME").isNotNull, a("JOBNAME")).as("job_name"),
+        lastWhen(a("USER").isNotNull, a("USER")).as("user"),
+        lastWhen(a("JOB_STATUS").isNotNull, a("JOB_STATUS")).as("job_status"),
+        lastWhen(a("LAUNCH_TIME").isNotNull, a("LAUNCH_TIME")).as("launch"),
+        lastWhen(a("FINISH_TIME").isNotNull, a("FINISH_TIME")).as("finish"))
+      .select(col("job_id"), col("job_name"), col("user"), col("job_status"),
+        ((col("finish").cast("long") - col("launch").cast("long")) / scale)
+          .cast("long").as("total_time"))
 
-    val mapAgg = v.mapTasks
-      .withColumn("job_id", jobIdOf(col("task_id")))
-      .groupBy(col("job_id"))
-      .agg(count(when(finished, 1)).as("num_maps"),
-        sum(when(finished, elapsed)).as("total_map_time"))
-    val reduceAgg = v.reduceTasks
-      .withColumn("job_id", jobIdOf(col("task_id")))
-      .groupBy(col("job_id"))
-      .agg(count(when(finished, 1)).as("num_reduces"),
-        sum(when(finished, elapsed)).as("total_reduce_time"))
+    // per-task LWW of START/FINISH per record-level TASK_TYPE (the
+    // reference routes each record by its own type), then per-job
+    // counts/sums — two groupBys on keys that embed the job id
+    def isType(t: String): Column = a("TASK_TYPE") === t
+    val perTask = v.events.filter(col("event") === "Task")
+      .groupBy(a("TASKID").as("task_id"))
+      .agg(
+        lastWhen(isType("MAP") && a("START_TIME").isNotNull,
+          a("START_TIME")).as("m_start"),
+        lastWhen(isType("MAP") && a("FINISH_TIME").isNotNull,
+          a("FINISH_TIME")).as("m_finish"),
+        lastWhen(isType("REDUCE") && a("START_TIME").isNotNull,
+          a("START_TIME")).as("r_start"),
+        lastWhen(isType("REDUCE") && a("FINISH_TIME").isNotNull,
+          a("FINISH_TIME")).as("r_finish"))
+    def elapsed(s: String, f: String): Column =
+      ((col(f).cast("long") - col(s).cast("long")) / scale).cast("long")
+    val taskAgg = perTask
+      .groupBy(jobIdOf(col("task_id")).as("job_id"))
+      .agg(
+        count(when(col("m_finish").isNotNull, 1)).as("num_maps"),
+        sum(when(col("m_finish").isNotNull,
+          elapsed("m_start", "m_finish"))).as("total_map_time"),
+        count(when(col("r_finish").isNotNull, 1)).as("num_reduces"),
+        sum(when(col("r_finish").isNotNull,
+          elapsed("r_start", "r_finish"))).as("total_reduce_time"))
 
-    jobs.join(mapAgg, Seq("job_id"), "left")
-      .join(reduceAgg, Seq("job_id"), "left")
+    jobs.join(taskAgg, Seq("job_id"), "left")
       .withColumn("avg_map_time",
         col("total_map_time").cast("double") / col("num_maps"))
       .withColumn("avg_reduce_time",
@@ -189,12 +211,11 @@ object Reports {
       .orderBy(col("job_id"))
   }
 
-  /** Fleet timeline: the concurrency series per job over a multi-job
-    * stream — interval classification joins each attempt to its own
-    * job's bounds (keyed through the id-embedded job, J5 becomes a
-    * keyed join instead of a scalar broadcast), and the dense spine is
-    * generated per job. One scan, shuffles keyed by (job_id, …). */
-  def timelinePerJob(v: JobHistoryViews): DataFrame = {
+  /** Classified (job_id, phase, lo, hi) interval rows for a multi-job
+    * stream — each attempt joined to its own job's bounds (keyed
+    * through the id-embedded job, J5 becomes a keyed join instead of a
+    * scalar broadcast). Shared by both fleet timeline variants. */
+  private def intervalsPerJob(v: JobHistoryViews): DataFrame = {
     val bounds = v.boundsPerJob
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
     def rel(c: Column): Column = c - col("submit_u")
@@ -228,18 +249,69 @@ object Reports {
       .select(col("job_id"), lit("waste").as("phase"),
         clamp0(rel(col("start_u"))).as("lo"), capped(col("end_u")).as("hi"))
 
-    val ivs = maps.unionByName(finalReduces).unionByName(wastedReduces)
+    maps.unionByName(finalReduces).unionByName(wastedReduces)
       .filter(col("lo") <= col("hi") && col("lo").isNotNull)
-    val expanded = ivs.select(col("job_id"), col("phase"),
+  }
+
+  private def spinePerJob(v: JobHistoryViews): DataFrame =
+    v.boundsPerJob.filter(col("finish_u") >= col("submit_u"))
+      .select(col("job_id"), explode(
+        sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
+
+  /** Fleet timeline by interval expansion: the dense spine is generated
+    * per job; one scan, shuffles keyed by (job_id, …). O(Σ interval
+    * lengths) generated rows — see [[timelinePerJobSweepLine]] for the
+    * fleet-scale path. */
+  def timelinePerJob(v: JobHistoryViews): DataFrame = {
+    val expanded = intervalsPerJob(v).select(col("job_id"), col("phase"),
       explode(sequence(col("lo"), col("hi"))).as("time"))
     val aggs = phaseNames.map(p =>
       coalesce(sum(when(col("phase") === p, 1L)), lit(0L)).as(p))
     val counts = expanded.groupBy(col("job_id"), col("time"))
       .agg(aggs.head, aggs.tail: _*)
-    val spine = bounds.filter(col("finish_u") >= col("submit_u"))
-      .select(col("job_id"), explode(
-        sequence(lit(0L), col("finish_u") - col("submit_u"))).as("time"))
-    spine.join(counts, Seq("job_id", "time"), "left")
+    spinePerJob(v).join(counts, Seq("job_id", "time"), "left")
+      .select(col("job_id") +: col("time") +:
+        phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+      .orderBy(col("job_id"), col("time"))
+  }
+
+  /** Fleet timeline via sweep-line running sums — [[timelineSweepLine]]
+    * per job: only the O(attempts) sparse delta rows per (job, phase)
+    * go through the sort-based window, each step then fills its span by
+    * a map-only explode — O(duration × 5) generated rows per job
+    * instead of expansion's O(Σ interval lengths) (~100× fewer on the
+    * Pig fixture, whose interval slots sum to ~15 M against a 26 k
+    * spine). Windows partition on (job_id, phase), so a 10,000-job
+    * fleet gives the sort 50,000 independent tiny partitions — the
+    * shape that scales out with executors. Identical output to
+    * [[timelinePerJob]] (asserted in MultiLogSpec). */
+  def timelinePerJobSweepLine(v: JobHistoryViews): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervalsPerJob(v)
+      .select(col("job_id"), col("phase"), explode(array(
+        struct(col("lo").as("time"), lit(1L).as("d")),
+        struct((col("hi") + 1).as("time"), lit(-1L).as("d")))).as("td"))
+      .groupBy(col("job_id"), col("phase"), col("td.time").as("time"))
+      .agg(sum(col("td.d")).as("d"))
+    val w = Window.partitionBy(col("job_id"), col("phase")).orderBy(col("time"))
+    // as in timelineSweepLine: every surviving step (running != 0) has
+    // a next delta in its own (job, phase) partition, and the closing
+    // -1 sits at hi+1 <= job duration + 1, so no bound scalar is
+    // needed; the per-job spine left join clamps degenerate logs
+    val steps = deltas
+      .withColumn("running", sum(col("d"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_t", lead(col("time"), 1).over(w))
+      .filter(col("running") =!= 0)
+      .select(col("job_id"), col("phase"), col("running"),
+        col("time").as("lo"), (col("next_t") - 1).as("hi"))
+    val filled = steps.select(col("job_id"), col("phase"), col("running"),
+      explode(sequence(col("lo"), col("hi"))).as("time"))
+    val aggs = phaseNames.map(p =>
+      coalesce(sum(when(col("phase") === p, col("running"))), lit(0L)).as(p))
+    val counts = filled.groupBy(col("job_id"), col("time"))
+      .agg(aggs.head, aggs.tail: _*)
+    spinePerJob(v).join(counts, Seq("job_id", "time"), "left")
       .select(col("job_id") +: col("time") +:
         phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
       .orderBy(col("job_id"), col("time"))

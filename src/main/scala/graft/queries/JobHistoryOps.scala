@@ -56,6 +56,7 @@ object JobHistoryOps {
     "jh_reduce_details" -> ((s, _) => Reports.reduceDetails(v(s))),
     "jh_bytes_report" -> ((s, _) => Reports.bytesReport(v(s))),
     "jh_summary" -> ((s, _) => Reports.summary(v(s))),
+    "jh_summary_per_job" -> ((s, _) => Reports.summaryPerJob(v(s))),
     "jh_timeline" -> ((s, _) => Reports.timeline(v(s))),
     "jh_timeline_sweep" -> ((s, _) => Reports.timelineSweepLine(v(s))))
 
@@ -180,6 +181,50 @@ object JobHistoryOps {
        |  CAST(total_reduce_time AS DOUBLE) / num_reduces AS avg_reduce_time
        |FROM job CROSS JOIN magg CROSS JOIN ragg""".stripMargin
 
+  /** Fleet (per-job) summary oracle: the summary CTEs grouped by the
+    * job — Job records by their JOBID attribute, task aggregates keyed
+    * through the id-embedded job (the Hadoop id convention the fleet
+    * path leans on). On the gate's single-job fixture this exercises
+    * the whole fleet dataflow end-to-end against an independent
+    * implementation. */
+  private val summaryPerJobOracle: String = {
+    def jobOf(c: String) =
+      s"""regexp_replace($c, '^(?:task|attempt)_([0-9]+_[0-9]+).*', 'job_\\1')"""
+    s"""$prelude, job AS (
+       |  SELECT ${attr("JOBID")} AS job_id,
+       |    ${lastStr("JOBNAME", "job_name")},
+       |    ${lastStr("USER", "\"user\"")},
+       |    ${lastStr("JOB_STATUS", "job_status")},
+       |    (arg_max(CAST(${attr("FINISH_TIME")} AS BIGINT), ord)
+       |       FILTER (${attr("FINISH_TIME")} IS NOT NULL) -
+       |     arg_max(CAST(${attr("LAUNCH_TIME")} AS BIGINT), ord)
+       |       FILTER (${attr("LAUNCH_TIME")} IS NOT NULL)) // 1000 AS total_time
+       |  FROM ev WHERE event = 'Job' GROUP BY 1
+       |), mt AS (
+       |${taskTimesSql("MAP")}
+       |), rt AS (
+       |${taskTimesSql("REDUCE")}
+       |), magg AS (
+       |  SELECT ${jobOf("task_id")} AS job_id,
+       |    count(*) FILTER (ft IS NOT NULL) AS num_maps,
+       |    CAST(sum((ft - st) // 1000) FILTER (ft IS NOT NULL) AS BIGINT)
+       |      AS total_map_time
+       |  FROM mt GROUP BY 1
+       |), ragg AS (
+       |  SELECT ${jobOf("task_id")} AS job_id,
+       |    count(*) FILTER (ft IS NOT NULL) AS num_reduces,
+       |    CAST(sum((ft - st) // 1000) FILTER (ft IS NOT NULL) AS BIGINT)
+       |      AS total_reduce_time
+       |  FROM rt GROUP BY 1
+       |)
+       |SELECT job_id, job_name, "user", job_status, total_time,
+       |  num_maps, total_map_time, num_reduces, total_reduce_time,
+       |  CAST(total_map_time AS DOUBLE) / num_maps AS avg_map_time,
+       |  CAST(total_reduce_time AS DOUBLE) / num_reduces AS avg_reduce_time
+       |FROM job LEFT JOIN magg USING (job_id) LEFT JOIN ragg USING (job_id)
+       |ORDER BY job_id""".stripMargin
+  }
+
   private val timelineOracle: String =
     s"""$prelude, sub AS (
        |  SELECT
@@ -252,6 +297,7 @@ object JobHistoryOps {
 
   val oracle: Map[String, String] = Map(
     "jh_summary" -> summaryOracle,
+    "jh_summary_per_job" -> summaryPerJobOracle,
     "jh_timeline" -> timelineOracle,
     "jh_timeline_sweep" -> timelineOracle,
     "jh_task_counters" ->

@@ -71,6 +71,13 @@ class MultiLogSpec extends SparkSpec {
     }
   }
 
+  test("fleet sweep-line timeline is identical to fleet interval expansion") {
+    val v = JobHistoryViews.fromFile(spark, dir)
+    val a = Reports.timelinePerJob(v).collect().map(_.toSeq)
+    val b = Reports.timelinePerJobSweepLine(v).collect().map(_.toSeq)
+    assert(b.toSeq === a.toSeq)
+  }
+
   test("task-level reports are already fleet-safe (globally unique task ids)") {
     val v = JobHistoryViews.fromFile(spark, dir)
     val all = Reports.mapDetails(v)
