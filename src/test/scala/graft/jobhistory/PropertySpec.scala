@@ -85,6 +85,95 @@ class PropertySpec extends SparkSpec {
     Ev("Job", Seq("JOBID" -> "j", "JOB_STATUS" -> "SUCCESS",
       "FINISH_TIME" -> "200000"))
 
+  /** A multi-job log with Hadoop-convention ids (the fleet key),
+    * reduce phases, supersession, and deliberately clamp-exercising
+    * times: attempts may start before job submit (CGI clamp) and
+    * finish after job finish (cap), reduce finishes sometimes omit
+    * SHUFFLE/SORT (dropped from the phase series), and non-SUCCESS
+    * attempts land in waste. */
+  private def genJob(j: Int): Gen[Seq[Ev]] = {
+    val jid = f"job_1111_$j%04d"
+    def taskId(kind: String, t: Int) = f"task_1111_$j%04d_${kind}_$t%06d"
+    def attId(kind: String, t: Int, i: Int) =
+      f"attempt_1111_$j%04d_${kind}_$t%06d_$i"
+    for {
+      submit <- Gen.choose(10L, 20L)
+      dur <- Gen.choose(40L, 100L)
+      nMap <- Gen.choose(1, 3)
+      nRed <- Gen.choose(0, 2)
+      mapTasks <- Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((0 until nMap).map { t =>
+        for {
+          nAtt <- Gen.choose(1, 2)
+          specs <- Gen.listOfN(nAtt, for {
+            off <- Gen.choose(-15L, 60L) // can start before submit
+            len <- Gen.choose(1L, 80L) // can finish after job finish
+            st <- Gen.oneOf("SUCCESS", "SUCCESS", "FAILED")
+          } yield (off, len, st))
+        } yield specs.zipWithIndex.flatMap { case ((off, len, status), i) =>
+          val start = math.max(1L, submit + off)
+          Seq(
+            Ev("MapAttempt", Seq("TASK_TYPE" -> "MAP",
+              "TASKID" -> taskId("m", t), "TASK_ATTEMPT_ID" -> attId("m", t, i),
+              "START_TIME" -> s"${start * 1000}")),
+            Ev("MapAttempt", Seq("TASK_TYPE" -> "MAP",
+              "TASKID" -> taskId("m", t), "TASK_ATTEMPT_ID" -> attId("m", t, i),
+              "TASK_STATUS" -> status,
+              "FINISH_TIME" -> s"${(start + len) * 1000}")))
+        }
+      }).map(_.flatten)
+      redTasks <- Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((0 until nRed).map { t =>
+        for {
+          off <- Gen.choose(0L, 40L)
+          shufLen <- Gen.choose(1L, 20L)
+          sortLen <- Gen.choose(1L, 15L)
+          redLen <- Gen.choose(1L, 40L)
+          withPhases <- Gen.frequency(4 -> Gen.const(true), 1 -> Gen.const(false))
+          status <- Gen.oneOf("SUCCESS", "SUCCESS", "FAILED")
+        } yield {
+          val start = submit + off
+          val sf = start + shufLen
+          val so = sf + sortLen
+          val e = so + redLen
+          val finishAttrs = Seq("TASKID" -> taskId("r", t),
+            "TASK_ATTEMPT_ID" -> attId("r", t, 0), "TASK_STATUS" -> status,
+            "FINISH_TIME" -> s"${e * 1000}") ++
+            (if (withPhases) Seq("SHUFFLE_FINISHED" -> s"${sf * 1000}",
+              "SORT_FINISHED" -> s"${so * 1000}")
+            else Nil)
+          Seq(
+            Ev("ReduceAttempt", Seq("TASKID" -> taskId("r", t),
+              "TASK_ATTEMPT_ID" -> attId("r", t, 0),
+              "START_TIME" -> s"${start * 1000}")),
+            Ev("ReduceAttempt", finishAttrs))
+        }
+      }).map(_.flatten)
+    } yield
+      Ev("Job", Seq("JOBID" -> jid, "SUBMIT_TIME" -> s"${submit * 1000}")) +:
+        (mapTasks ++ redTasks) :+
+        Ev("Job", Seq("JOBID" -> jid, "JOB_STATUS" -> "SUCCESS",
+          "FINISH_TIME" -> s"${(submit + dur) * 1000}"))
+  }
+
+  private def genFleetLog(nJobs: Int): Gen[Seq[Ev]] =
+    Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((1 to nJobs).map(genJob)).map(_.flatten)
+
+  test("generated fleet logs: sweep-line timelines equal interval expansion") {
+    forAll(genFleetLog(3), samples = 6) { evs =>
+      val log = evs.map(_.render + " .\n").mkString
+      val v = new JobHistoryViews(spark, JobHistoryReader.readString(spark, log))
+      try {
+        // single-job surface (global bounds over all Job records)
+        val a = Reports.timeline(v).collect().map(_.toSeq)
+        val b = Reports.timelineSweepLine(v).collect().map(_.toSeq)
+        assert(b.toSeq === a.toSeq)
+        // fleet surface (per-job bounds through the id-embedded job)
+        val pa = Reports.timelinePerJob(v).collect().map(_.toSeq)
+        val pb = Reports.timelinePerJobSweepLine(v).collect().map(_.toSeq)
+        assert(pb.toSeq === pa.toSeq)
+      } finally v.release()
+    }
+  }
+
   test("generated logs: Spark views agree with the reference interpreter") {
     forAll(genLog) { evs =>
       val log = evs.map(_.render + " .\n").mkString
