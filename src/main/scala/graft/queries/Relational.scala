@@ -284,23 +284,43 @@ object Relational {
   }
 
   /** Exact interpolated percentiles per group (the linear-interpolation
-    * definition both engines share). Exact percentile is a sort-based
-    * aggregate; at 100 TB the approx_percentile sketch (q16's HLL
-    * sibling) is the scale path — this is the exact baseline. */
-  def q20Percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      // one percentile aggregate for both points: each percentile()
-      // call buffers the whole per-group value multiset, so asking for
-      // array(0.5, 0.95) halves the aggregation state vs two calls
+    * definition both engines share), via rank-based selection instead
+    * of `percentile()`: a per-group Tungsten sort assigns row numbers,
+    * only the two bracketing order statistics per requested quantile
+    * survive the filter, and the interpolation `lower + (pos -
+    * floor(pos)) * (higher - lower)` is the same double expression
+    * `percentile`/`quantile_cont` evaluate — results stay bit-exact.
+    * Scale rationale: `percentile()` is an ObjectHashAggregate that
+    * buffers the whole per-group multiset in one in-memory array (a
+    * hot group must fit an aggregation buffer); the window sort spills
+    * gracefully and parallelizes the scan side. approx_percentile
+    * remains the sketch path at 100 TB. */
+  def q20Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    val k = col("rn") - 1
+    def isBracket(p: Double): Column =
+      k === floor(pos(p)) || k === ceil(pos(p))
+    def stat(p: Double, edge: Column => Column): Column =
+      max(when(k === edge(pos(p)), col("l_extendedprice")))
+    def interp(p: Double, lower: Column, higher: Column): Column =
+      lower + (pos(p) - floor(pos(p)).cast("double")) * (higher - lower)
+    li.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("l_returnflag"))
+      .filter(isBracket(0.5) || isBracket(0.95))
+      .groupBy(col("l_returnflag"), col("n"))
       .agg(
-        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"),
-        count(lit(1)).as("n"))
+        stat(0.5, floor).as("l50"), stat(0.5, ceil).as("h50"),
+        stat(0.95, floor).as("l95"), stat(0.95, ceil).as("h95"))
       .select(col("l_returnflag"),
-        round(col("ps")(0), 4).as("p50"),
-        round(col("ps")(1), 4).as("p95"),
+        round(interp(0.5, col("l50"), col("h50")), 4).as("p50"),
+        round(interp(0.95, col("l95"), col("h95")), 4).as("p95"),
         col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Range-frame window: per-user moving event count over a 10-minute
     * time window (RANGE frame on the microsecond axis — q7's running
