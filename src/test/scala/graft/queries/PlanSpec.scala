@@ -50,6 +50,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("q20: rank-based percentiles use a spillable window sort, not a buffering aggregate") {
+    val p = plan("q20_percentiles")
+    assert(p.contains("Window"), "per-group sort via window")
+    assert(!p.toLowerCase.contains("percentile"),
+      "percentile() buffers the whole group in one aggregation buffer")
+    assert(p.contains("BroadcastHashJoin"), "group counts broadcast")
+  }
+
+  test("jh_summary_per_job: fleet summary runs explode-free (conditional LWW aggregates)") {
+    // the round-6 rewrite replaced the all-attrs explode-merge (which
+    // multiplied every task record ~10x) with fixed-key conditional
+    // max_by aggregates — no Generate node may reappear
+    val p = plan("jh_summary_per_job")
+    assert(!p.contains("Generate"), "attrs explode crept back into the fleet summary")
+  }
+
   /** The plan string AFTER execution — AQE rewrites the plan at
     * runtime, and `ReusedExchange` only materializes in the final
     * adaptive plan (`isFinalPlan=true`), so the query must be executed
