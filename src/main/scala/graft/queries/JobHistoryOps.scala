@@ -58,7 +58,8 @@ object JobHistoryOps {
     "jh_summary" -> ((s, _) => Reports.summary(v(s))),
     "jh_summary_per_job" -> ((s, _) => Reports.summaryPerJob(v(s))),
     "jh_timeline" -> ((s, _) => Reports.timeline(v(s))),
-    "jh_timeline_sweep" -> ((s, _) => Reports.timelineSweepLine(v(s))))
+    "jh_timeline_sweep" -> ((s, _) => Reports.timelineSweepLine(v(s))),
+    "jh_timeline_per_job" -> ((s, _) => Reports.timelinePerJobSweepLine(v(s))))
 
   /** Shared DuckDB prelude: records with ordinals + event type. */
   private val prelude =
@@ -300,6 +301,19 @@ object JobHistoryOps {
     "jh_summary_per_job" -> summaryPerJobOracle,
     "jh_timeline" -> timelineOracle,
     "jh_timeline_sweep" -> timelineOracle,
+    // the fleet sweep-line on the single-job fixture = the single-job
+    // timeline + the job id column (the id-embedded routing and the
+    // JOBID-keyed bounds resolve to the same job)
+    "jh_timeline_per_job" ->
+      s"""SELECT j.job_id, t.*
+         |FROM (
+         |$timelineOracle
+         |) t CROSS JOIN (
+         |  $prelude
+         |  SELECT arg_max(${attr("JOBID")}, ord)
+         |    FILTER (${attr("JOBID")} IS NOT NULL) AS job_id
+         |  FROM ev WHERE event = 'Job') j
+         |ORDER BY j.job_id, t.time""".stripMargin,
     "jh_task_counters" ->
       s"""$prelude, cnt AS (
          |  SELECT ${attr("TASKID")} AS task_id,
