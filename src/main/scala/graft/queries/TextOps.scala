@@ -112,23 +112,34 @@ object TextOps {
     * — the classic quadratic blow-up at corpus scale. */
   private[queries] val MaxShingleDf = 100L
 
-  /** Distinct (doc, shingle) pairs with the stop-shingle df filter
-    * applied. The df count is `groupBy(shingle).count()` joined back,
-    * not `count().over(Window.partitionBy(shingle))`: a window
-    * materializes every row of a hot shingle on one task (a straggler
-    * at corpus scale), while the aggregate combines map-side and the
-    * join drops the hot shingle before its rows ever co-locate. The
-    * shingle subtree feeds both branches; its distinct-exchange is
-    * reused, not recomputed (see [[ngramJaccardOf]]). */
+  /** 60-bit md5-derived shingle key: every downstream shuffle (df
+    * count, inverted-index self-join, intersection groupBy) carries an
+    * 8-byte long instead of a ~25-40-byte string. 15 hex digits stay
+    * under 2^63 (no signed overflow) and collide with probability
+    * ~3e-8 at 10^5-shingle scale; the DuckDB oracle intentionally
+    * keeps the STRING keys, so a hash-match at the gate doubles as
+    * proof no collision altered the result. */
+  private def sh64(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Distinct (doc, shingle-key) pairs with the stop-shingle df filter
+    * applied. The df count is `groupBy(sh).count()` joined back, not
+    * `count().over(Window.partitionBy(sh))`: a window materializes
+    * every row of a hot shingle on one task (a straggler at corpus
+    * scale), while the aggregate combines map-side and the join drops
+    * the hot shingle before its rows ever co-locate. The shingle
+    * subtree feeds both branches; its exchange is reused, not
+    * recomputed (see [[ngramJaccardOf]]). */
   private[queries] def rareShinglesOf(d: DataFrame,
       maxDf: Long = MaxShingleDf): DataFrame = {
     val shingles = DedupOps.shinglesOf(d)
+      .select(col("doc_id"), expr(sh64("shingle")).as("sh"))
     val rare = shingles
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select(col("shingle"))
-    shingles.join(rare, Seq("shingle"))
-      .select(col("doc_id"), col("shingle"))
+      .select(col("sh"))
+    shingles.join(rare, Seq("sh"))
+      .select(col("doc_id"), col("sh"))
   }
 
   /** N-gram (3-word shingle) Jaccard near-duplicate pairs: shingle →
@@ -149,7 +160,7 @@ object TextOps {
     val sh = rareShinglesOf(d, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))

@@ -58,11 +58,13 @@ class ScaleOpsSpec extends SparkSpec {
     val docs = (1 to 40).map(i =>
       (i.toLong, s"common boiler plate phrase u${i}a u${i}b u${i}c u${i}d"))
       .toDF("doc_id", "text")
-    def candidates(sh: DataFrame): Long = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+    // key column: "shingle" (string) for the raw pairs, "sh" (60-bit
+    // hash key) for the df-filtered pairs
+    def candidates(sh: DataFrame, key: String): Long = sh.as("a")
+      .join(sh.as("b"), col(s"a.$key") === col(s"b.$key") &&
         col("a.doc_id") < col("b.doc_id")).count()
-    val unfiltered = candidates(DedupOps.shinglesOf(docs))
-    val filtered = candidates(TextOps.rareShinglesOf(docs, maxDf = 5))
+    val unfiltered = candidates(DedupOps.shinglesOf(docs), "shingle")
+    val filtered = candidates(TextOps.rareShinglesOf(docs, maxDf = 5), "sh")
     // 2 boilerplate-only shingles x 40·39/2 pairs each, plus the
     // doc-unique tail — the df filter removes all of the quadratic part
     assert(unfiltered >= 2L * (40L * 39 / 2))
