@@ -37,7 +37,9 @@ import org.apache.spark.sql.SparkSession
   * rep that threw is excluded from the warm median (a crashing query
   * must not deflate the headline by benching as ~0 s). A query whose
   * warm reps all failed is omitted from `queries` and the headline
-  * sum entirely — `errors` being non-empty is the signal to read.
+  * sum entirely — and counted in `failed`, which both JSON lines
+  * carry so a shrunken headline sum can never be mistaken for a
+  * speedup by a consumer that only reads `value`.
   */
 object Bench {
 
@@ -116,10 +118,13 @@ object Bench {
     val errQ = obj(rows.collect { case (n, _, _, Some(e)) => n -> jsonStr(e) })
     val warmTotal = rows.flatMap(_._3).sum
     val coldTotal = rows.map(_._2).sum
+    // Queries contributing nothing to the headline sum: their absence
+    // would otherwise read as a speedup in cross-round comparisons.
+    val failed = rows.count(_._3.isEmpty)
     val headline =
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
-      s""""cold_total":$coldTotal,"errors":$errQ,"reps":$reps,""" +
-      s""""sf":${jsonStr(sfDir)}}"""
+      s""""cold_total":$coldTotal,"failed":$failed,"errors":$errQ,""" +
+      s""""reps":$reps,"sf":${jsonStr(sfDir)}}"""
     // Detail first, compact headline LAST: the driver stores a
     // fixed-size stdout tail, so only a small final line is guaranteed
     // to reach its parser intact (BENCH_r05 recorded parsed:null when
@@ -127,7 +132,7 @@ object Bench {
     println(
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
       s""""queries":$warmQ,"cold":$coldQ,"cold_total":$coldTotal,""" +
-      s""""errors":$errQ,"reps":$reps,"sf":${jsonStr(sfDir)}}""")
+      s""""failed":$failed,"errors":$errQ,"reps":$reps,"sf":${jsonStr(sfDir)}}""")
     println(headline)
     spark.stop()
   }

@@ -100,8 +100,15 @@ object ScaleDemo {
     // starts from a clear cache and re-pins its own (the measured time
     // includes one parse + cache build — the cost a fresh session
     // pays).
+    //
+    // Labels report what the measurement actually read, not the
+    // requested sizes: the corpora are reused across runs, so a run
+    // asked for fewer logs/copies than a prior run generated still
+    // measures (and must label) the bigger corpus on disk.
+    val actualLogs = fleetDir.toFile.list().count(_.endsWith(".txt"))
+    val actualDocs = spark.read.parquet(docsParquet.toString).count()
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
-    time(s"fleet summaryPerJob ($nLogs jobs, one scan)") {
+    time(s"fleet summaryPerJob ($actualLogs jobs, one scan)") {
       noop(jobhistory.Reports.summaryPerJob(v))
     }
     // timelinePerJob expands O(duration x attempts) slot rows per job
@@ -121,14 +128,14 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(slice))
     }
     spark.catalog.clearCache(); v.ensureCached()
-    time(s"fleet timelinePerJobSweepLine ($nLogs jobs)") {
+    time(s"fleet timelinePerJobSweepLine ($actualLogs jobs)") {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     spark.catalog.clearCache()
-    time(s"t2 exact dedup (${copies}x docs)") {
+    time(s"t2 exact dedup ($actualDocs docs)") {
       noop(queries.TextOps.dedupExact(spark, docsDir.toString))
     }
-    time(s"t7 MinHash LSH (${copies}x docs)") {
+    time(s"t7 MinHash LSH ($actualDocs docs)") {
       noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
     }
     spark.stop()

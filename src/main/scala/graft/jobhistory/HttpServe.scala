@@ -24,11 +24,27 @@ import org.apache.spark.sql.SparkSession
   * Requests are served sequentially on the dispatch thread (the
   * reference groovlet is likewise one-request-per-worker); the
   * per-request event cache is dropped once the chart is rendered.
+  *
+  * SECURITY BOUNDARY: the loopback bind below IS the access control.
+  * `url=` makes the server fetch caller-chosen URLs (including
+  * `file:` paths via [[JobHistoryReader.readUrl]]) — the reference
+  * CGI has the same contract (job_history.cgi:92-100) behind its web
+  * server's own auth. Exposing this port beyond localhost without
+  * adding scheme/host validation hands out an SSRF + local-file-read
+  * primitive; do not change the bind address without adding one.
+  * POST bodies are capped at [[MaxBodyBytes]] (413 above it) so an
+  * unbounded upload cannot exhaust driver memory.
   */
 object HttpServe {
 
+  /** Largest accepted request body: comfortably above the reference's
+    * biggest fixture log (~1.7 MB) while bounding what one request can
+    * pin on the dispatch thread. */
+  val MaxBodyBytes: Int = 64 * 1024 * 1024
+
   /** Start serving on `port` (0 = ephemeral; read the bound port from
-    * the returned server). Caller stops it with `server.stop(0)`. */
+    * the returned server). Caller stops it with `server.stop(0)`.
+    * Loopback-only by design — see the class note before widening. */
   def start(spark: SparkSession, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new Handler(spark))
@@ -77,6 +93,10 @@ object HttpServe {
             } finally v.release() // per-request caches, not session state
         }
       } catch {
+        case _: BodyTooLarge =>
+          respond(ex, 413, "text/plain",
+            s"request body exceeds ${MaxBodyBytes} bytes"
+              .getBytes(StandardCharsets.UTF_8))
         case e: Exception =>
           respond(ex, 500, "text/plain",
             (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
@@ -106,10 +126,15 @@ object HttpServe {
       val body =
         if (ex.getRequestMethod == "POST" &&
             Option(ex.getRequestHeaders.getFirst("Content-Type"))
-              .exists(_.startsWith("application/x-www-form-urlencoded")))
-          decode(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-        else Map.empty[String, String]
+              .exists(_.startsWith("application/x-www-form-urlencoded"))) {
+          val in = ex.getRequestBody
+          val bytes = in.readNBytes(MaxBodyBytes)
+          if (in.read() != -1) throw new BodyTooLarge
+          decode(new String(bytes, StandardCharsets.UTF_8))
+        } else Map.empty[String, String]
       query ++ body
     }
   }
+
+  private final class BodyTooLarge extends Exception
 }

@@ -226,15 +226,29 @@ object Relational {
   }
 
   /** SURVEY §2.11: the 100 TB distinct-count surface — HLL sketches
-    * instead of exact shuffles. No oracle (sketch estimates are
-    * engine-specific); RelationalSpec bounds the relative error against
-    * the exact q14 counts. */
+    * instead of exact shuffles. The raw estimate is engine-specific
+    * (DuckDB's HLL differs from Spark's), so the gated output carries
+    * the exact count plus `hll_ok`: the estimate landed within 10% of
+    * exact (5× the configured 2% rsd; Spark's HLL++ is deterministic
+    * per dataset, so the flag is stable run-to-run). The oracle emits
+    * the exact counts and TRUE — a drifted or broken sketch flips the
+    * flag and fails the hash gate. The exact `countDistinct` here is
+    * the gate harness, not the scale path: a 100 TB run keeps only the
+    * `approx_users` aggregate (one fixed-size sketch per group, no
+    * per-value shuffle). */
   def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"),
+        col("n_users"),
+        col("n_events"),
+        (abs(col("approx_users") - col("n_users")).cast("double") /
+          col("n_users") <= 0.10).as("hll_ok"))
       .orderBy(col("event_type"))
 
   /** SURVEY §7 scale path: skew-resistant two-stage aggregation. The
@@ -487,6 +501,13 @@ object Relational {
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The estimate itself is engine-specific; the gate checks the
+    // exact counts plus the within-10% flag Spark computed against
+    // its own HLL estimate (TRUE here = "the sketch must be sane").
+    "q16_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events, TRUE AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_scalar_cross" ->
       """WITH tot AS (
         | SELECT count(*) AS total_n,

@@ -122,6 +122,23 @@ object TextOps {
   private def sh64(e: String): String =
     s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Map-only hashed shingle generation: each document's 3-word
+    * shingles are hashed to their 60-bit keys and de-duplicated
+    * *inside the per-document array* (`array_distinct`) before the
+    * explode. The per-doc distinct therefore costs no shuffle (vs
+    * `explode.distinct()`, which shuffles every (doc, shingle) pair),
+    * and a within-doc hash collision can't emit duplicate
+    * `(doc_id, sh)` rows — the keys are distinct by construction.
+    * A collision instead *merges* two distinct shingles (same ~3e-8
+    * probability); the string-keyed oracle still catches any run
+    * where that changed a result. */
+  private[queries] def hashedShinglesOf(d: DataFrame): DataFrame =
+    d.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words) - 3), " +
+          s"i -> ${sh64("concat_ws(' ', slice(words, i + 1, 3))")}))")).as("sh"))
+
   /** Distinct (doc, shingle-key) pairs with the stop-shingle df filter
     * applied. The df count is `groupBy(sh).count()` joined back, not
     * `count().over(Window.partitionBy(sh))`: a window materializes
@@ -132,8 +149,7 @@ object TextOps {
     * recomputed (see [[ngramJaccardOf]]). */
   private[queries] def rareShinglesOf(d: DataFrame,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    val shingles = DedupOps.shinglesOf(d)
-      .select(col("doc_id"), expr(sh64("shingle")).as("sh"))
+    val shingles = hashedShinglesOf(d)
     val rare = shingles
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

