@@ -85,7 +85,7 @@ object DedupOps {
     * check). The full 12-hash signature rides through the band
     * explode as one array column, so signature agreement is computed
     * directly on the join output — no re-join back to the signatures. */
-  private def minhashPairsOf(d: DataFrame): DataFrame = {
+  private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {
     val sig = shinglesOf(d)
       .withColumn("h", expr(h32("shingle")))
       .groupBy(col("doc_id"))
@@ -151,6 +151,96 @@ object DedupOps {
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Connected components over an undirected edge list (`doc_a`,
+    * `doc_b`) by min-label propagation: every node's label converges to
+    * the smallest doc_id reachable from it. Two passes:
+    *
+    *  1. *Discovery* — an RDD loop with explicit persist/unpersist
+    *     finds the converged round count R. Each round is one keyed
+    *     join + `reduceByKey(min)`, fully distributed; convergence is
+    *     a scalar sum check (labels only ever decrease, so the label
+    *     sum is strictly monotone until fixpoint — no diff join
+    *     needed). Every intermediate is unpersisted before return:
+    *     the operator leaves no blocks behind (CacheLifecycleSpec).
+    *  2. *Rebuild* — the returned DataFrame is a fully lazy R-round
+    *     unrolled plan over the same edges: each round joins the
+    *     self-looped symmetric edge list (shuffled by `dst`) against
+    *     the previous labels and takes `min(label)` per `src`. The
+    *     edge-list exchange is identical in every round, so AQE
+    *     reuses one shuffle; the expensive edge *derivation* (e.g.
+    *     the MinHash pipeline) executes once per action, not once per
+    *     round.
+    *
+    * R = graph diameter. Near-dup graphs are unions of near-cliques
+    * (LSH buckets), so R is 2-4 in practice; for adversarial
+    * long-chain graphs the same join shape supports the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), which converges in
+    * O(log² n) rounds — not needed for this workload and kept simple
+    * here. */
+  private[queries] def connectedComponentsOf(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import s.implicits._
+    // --- discovery: how many rounds until the labels stop moving?
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .persist(lvl)
+    var labels = sym.keys.distinct().map(x => (x, x)).persist(lvl)
+    var prevSum = labels.values.fold(0L)(_ + _)
+    var rounds = 0
+    var converged = sym.isEmpty()
+    while (!converged && rounds < 60) {
+      val next = sym.join(labels)
+        .map { case (_, (nbr, lab)) => (nbr, lab) }
+        .union(labels)
+        .reduceByKey(math.min)
+        .persist(lvl)
+      val sum = next.values.fold(0L)(_ + _)
+      labels.unpersist(blocking = true)
+      labels = next
+      if (sum == prevSum) converged = true
+      else { prevSum = sum; rounds += 1 }
+    }
+    // blocking: CacheLifecycleSpec reads getPersistentRDDs right after a
+    // sweep — an async unpersist would leave a racing ghost entry
+    labels.unpersist(blocking = true)
+    sym.unpersist(blocking = true)
+    // --- rebuild: lazy R-round plan (nothing persisted survives)
+    val symDf = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = symDf.select(col("src")).distinct()
+    val withSelf = symDf.union(nodes.select(col("src"), col("src").as("dst")))
+    var lab = nodes.select(col("src").as("node"), col("src").as("label"))
+    for (_ <- 0 until rounds) {
+      lab = withSelf.as("e").join(lab.as("l"), col("e.dst") === col("l.node"))
+        .groupBy(col("e.src"))
+        .agg(min(col("l.label")).as("label"))
+        .withColumnRenamed("src", "node")
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("label").as("cluster_id"), col("node").as("doc_id"),
+        col("cluster_size"), (col("node") === col("label")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** t13: near-duplicate cluster assembly — the step a cleaning
+    * pipeline runs after pair generation. t10 drops the higher id of
+    * each candidate *pair*, which over-deletes on transitive chains
+    * (a~b, b~c deletes both b and c even though c may only resemble
+    * b); clustering first keeps exactly one canonical doc per
+    * *component*. Edges are the MinHash-LSH pairs at the same ≥ 0.5
+    * threshold t10 uses; output is one row per clustered doc with its
+    * component id (min member), component size, and whether it is the
+    * kept canonical. Docs with no near-duplicate are not emitted
+    * (singleton clusters are the uninteresting common case). */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponentsOf(s,
+      minhashPairsOf(docs(s, dir))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
 
   /** 32-bit term-frequency SimHash fingerprints per doc. Hashing per
     * occurrence + map-side partial aggregation: the only shuffle is the
@@ -224,7 +314,8 @@ object DedupOps {
     "t7_minhash_lsh" -> (minhashLsh _),
     "t8_simhash_pairs" -> (simhashPairs _),
     "t9_embedding_neardup" -> (embeddingNearDup _),
-    "t10_clean_corpus" -> (cleanCorpus _))
+    "t10_clean_corpus" -> (cleanCorpus _),
+    "t13_dedup_clusters" -> (nearDupClusters _))
 
   // ------------------------------------------------------------- oracles
 
@@ -356,9 +447,60 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** t13 oracle: the t7 pair derivation verbatim, then a recursive CTE
+    * computing each node's reachable set — `min(v)` over it is the
+    * component id. Transitive closure is O(component²) rows, fine at
+    * oracle scale; the Spark side's label propagation is the
+    * linear-space formulation of the same fixpoint. */
+  private val clusterOracle: String = {
+    val mins = hashParams.zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * ${h32d("shingle")} + $b) % $HashPrime) AS mh$k" }
+      .mkString(",\n   ")
+    val bandSel = (0 until NumBands).map { b =>
+      val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+        .mkString("concat_ws(':', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $shinglesSql,
+       |sig AS (
+       | SELECT doc_id,
+       |   $mins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |est AS (
+       | SELECT doc_a, doc_b,
+       |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       | FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |  JOIN sig sb ON cand.doc_b = sb.doc_id),
+       |edges AS (
+       | SELECT doc_a AS u, doc_b AS v FROM est WHERE est_jaccard >= 0.5),
+       |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       |reach(u, v) AS (
+       | SELECT u, u FROM sym
+       | UNION
+       | SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+       |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |sizes AS (
+       | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       | FROM cc GROUP BY cluster_id)
+       |SELECT cc.cluster_id, cc.doc_id, sizes.cluster_size,
+       | cc.doc_id = cc.cluster_id AS keep
+       |FROM cc JOIN sizes USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t7_minhash_lsh" -> minhashOracle,
     "t8_simhash_pairs" -> simhashOracle,
     "t9_embedding_neardup" -> nearDupOracle,
-    "t10_clean_corpus" -> cleanCorpusOracle)
+    "t10_clean_corpus" -> cleanCorpusOracle,
+    "t13_dedup_clusters" -> clusterOracle)
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** t13 — connected-components near-dup clustering. The chain graph
+  * forces multi-round label propagation (diameter 9: a single
+  * propagate round would mislabel the tail), so the discovery loop's
+  * convergence detection is load-bearing, not decorative. */
+class DedupClustersSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CC core: chain + pair + triangle resolve to min-labeled components") {
+    import spark.implicits._
+    // chain 1..10 (diameter 9), isolated pair, triangle with a chord
+    val edges = (
+      (1L to 9L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L)) ++
+        Seq((50L, 51L), (51L, 52L), (50L, 52L))
+      ).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponentsOf(spark, edges).collect()
+    val byDoc = cc.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Boolean]("keep"))).toMap
+    assert(byDoc.size === 15)
+    (1L to 10L).foreach { d => assert(byDoc(d) === ((1L, 10L, d == 1L))) }
+    Seq(100L, 101L).foreach { d => assert(byDoc(d) === ((100L, 2L, d == 100L))) }
+    Seq(50L, 51L, 52L).foreach { d => assert(byDoc(d) === ((50L, 3L, d == 50L))) }
+  }
+
+  test("CC core: empty edge list yields empty clustering") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponentsOf(spark, empty).count() === 0)
+  }
+
+  test("t13: clusters are consistent with the MinHash edge set") {
+    val edges = DedupOps.minhashPairsOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(col("est_jaccard") >= 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rows = DedupOps.nearDupClusters(spark, dir).collect()
+    val cluster = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // exactly the docs with at least one near-dup edge are clustered
+    assert(cluster.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    // both endpoints of every edge land in the same component
+    edges.foreach { case (a, b) => assert(cluster(a) === cluster(b)) }
+    // component invariants: id = min member, one keep per component,
+    // size = member count
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === cid)
+      assert(members.count(_.getAs[Boolean]("keep")) === 1)
+      members.foreach(m =>
+        assert(m.getAs[Long]("cluster_size") === members.length))
+      assert(members.length >= 2)
+    }
+    assert(rows.nonEmpty)
+    // leak check is CacheLifecycleSpec's job: t13 is part of its sweep
+  }
+}
