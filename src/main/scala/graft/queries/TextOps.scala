@@ -112,44 +112,45 @@ object TextOps {
     * — the classic quadratic blow-up at corpus scale. */
   private[queries] val MaxShingleDf = 100L
 
-  /** 60-bit md5-derived shingle key: every downstream shuffle (df
-    * count, inverted-index self-join, intersection groupBy) carries an
-    * 8-byte long instead of a ~25-40-byte string. 15 hex digits stay
-    * under 2^63 (no signed overflow) and collide with probability
-    * ~3e-8 at 10^5-shingle scale; the DuckDB oracle intentionally
-    * keeps the STRING keys, so a hash-match at the gate doubles as
-    * proof no collision altered the result. */
-  private def sh64(e: String): String =
-    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
-
   /** Map-only hashed shingle generation: each document's 3-word
-    * shingles are hashed to their 60-bit keys and de-duplicated
-    * *inside the per-document array* (`array_distinct`) before the
-    * explode. The per-doc distinct therefore costs no shuffle (vs
-    * `explode.distinct()`, which shuffles every (doc, shingle) pair),
-    * and a within-doc hash collision can't emit duplicate
-    * `(doc_id, sh)` rows — the keys are distinct by construction.
-    * A collision instead *merges* two distinct shingles (same ~3e-8
-    * probability); the string-keyed oracle still catches any run
-    * where that changed a result. */
+    * shingles are keyed by `xxhash64` over the three words directly
+    * (codegen'd, no md5 and no concatenated-string allocation — the
+    * key never leaves the engine, so the hash needs no DuckDB
+    * equivalent; the oracle keys on the shingle STRINGS, and a gate
+    * hash-match doubles as proof no 64-bit collision altered the
+    * result). Keys are de-duplicated *inside the per-document array*
+    * (`array_distinct`) before the explode: the per-doc distinct
+    * costs no shuffle (vs `explode.distinct()`, which shuffles every
+    * (doc, shingle) pair), and a within-doc hash collision can't emit
+    * duplicate `(doc_id, sh)` rows — a collision instead merges two
+    * shingles, which the string-keyed oracle would surface. */
   private[queries] def hashedShinglesOf(d: DataFrame): DataFrame =
     d.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(words) - 3), " +
-          s"i -> ${sh64("concat_ws(' ', slice(words, i + 1, 3))")}))")).as("sh"))
+          "i -> xxhash64(words[i], words[i + 1], words[i + 2])))")).as("sh"))
 
   /** Distinct (doc, shingle-key) pairs with the stop-shingle df filter
     * applied. The df count is `groupBy(sh).count()` joined back, not
     * `count().over(Window.partitionBy(sh))`: a window materializes
     * every row of a hot shingle on one task (a straggler at corpus
     * scale), while the aggregate combines map-side and the join drops
-    * the hot shingle before its rows ever co-locate. The shingle
-    * subtree feeds both branches; its exchange is reused, not
-    * recomputed (see [[ngramJaccardOf]]). */
+    * the hot shingle before its rows ever co-locate.
+    *
+    * The explicit `repartition(sh)` is load-bearing: generation is
+    * map-only, so without it each consumer (the df aggregate, the
+    * filter join, the self-join sides) would re-run the
+    * explode-and-hash from the scan — partial aggregation runs
+    * *before* a groupBy's exchange, making the branches' exchanges
+    * non-identical and defeating reuse. One shuffle keyed by `sh`
+    * instead gives every consumer the same exchange to reuse, and the
+    * df aggregate, filter join, and downstream self-join all consume
+    * it without reshuffling (their required distribution is already
+    * satisfied). */
   private[queries] def rareShinglesOf(d: DataFrame,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    val shingles = hashedShinglesOf(d)
+    val shingles = hashedShinglesOf(d).repartition(col("sh"))
     val rare = shingles
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
