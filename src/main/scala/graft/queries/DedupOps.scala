@@ -46,9 +46,6 @@ object DedupOps {
           "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
       .distinct()
 
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(docs(s, dir))
-
   private val NumHashes = 12
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
@@ -67,39 +64,55 @@ object DedupOps {
       gen(s"b$k") % HashPrime))
   }
 
-  private def minExprs(h: String): IndexedSeq[String] =
-    hashParams.zipWithIndex.map { case ((a, b), k) =>
-      s"min(($a * $h + $b) % $HashPrime) AS mh$k"
-    }
-
   /** MinHash candidate pairs with estimated Jaccard over any (doc_id,
-    * text) set — the LSH core shared by t7 and the t10 pipeline.
+    * text) set — the LSH core shared by t7, the t10 pipeline, and
+    * t13's edge derivation.
     *
-    * The signature DataFrame (shingle explode → distinct → 12-min
-    * groupBy) is the expensive subtree and feeds both sides of the
-    * band self-join — but both sides canonicalize to the same
-    * exchange, so Spark's exchange reuse computes the shingle
-    * pipeline once per execution. No persist: nothing to unpersist,
-    * no MEMORY_AND_DISK blocks outliving the query to evict a later
-    * cache (guarded by CacheLifecycleSpec + PlanSpec's ReusedExchange
-    * check). The full 12-hash signature rides through the band
-    * explode as one array column, so signature agreement is computed
-    * directly on the join output — no re-join back to the signatures. */
+    * Signature computation is entirely MAP-ONLY: `min` is insensitive
+    * to duplicates, so no per-doc shingle distinct is needed at all,
+    * and the 12 mins are `array_min` folds over the per-document
+    * shingle-hash array — the shingle rows are never exploded and
+    * never shuffled (the old shape paid a string-distinct exchange
+    * plus a groupBy(doc_id) exchange before the first banding step).
+    * The only shuffle in the whole operator is one explicit
+    * repartition on the band-join key, which both join sides reuse
+    * (guarded by CacheLifecycleSpec + PlanSpec's reuse-or-broadcast
+    * check). One md5 per shingle *occurrence* (vs per distinct
+    * occurrence before) — strictly cheaper than the exchanges it
+    * replaces. The oracle computes mins over DISTINCT shingles;
+    * identical by min's idempotence. The full 12-hash signature rides
+    * through the band explode as one array column, so signature
+    * agreement is computed directly on the join output — no re-join
+    * back to the signatures. */
   private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {
-    val sig = shinglesOf(d)
-      .withColumn("h", expr(h32("shingle")))
-      .groupBy(col("doc_id"))
-      .agg(expr(minExprs("h").head),
-        minExprs("h").tail.map(expr(_)): _*)
+    val minCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashPrime))")
+        .as(s"mh$k")
+    }
+    val sig = d.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hs", expr(
+        "transform(sequence(0, size(words) - 3), " +
+          s"i -> ${h32("concat_ws(' ', slice(words, i + 1, 3))")})"))
+      .select(col("doc_id") +: minCols: _*)
     val sigArr = array((0 until NumHashes).map(k => col(s"mh$k")): _*)
     val bandStructs = (0 until NumBands).map { b =>
       val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
         .mkString("concat_ws(':', ", ", ", ")")
       expr(s"struct($b AS band, $key AS sig)")
     }
+    // The explicit repartition is load-bearing: the signature subtree
+    // is map-only all the way from the scan, so without an exchange of
+    // its own AQE may satisfy the self-join by BROADCASTING one side —
+    // which recomputes the whole scan+md5 pipeline for the build side
+    // (measured: t7 warm 1.1 -> 1.9 s at sf0.1). Shuffling once on the
+    // join key makes both sides reuse a single materialization, and
+    // AQE remains free to broadcast *from the shuffle output* (map
+    // stage still runs once).
     val bands = sig.select(col("doc_id"), sigArr.as("sig_arr"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig_arr"), col("bs.band"), col("bs.sig"))
+      .repartition(col("band"), col("sig"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
