@@ -214,6 +214,72 @@ object TextOps {
       .limit(20)
   }
 
+  /** t14: repetition-quality statistics (the Gopher-style repetition
+    * filters a pretraining pipeline runs; Rae et al. 2021, §A1.1):
+    * per-document most-frequent-token dominance and duplicate-trigram
+    * fraction, with a `repetitive` drop flag. Entirely map-only —
+    * every statistic folds over the per-row token array, so the
+    * operator is a single scan at any corpus size. The flag compares
+    * the ROUNDED fractions so both engines agree at the threshold
+    * boundary. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(docs(s, dir))
+
+  private[queries] def repetitionStatsOf(d: DataFrame): DataFrame =
+    d.withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("tg", expr(
+        "CASE WHEN size(words) >= 3 THEN " +
+          "transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', slice(words, i + 1, 3))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(expr(
+          "array_max(transform(array_distinct(words), " +
+            "w -> size(filter(words, x -> x = w))))").cast("double") /
+          col("n_tokens"), 6).as("top_tok_frac"),
+        round(expr(
+          "CASE WHEN size(tg) > 0 THEN " +
+            "CAST(size(tg) - size(array_distinct(tg)) AS DOUBLE) / size(tg) " +
+            "ELSE 0.0 END"), 6).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > 0.125 || col("dup_trigram_frac") > 0.05)
+      .orderBy(col("doc_id"))
+
+  /** t15: benchmark decontamination — remove from the training corpus
+    * any document sharing an 8-gram with the held-out set (the
+    * GPT-3/Gopher n-gram-overlap rule; here the holdout is the
+    * `src0` slice, standing in for an eval benchmark). Emits each
+    * contaminated doc with its shared-distinct-8-gram count.
+    *
+    * Scale shape: the holdout is tiny relative to the corpus (eval
+    * benchmarks are), so its distinct hashed 8-grams BROADCAST — the
+    * corpus side is a map-only scan joined without a shuffle, and the
+    * only exchange is the final per-doc count (map-side combined).
+    * 8-gram keys are internal `xxhash64` over the eight words (no
+    * string materialization); the oracle joins on the 8-gram STRINGS,
+    * so a gate match proves no hash collision altered the result. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val hash8 = (0 until 8).map(j => s"words[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words) - 8), " +
+          s"i -> $hash8))")).as("g"))
+    val d = docs(s, dir)
+    val holdout = grams(d.filter(col("source") === "src0"))
+      .select(col("g")).distinct()
+    grams(d.filter(col("source") =!= "src0"))
+      .join(broadcast(holdout), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_tfidf_topterms" -> (tfidfTopTerms _),
     "t1_token_count" -> (tokenCount _),
@@ -222,9 +288,45 @@ object TextOps {
     "t4_quality_score" -> (qualityScore _),
     "t5_fingerprint_stats" -> (fingerprintStats _),
     "t6_ngram_jaccard" -> (ngramJaccard _),
-    "t12_bpe_tokens" -> (bpeTokenCount _))
+    "t12_bpe_tokens" -> (bpeTokenCount _),
+    "t14_repetition_stats" -> (repetitionStats _),
+    "t15_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "t14_repetition_stats" ->
+      """SELECT doc_id, n_tokens, top_tok_frac, dup_trigram_frac,
+        | (top_tok_frac > 0.125 OR dup_trigram_frac > 0.05) AS repetitive
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_max(list_transform(list_distinct(words),
+        |    w -> len(list_filter(words, x -> x = w)))) AS DOUBLE)
+        |    / len(words), 6) AS top_tok_frac,
+        |  round(CASE WHEN len(tg) > 0 THEN
+        |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+        |   ELSE 0.0 END, 6) AS dup_trigram_frac
+        | FROM (
+        |  SELECT doc_id, words,
+        |   CASE WHEN len(words) >= 3 THEN
+        |     list_transform(generate_series(1, len(words) - 2),
+        |       i -> array_to_string(words[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS tg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "t15_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS words
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source, array_to_string(words[i:i+7], ' ') AS g
+        | FROM w, unnest(generate_series(1, len(words) - 7)) AS u(i)
+        | WHERE len(words) >= 8),
+        |hold AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> 'src0')
+        |SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM corp JOIN hold USING (g)
+        |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin,
     "t11_tfidf_topterms" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

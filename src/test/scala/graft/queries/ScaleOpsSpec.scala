@@ -174,4 +174,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("doc_id"))
     assert(!plan.contains("payload"), "payload must not survive pruning")
   }
+
+  test("t14: repetition stats match a hand computation on crafted docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      // "x x x x" — top token 4/4, trigrams [xxx, xxx]: dup frac 1/2
+      (1L, "x x x x"),
+      // all-distinct words: top 1/4, trigrams distinct: dup 0
+      (2L, "a b c d"),
+      // 2 words — no trigram window: dup frac 0 by convention
+      (3L, "a a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val rows = TextOps.repetitionStatsOf(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_tok_frac"), r.getAs[Double]("dup_trigram_frac"),
+          r.getAs[Boolean]("repetitive"))).toMap
+    assert(rows(1L) === ((1.0, 0.5, true)))
+    assert(rows(2L) === ((0.25, 0.0, true))) // top_tok_frac 0.25 > 0.125
+    assert(rows(3L) === ((1.0, 0.0, true)))
+  }
+
+  test("t15: contaminated docs share an 8-gram with the holdout; plan broadcasts") {
+    val df = TextOps.decontaminate(spark, dir)
+    val rows = df.collect()
+    // every flagged doc really shares a verbatim 8-gram with src0
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("text"))).toMap
+    def grams8(t: String): Set[String] =
+      t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val holdGrams = docs.values.collect { case ("src0", t) => grams8(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(docs(id)._1 != "src0", "holdout docs must not be flagged")
+      val shared = grams8(docs(id)._2) intersect holdGrams
+      assert(shared.size.toLong === r.getAs[Long]("n_shared"),
+        s"doc $id shared-gram count")
+    }
+    // scale shape: the holdout side reaches the join as a broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "holdout n-gram set must broadcast, not shuffle the corpus")
+  }
 }
