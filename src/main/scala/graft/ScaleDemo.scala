@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * for the fleet reports and the dedup operators over them.
   *
   * Usage: `SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32
-  *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies]"`
+  *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies] [phase]"`
   * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
-  * (500k documents). Generation is idempotent — corpora are kept under
-  * `target/` and reused.
+  * (500k documents); `phase` = `all` (default) | `fleet` | `docs`
+  * restricts which measurement family runs (the fleet reports take
+  * ~45 min over 16 GB — `docs` re-measures only the document
+  * operators against the reused corpus). Generation is idempotent —
+  * corpora are kept under `target/` and reused.
   *
   * The rotated copies are mostly-overlapping shingle sets, so the
   * corpus is near-duplicate-heavy by construction — the dedup
@@ -32,6 +35,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val nLogs = args.lift(0).map(_.toInt).getOrElse(10000)
     val copies = args.lift(1).map(_.toInt).getOrElse(100)
+    val phase = args.lift(2).getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,6 +111,7 @@ object ScaleDemo {
     // measures (and must label) the bigger corpus on disk.
     val actualLogs = fleetDir.toFile.list().count(_.endsWith(".txt"))
     val actualDocs = spark.read.parquet(docsParquet.toString).count()
+    if (phase != "docs") {
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
     time(s"fleet summaryPerJob ($actualLogs jobs, one scan)") {
       noop(jobhistory.Reports.summaryPerJob(v))
@@ -131,12 +136,21 @@ object ScaleDemo {
     time(s"fleet timelinePerJobSweepLine ($actualLogs jobs)") {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
+    }
+    if (phase != "fleet") {
     spark.catalog.clearCache()
     time(s"t2 exact dedup ($actualDocs docs)") {
       noop(queries.TextOps.dedupExact(spark, docsDir.toString))
     }
     time(s"t7 MinHash LSH ($actualDocs docs)") {
       noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
+    }
+    time(s"t13 CC dedup clusters ($actualDocs docs)") {
+      noop(queries.DedupOps.nearDupClusters(spark, docsDir.toString))
+    }
+    time(s"t15 decontaminate ($actualDocs docs)") {
+      noop(queries.TextOps.decontaminate(spark, docsDir.toString))
+    }
     }
     spark.stop()
   }

@@ -280,7 +280,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t16: deterministic stratified sampling — keep ~20 % of documents
+    * per source by md5 hash threshold on the doc id. Hash-threshold
+    * sampling (vs `rand()`) is reproducible across runs, engines, and
+    * repartitionings — the property a training-data pipeline needs for
+    * auditable subsets — and is map-only: no shuffle, no sample()
+    * nondeterminism, prunable to a parquet scan + filter. The md5
+    * formulation is engine-portable, so the oracle computes the exact
+    * same subset. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100"))
+      .filter(col("bucket") < 20)
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Token budget per training context window for [[contextPacking]]. */
+  private[queries] val PackBudget = 2048L
+
+  /** t17: context-window packing — the concat-then-chunk step that
+    * turns a document stream into fixed-size training windows. Each
+    * document gets its exclusive prefix token offset within its
+    * source (one window-function cumsum, partitioned by source), the
+    * window id it starts in (`floor(offset / budget)`), and whether it
+    * straddles a window boundary. One shuffle on the source key; the
+    * running sum is the sequential semantics itself (packing is
+    * order-defined), so a per-source sort is inherent, and sources
+    * are the parallelism unit — the 100 TB layout shards by source
+    * exactly like this partitionBy. */
+  def contextPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        floor(col("start_off") / PackBudget).as("pack_id"),
+        (floor(col("start_off") / PackBudget) !==
+          floor((col("start_off") + col("n_tokens") - 1) / PackBudget))
+          .as("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_stratified_sample" -> (stratifiedSample _),
+    "t17_context_packing" -> (contextPacking _),
     "t11_tfidf_topterms" -> (tfidfTopTerms _),
     "t1_token_count" -> (tokenCount _),
     "t2_dedup_exact" -> (dedupExact _),
@@ -293,6 +342,29 @@ object TextOps {
     "t15_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "t16_stratified_sample" ->
+      """SELECT doc_id, source,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |   AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |   % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "t17_context_packing" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+        | FROM t)
+        |SELECT doc_id, source, n_tokens, start_off,
+        | start_off // 2048 AS pack_id,
+        | (start_off // 2048) <> ((start_off + n_tokens - 1) // 2048)
+        |   AS spans_boundary
+        |FROM o ORDER BY doc_id""".stripMargin,
     "t14_repetition_stats" ->
       """SELECT doc_id, n_tokens, top_tok_frac, dup_trigram_frac,
         | (top_tok_frac > 0.125 OR dup_trigram_frac > 0.05) AS repetitive

@@ -196,6 +196,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows(3L) === ((1.0, 0.0, true)))
   }
 
+  test("t16: hash-threshold sample is deterministic and near the target rate") {
+    val a = TextOps.stratifiedSample(spark, dir).collect()
+    val b = TextOps.stratifiedSample(spark, dir).collect()
+    // reproducible across executions — the property rand() lacks
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach(r => assert(r.getAs[Long]("bucket") < 20))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.10 && rate < 0.30, s"sample rate $rate far from 20%")
+  }
+
+  test("t17: packing offsets are per-source prefix sums; boundary flags exact") {
+    val rows = TextOps.contextPacking(spark, dir).collect()
+    val budget = TextOps.PackBudget
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_off") === off, "prefix sum")
+        val n = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("pack_id") === off / budget)
+        assert(r.getAs[Boolean]("spans_boundary") ===
+          (off / budget != (off + n - 1) / budget))
+        off += n
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("t15: contaminated docs share an 8-gram with the holdout; plan broadcasts") {
     val df = TextOps.decontaminate(spark, dir)
     val rows = df.collect()
