@@ -14,6 +14,15 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("t16: sample scan prunes to doc_id — text never leaves the reader") {
+    // the hash threshold is over doc_id only; a scan that drags the
+    // text column through a 100 TB corpus for a 20% id-sample is the
+    // pruning failure this guards against
+    val p = plan("t16_stratified_sample")
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      "t16 must not read the text column")
+  }
+
   test("q10 star join: all dimension joins broadcast, none sort-merge") {
     val p = plan("q10_star_join")
     assert(p.contains("BroadcastHashJoin"))
@@ -44,10 +53,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("t7: signature aggregation is partial+final (map-side combine)") {
+  test("t7: signatures are map-only — one Generate (bands), mins as array folds") {
+    // round 7 rewrote signatures as array_min folds over the per-doc
+    // shingle-hash array: no shingle explode, no distinct, no
+    // groupBy(doc_id). The only row-generating node left is the band
+    // explode — once per self-join side in the pre-AQE plan (the old
+    // shape showed 4 Generates: shingle + band per side). A third
+    // means the shingle explode crept back.
     val p = plan("t7_minhash_lsh")
-    // partial HashAggregate before the exchange, final after
-    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert("Generate".r.findAllIn(p).length <= 2,
+      "only the band explode may generate rows")
+    assert(p.contains("array_min"),
+      "signature mins must fold per-document arrays")
   }
 
   test("q20: rank-based percentiles use a spillable window sort, not a buffering aggregate") {
