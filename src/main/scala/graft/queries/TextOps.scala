@@ -236,9 +236,19 @@ object TextOps {
       .select(
         col("doc_id"),
         col("n_tokens"),
+        // most-frequent-token count == longest run in the sorted token
+        // array: one O(n log n) sort + O(n) fold per document, vs the
+        // naive O(n·distinct) count-per-distinct-token scan (~30×
+        // fewer lambda evaluations; higher-order functions evaluate
+        // interpreted, so the constant matters). The oracle keeps the
+        // naive formulation — identical values, independent derivation.
         round(expr(
-          "array_max(transform(array_distinct(words), " +
-            "w -> size(filter(words, x -> x = w))))").cast("double") /
+          "aggregate(sort_array(words), " +
+            "struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best), " +
+            "(a, x) -> struct(x AS prev, " +
+            "  IF(x = a.prev, a.run + 1, 1L) AS run, " +
+            "  GREATEST(a.best, IF(x = a.prev, a.run + 1, 1L)) AS best), " +
+            "a -> a.best)").cast("double") /
           col("n_tokens"), 6).as("top_tok_frac"),
         round(expr(
           "CASE WHEN size(tg) > 0 THEN " +
