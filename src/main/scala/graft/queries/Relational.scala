@@ -350,7 +350,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q22: as-of join — attach to each `purchase` event the most recent
+    * prior-or-equal `view` event of the same user (last-touch
+    * attribution; the canonical time-series as-of). Implemented as
+    * union + one window pass — `last(..., ignoreNulls)` over rows up
+    * to the current one — NOT a per-pair range join: a range join
+    * explodes to O(purchases × views) per user before picking the max,
+    * while the window shape is one shuffle on user_id and one
+    * time-ordered sort, the same plan a 1000-executor as-of over 100 TB
+    * wants (both engines window identically; ties on `us` break by
+    * event_id, which the ORDER BY pins in both). */
+  def q22AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("asof_view_id",
+        last(when(col("event_type") === "view", col("event_id")), true).over(w))
+      .withColumn("asof_gap_us",
+        col("us") -
+          last(when(col("event_type") === "view", col("us")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_id"), col("asof_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_asof_join" -> (q22AsofJoin _),
     "q21_range_frame" -> (q21RangeFrame _),
     "q20_percentiles" -> (q20Percentiles _),
     "q18_rollup" -> (q18Rollup _),
@@ -374,6 +403,24 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q22_asof_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |w AS (
+        | SELECT e.*,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_view_id,
+        |  last_value(CASE WHEN event_type = 'view' THEN us END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_us
+        | FROM e)
+        |SELECT event_id, user_id, asof_view_id, us - v_us AS asof_gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q21_range_frame" ->
       """SELECT event_id, user_id,
         | count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -337,8 +337,86 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-like span pattern for [[piiScrub]]. The corpus is synthetic
+    * word-salad (no real emails/phones), so the "PII" stand-in is a
+    * `customer <word>` span — the machinery (non-overlapping global
+    * regex match, count, redact, digest) is exactly a production
+    * email/phone scrub; only the pattern constant differs. Kept to a
+    * subset with identical semantics in Java regex and DuckDB's RE2. */
+  private[queries] val PiiRe = "customer [a-z]+"
+  private[queries] val PiiRepl = "customer [NAME]"
+
+  /** t18: PII detection + redaction — per-document match count, the
+    * redacted text's md5 (the audit fingerprint a scrub job records),
+    * and the redacted length. Map-only: regex matching is per-row, so
+    * the operator is a single scan at any corpus size and the three
+    * outputs share one regexp_replace subtree. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("redacted", regexp_replace(col("text"), PiiRe, PiiRepl))
+      .select(
+        col("doc_id"),
+        expr(s"regexp_count(text, '$PiiRe')").cast("long").as("n_pii"),
+        md5(col("redacted")).as("redacted_md5"),
+        length(col("redacted")).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+
+  /** t19: sequence-length bucketing — assign each document the
+    * smallest power-of-two context length that holds it, then report
+    * per-bucket doc/token totals and the padding a bucketed batcher
+    * would burn (`cap - n_tokens` per doc). The bucket is computed in
+    * INTEGER arithmetic (bit length of n_tokens - 1, then a shift) —
+    * a log2 formulation differs between engines at exact powers of
+    * two, where libm log2 is exact but log(x)/log(2) is not. One
+    * map-side-combined aggregation on a tiny key space. */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cap", expr(
+        "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) END"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("cap") - col("n_tokens")).as("pad_tokens"))
+      .withColumn("pad_frac", round(
+        col("pad_tokens").cast("double") /
+          (col("n_docs") * col("cap")).cast("double"), 6))
+      .orderBy(col("cap"))
+
+  /** t20: domain-mix weighting — per-source token counts and the
+    * temperature-scaled sampling weight (alpha = 0.5) a pretraining
+    * mixer assigns: `w_i = p_i^0.5 / Σ_j p_j^0.5` where `p_i` is the
+    * source's token share. The corpus-total normalizer cancels, so
+    * only `sqrt(src_tokens)` matters — and sqrt is IEEE
+    * correctly-rounded, giving both engines bit-identical per-source
+    * terms. One keyed aggregation; the per-source frame (a handful of
+    * rows at any corpus size — sources are domains, not documents)
+    * then crossJoins its own single-row total via broadcast. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val tot = per.agg(
+      sum(col("src_tokens")).as("all_tokens"),
+      sum(sqrt(col("src_tokens").cast("double"))).as("sum_sqrt"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("src_tokens"),
+        round(col("src_tokens").cast("double") / col("all_tokens"), 6)
+          .as("raw_share"),
+        round(sqrt(col("src_tokens").cast("double")) / col("sum_sqrt"), 6)
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_stratified_sample" -> (stratifiedSample _),
+    "t18_pii_scrub" -> (piiScrub _),
+    "t19_length_buckets" -> (lengthBuckets _),
+    "t20_domain_mix" -> (domainMix _),
     "t17_context_packing" -> (contextPacking _),
     "t11_tfidf_topterms" -> (tfidfTopTerms _),
     "t1_token_count" -> (tokenCount _),
@@ -360,6 +438,43 @@ object TextOps {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |   % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "t18_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, 'customer [a-z]+')) AS BIGINT)
+        |   AS n_pii,
+        | md5(regexp_replace(text, 'customer [a-z]+', 'customer [NAME]', 'g'))
+        |   AS redacted_md5,
+        | CAST(length(regexp_replace(text, 'customer [a-z]+',
+        |   'customer [NAME]', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t19_length_buckets" ->
+      """WITH t AS (
+        | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT n_tokens,
+        |  CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+        |   ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS cap
+        | FROM t)
+        |SELECT cap, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(cap - n_tokens) AS BIGINT) AS pad_tokens,
+        | round(CAST(sum(cap - n_tokens) AS DOUBLE) / (count(*) * cap), 6)
+        |   AS pad_frac
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
+    "t20_domain_mix" ->
+      """WITH per AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        | FROM documents GROUP BY source),
+        |tot AS (
+        | SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens,
+        |  sum(sqrt(CAST(src_tokens AS DOUBLE))) AS sum_sqrt
+        | FROM per)
+        |SELECT source, n_docs, src_tokens,
+        | round(CAST(src_tokens AS DOUBLE) / all_tokens, 6) AS raw_share,
+        | round(sqrt(CAST(src_tokens AS DOUBLE)) / sum_sqrt, 6) AS mix_weight
+        |FROM per, tot ORDER BY source""".stripMargin,
     "t17_context_packing" ->
       """WITH t AS (
         | SELECT doc_id, source,

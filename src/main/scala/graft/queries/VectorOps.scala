@@ -254,13 +254,68 @@ object VectorOps {
       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** v5: per-vector int8 scalar quantization — the compression pass an
+    * ANN index build runs before storing vectors. Each vector maps its
+    * components to 0..254 codes against its own min/max range; the
+    * output carries the integer code sum (exact across engines), the
+    * quantization scale, and the max absolute reconstruction error.
+    * Map-only: every statistic folds over the per-row array, so the
+    * operator is a single scan at any corpus size. All arithmetic is
+    * DOUBLE on float32 inputs — both engines widen identically, `/`
+    * and `*` are IEEE-determined, and `round()` (half away from zero
+    * on positives in both) then yields bit-identical codes. A
+    * constant vector (mx = mn) quantizes to all-zero codes. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("codes", expr(
+        "CASE WHEN mx > mn THEN transform(embedding, " +
+          "x -> CAST(round((CAST(x AS DOUBLE) - mn) / (mx - mn) * 254.0) " +
+          "AS BIGINT)) " +
+          "ELSE transform(embedding, x -> CAST(0 AS BIGINT)) END"))
+      .select(
+        col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+          .as("code_sum"),
+        round((col("mx") - col("mn")) / 254.0, 6).as("scale"),
+        round(expr(
+          "array_max(transform(sequence(0, size(codes) - 1), " +
+            "i -> abs(CAST(embedding[i] AS DOUBLE) - " +
+            "(mn + codes[i] * ((mx - mn) / 254.0)))))"), 6)
+          .as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v5_quantize_int8" -> (quantizeInt8 _),
     "v1_cosine_topk" -> (cosineTopK _),
     "v2_label_norm_stats" -> (labelNormStats _),
     "v3_ann_lsh" -> (annLsh _),
     "v4_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
+    "v5_quantize_int8" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding AS e,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx
+        | FROM embeddings),
+        |c AS (
+        | SELECT vec_id, e, mn, mx,
+        |  CASE WHEN mx > mn THEN
+        |    list_transform(e, x -> CAST(round(
+        |      (CAST(x AS DOUBLE) - mn) / (mx - mn) * 254.0) AS BIGINT))
+        |   ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS codes
+        | FROM b)
+        |SELECT vec_id,
+        | CAST(len(codes) AS BIGINT) AS n_dims,
+        | CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        | round((mx - mn) / 254.0, 6) AS scale,
+        | round(list_max(list_transform(range(1, len(codes) + 1),
+        |   i -> abs(CAST(e[i] AS DOUBLE) -
+        |     (mn + codes[i] * ((mx - mn) / 254.0))))), 6) AS max_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (
         | SELECT vec_id AS q_id, embedding AS qv FROM embeddings

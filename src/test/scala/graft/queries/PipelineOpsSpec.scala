@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the round-7 pipeline operators (t18-t20, v5, q22) on
+  * sf0.001 — the DuckDB oracles cover exact cross-engine parity; these
+  * pin the semantics the oracles can't see (idempotence, conservation,
+  * algebraic bounds).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t18: redaction is idempotent and counts match removed spans") {
+    val scrubbed = TextOps.piiScrub(spark, dir)
+    val redactedTwice = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .withColumn("r1",
+        regexp_replace(col("text"), TextOps.PiiRe, TextOps.PiiRepl))
+      .withColumn("r2",
+        regexp_replace(col("r1"), TextOps.PiiRe, TextOps.PiiRepl))
+      .filter(col("r1") =!= col("r2"))
+    // the replacement text can't itself match the pattern
+    assert(redactedTwice.count() === 0)
+    // the corpus actually exercises the scrub (pattern isn't dead)
+    assert(scrubbed.agg(sum(col("n_pii"))).head.getLong(0) > 0)
+  }
+
+  test("t19: buckets conserve docs/tokens and caps are tight powers of two") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val buckets = TextOps.lengthBuckets(spark, dir).collect()
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(buckets.map(_.getAs[Long]("total_tokens")).sum ===
+      docs.agg(sum(col("n_tokens"))).head.getLong(0))
+    buckets.foreach { r =>
+      val cap = r.getAs[Long]("cap")
+      assert((cap & (cap - 1)) === 0L) // power of two
+    }
+    // tight: every doc fits its cap but not the next one down
+    val tight = docs.withColumn("cap", expr(
+      "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) END"))
+      .filter(col("n_tokens") > col("cap") ||
+        (col("cap") > 1 && col("n_tokens") <= col("cap") / 2))
+    assert(tight.count() === 0)
+  }
+
+  test("t20: mix weights form a distribution flatter than the raw shares") {
+    val rows = TextOps.domainMix(spark, dir).collect()
+    val wSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4)
+    val rawSum = rows.map(_.getAs[Double]("raw_share")).sum
+    assert(math.abs(rawSum - 1.0) < 1e-4)
+    // sqrt temperature pulls every weight toward uniform: the largest
+    // source loses share, the smallest gains
+    val byRaw = rows.sortBy(_.getAs[Double]("raw_share"))
+    assert(byRaw.last.getAs[Double]("mix_weight") <=
+      byRaw.last.getAs[Double]("raw_share"))
+    assert(byRaw.head.getAs[Double]("mix_weight") >=
+      byRaw.head.getAs[Double]("raw_share"))
+  }
+
+  test("v5: codes bounded by [0, 254] and reconstruction error by scale/2") {
+    val q = VectorOps.quantizeInt8(spark, dir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val n = r.getAs[Long]("n_dims")
+      val sum = r.getAs[Long]("code_sum")
+      assert(sum >= 0 && sum <= 254 * n)
+      // |x - dequant(quant(x))| <= scale/2 + rounding slack
+      assert(r.getAs[Double]("max_abs_err") <=
+        r.getAs[Double]("scale") / 2 + 1e-6)
+    }
+  }
+
+  test("q22: every as-of match is a real prior view of the same user") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+    val asof = Relational.q22AsofJoin(spark, dir)
+    // purchases are all present exactly once
+    assert(asof.count() === e.filter(col("event_type") === "purchase").count())
+    val joined = asof.filter(col("asof_view_id").isNotNull).as("a")
+      .join(e.as("v"), col("a.asof_view_id") === col("v.event_id"))
+    // matched row is a view by the same user, at or before the purchase
+    assert(joined.filter(col("v.event_type") =!= "view").count() === 0)
+    assert(joined.filter(col("v.user_id") =!= col("a.user_id")).count() === 0)
+    assert(asof.filter(col("asof_gap_us") < 0).count() === 0)
+    // and it is the LATEST such view: no other view in the gap interval
+    val purch = asof.as("a")
+      .join(e.filter(col("event_type") === "purchase").as("p"),
+        col("a.event_id") === col("p.event_id"))
+      .select(col("a.event_id").as("pid"), col("a.user_id").as("uid"),
+        col("p.us").as("p_us"), col("a.asof_gap_us"))
+    val better = purch.join(e.filter(col("event_type") === "view").as("w"),
+        col("uid") === col("w.user_id") &&
+          col("w.us") <= col("p_us") &&
+          col("p_us") - col("w.us") < col("asof_gap_us"))
+    assert(better.count() === 0)
+  }
+}
