@@ -84,7 +84,12 @@ object DedupOps {
     * through the band explode as one array column, so signature
     * agreement is computed directly on the join output — no re-join
     * back to the signatures. */
-  private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {
+  /** Map-only banded MinHash signatures: `(doc_id, sig_arr, band,
+    * sig)` — the LSH bucket key stream shared by the batch pair join
+    * below and [[graft.streaming.IngestDedup]] (which keys bucket
+    * state by (band, sig) on an unbounded stream). Works unchanged on
+    * a streaming DataFrame: every step is a per-row projection. */
+  private[graft] def bandedSignaturesOf(d: DataFrame): DataFrame = {
     val minCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashPrime))")
         .as(s"mh$k")
@@ -101,6 +106,12 @@ object DedupOps {
         .mkString("concat_ws(':', ", ", ", ")")
       expr(s"struct($b AS band, $key AS sig)")
     }
+    sig.select(col("doc_id"), sigArr.as("sig_arr"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sig_arr"), col("bs.band"), col("bs.sig"))
+  }
+
+  private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {
     // The explicit repartition is load-bearing: the signature subtree
     // is map-only all the way from the scan, so without an exchange of
     // its own AQE may satisfy the self-join by BROADCASTING one side —
@@ -109,10 +120,7 @@ object DedupOps {
     // join key makes both sides reuse a single materialization, and
     // AQE remains free to broadcast *from the shuffle output* (map
     // stage still runs once).
-    val bands = sig.select(col("doc_id"), sigArr.as("sig_arr"),
-      explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("sig_arr"), col("bs.band"), col("bs.sig"))
-      .repartition(col("band"), col("sig"))
+    val bands = bandedSignaturesOf(d).repartition(col("band"), col("sig"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -291,8 +299,12 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair-dedup distinct: a pair sharing
+      // several blocks reaches the distinct at most 4x either way, but
+      // far pairs (the overwhelming majority of block collisions)
+      // never enter its exchange at all
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =

@@ -118,4 +118,35 @@ class PlanSpec extends SparkSpec {
         s"$q: shared subtree no longer reuses its exchange nor broadcasts")
     }
   }
+
+  test("t18/v5: per-row scrub and quantization stay map-only (no exchange before the sort)") {
+    // both ops are single-scan folds; the only exchange permitted in
+    // the whole plan is the final presentation orderBy's range
+    // partitioning — a groupBy/join sneaking in would shuffle a
+    // 100 TB corpus for a per-row statistic
+    for (q <- Seq("t18_pii_scrub", "v5_quantize_int8")) {
+      val p = plan(q)
+      val exchanges = "(?m)Exchange \\w+".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q: found a non-orderBy exchange: $exchanges")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+    }
+  }
+
+  test("t19: bucket aggregate is map-side combined (partial before the exchange)") {
+    val p = plan("t19_length_buckets")
+    // partial_count/partial_sum appear below the exchange: the 100 TB
+    // scan reduces to (#buckets x #tasks) rows before any shuffle
+    assert("partial_".r.findAllIn(p).nonEmpty, "expected partial aggregation")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "t19 needs only the text column — everything else must be pruned")
+  }
+
+  test("q22: as-of join is one window pass — a single hash exchange, no join node") {
+    val p = plan("q22_asof_join")
+    assert(!p.contains("Join"), "as-of must not be a join at all")
+    val hashEx = "(?m)Exchange hashpartitioning".r.findAllIn(p).toList
+    assert(hashEx.size == 1,
+      s"expected exactly one user_id shuffle, got: $hashEx")
+  }
 }
