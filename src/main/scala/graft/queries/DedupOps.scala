@@ -29,10 +29,6 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Portable 32-bit hash (Spark side). */
-  private def h32(e: String): String =
-    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
-
   /** Portable 32-bit hash (DuckDB side). */
   private def h32d(e: String): String =
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
@@ -46,23 +42,17 @@ object DedupOps {
           "i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("shingle"))
       .distinct()
 
-  private val NumHashes = 12
+  private val NumHashes = graft.functions.TextHashes.NumHashes
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
 
-  /** Universal-hash family over one base md5: H_k(x) = (a_k·h32(x) +
-    * b_k) mod P — one md5 per shingle instead of [[NumHashes]], the
-    * standard MinHash trick. Constants are md5-seeded so both engines
-    * embed identical literals. */
-  private val HashPrime = 4294967311L // smallest prime > 2^32
-  private[queries] lazy val hashParams: IndexedSeq[(Long, Long)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def gen(tag: String): Long = java.lang.Long.parseLong(
-      md.digest(tag.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
-    // a < 2^30 keeps a·h < 2^62 (h < P ≈ 2^32): no BIGINT overflow
-    (0 until NumHashes).map(k => ((gen(s"a$k") % 1073741823L) | 1L,
-      gen(s"b$k") % HashPrime))
-  }
+  /** Universal-hash family constants — owned by
+    * [[graft.functions.TextHashes]] (the fused kernel embeds them);
+    * aliased here because the DuckDB oracle SQL below embeds the same
+    * literals. */
+  private val HashPrime = graft.functions.TextHashes.HashPrime
+  private[queries] lazy val hashParams: IndexedSeq[(Long, Long)] =
+    graft.functions.TextHashes.hashParams
 
   /** MinHash candidate pairs with estimated Jaccard over any (doc_id,
     * text) set — the LSH core shared by t7, the t10 pipeline, and
@@ -90,23 +80,21 @@ object DedupOps {
     * state by (band, sig) on an unbounded stream). Works unchanged on
     * a streaming DataFrame: every step is a per-row projection. */
   private[graft] def bandedSignaturesOf(d: DataFrame): DataFrame = {
-    val minCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
-      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashPrime))")
-        .as(s"mh$k")
-    }
+    graft.functions.TextHashes.register(d.sparkSession)
+    // fused native kernel: one compiled loop per document computes all
+    // 12 mins — no per-shingle hex strings, no interpreted
+    // higher-order lambdas (12 transform() folds before); values are
+    // bit-identical to the conv(substr(md5)) SQL formulation the
+    // oracle keeps (TextHashesSpec asserts the equivalence directly)
     val sig = d.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("hs", expr(
-        "transform(sequence(0, size(words) - 3), " +
-          s"i -> ${h32("concat_ws(' ', slice(words, i + 1, 3))")})"))
-      .select(col("doc_id") +: minCols: _*)
-    val sigArr = array((0 until NumHashes).map(k => col(s"mh$k")): _*)
+      .select(col("doc_id"), expr("minhash_sig(words)").as("sig_arr"))
     val bandStructs = (0 until NumBands).map { b =>
-      val key = (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+      val key = (0 until BandSize).map(r => s"sig_arr[${b * BandSize + r}]")
         .mkString("concat_ws(':', ", ", ", ")")
       expr(s"struct($b AS band, $key AS sig)")
     }
-    sig.select(col("doc_id"), sigArr.as("sig_arr"),
+    sig.select(col("doc_id"), col("sig_arr"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig_arr"), col("bs.band"), col("bs.sig"))
   }
@@ -263,24 +251,17 @@ object DedupOps {
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b")))
 
-  /** 32-bit term-frequency SimHash fingerprints per doc. Hashing per
-    * occurrence + map-side partial aggregation: the only shuffle is the
-    * per-doc group. (A distinct-token broadcast variant benches the
-    * same here and breaks at corpus scale — vocabulary grows with the
-    * corpus, so the "small" side wouldn't stay broadcastable.) */
+  /** 32-bit term-frequency SimHash fingerprints per doc, via the fused
+    * native kernel — entirely MAP-ONLY: the per-token ±1 bit sums fold
+    * inside one compiled loop per document, replacing the old explode
+    * (one row per token occurrence) + groupBy(doc_id) with 32
+    * conditional sums — fingerprinting a 100 TB corpus no longer
+    * shuffles at all; the only exchange left in t8 is the block join.
+    * Values are identical (the sums are order-independent integers,
+    * asserted against the SQL formulation in TextHashesSpec). */
   private[queries] def simhashFingerprints(d: DataFrame): DataFrame = {
-    // hash materialized once per token occurrence — embedding h32(tok)
-    // in each conditional sum would run the md5 32x per token
-    val bitSums = (0 until 32).map(b =>
-      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-    val fpExpr = (0 until 32)
-      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
-    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", expr(h32("tok")))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(fpExpr).as("fp"))
+    graft.functions.TextHashes.register(d.sparkSession)
+    d.select(col("doc_id"), expr("simhash_fp(split(text, ' '))").as("fp"))
   }
 
   /** t8: SimHash near-dup pairs with hamming ≤ 3 via the 4×8-bit

@@ -53,18 +53,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("t7: signatures are map-only — one Generate (bands), mins as array folds") {
-    // round 7 rewrote signatures as array_min folds over the per-doc
-    // shingle-hash array: no shingle explode, no distinct, no
-    // groupBy(doc_id). The only row-generating node left is the band
-    // explode — once per self-join side in the pre-AQE plan (the old
-    // shape showed 4 Generates: shingle + band per side). A third
-    // means the shingle explode crept back.
+  test("t7: signatures are map-only — one Generate (bands), fused sig kernel") {
+    // signatures are one native minhash_sig call per document: no
+    // shingle explode, no distinct, no groupBy(doc_id). The only
+    // row-generating node left is the band explode — once per
+    // self-join side in the pre-AQE plan (the old shape showed 4
+    // Generates: shingle + band per side). A third means the shingle
+    // explode crept back.
     val p = plan("t7_minhash_lsh")
     assert("Generate".r.findAllIn(p).length <= 2,
       "only the band explode may generate rows")
-    assert(p.contains("array_min"),
-      "signature mins must fold per-document arrays")
+    assert(p.contains("minhash_sig"),
+      "signatures must come from the fused native kernel")
+  }
+
+  test("t8: fused fingerprints leave the block join as the only exchange") {
+    // simhash_fp removed the explode + groupBy(doc_id): fingerprinting
+    // is now map-only, so the plan may contain no hash aggregation
+    // exchange before the block self-join's
+    val p = plan("t8_simhash_pairs")
+    assert(p.contains("simhash_fp"))
+    assert("(?m)Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      "expected only the block-join + distinct exchanges")
+    assert(!p.contains("partial_sum"),
+      "the 32 conditional bit sums must not reappear as an aggregate")
   }
 
   test("q20: rank-based percentiles use a spillable window sort, not a buffering aggregate") {
