@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{TextHashes, VectorDotProduct}
+import graft.functions.{TextHashes, TokenStats, VectorDotProduct}
 
 /** Session extensions for the engine's native functions — install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(VectorDotProduct.descriptor)
     extensions.injectFunction(TextHashes.minhashDescriptor)
     extensions.injectFunction(TextHashes.simhashDescriptor)
+    extensions.injectFunction(TokenStats.descriptor)
   }
 }

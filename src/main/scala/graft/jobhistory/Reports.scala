@@ -214,8 +214,24 @@ object Reports {
   /** Classified (job_id, phase, lo, hi) interval rows for a multi-job
     * stream — each attempt joined to its own job's bounds (keyed
     * through the id-embedded job, J5 becomes a keyed join instead of a
-    * scalar broadcast). Shared by both fleet timeline variants. */
+    * scalar broadcast). Shared by both fleet timeline variants.
+    * Memoized + persisted per views object like [[intervals]]: the
+    * sweep-line variant consumes it twice (+1/-1 deltas), and without
+    * the memo every execution re-ran the whole classification join
+    * stack (measured: jh_timeline_per_job warm 2.5 s vs the global
+    * sweep's 0.5 s at the same output). Attempt-cardinality rows. */
+  private val intervalsPerJobMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[JobHistoryViews, DataFrame]())
+
   private def intervalsPerJob(v: JobHistoryViews): DataFrame = {
+    val df = intervalsPerJobMemo.computeIfAbsent(v, v2 => computeIntervalsPerJob(v2))
+    // re-pin per call: clearCache() drops the registration permanently
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  private def computeIntervalsPerJob(v: JobHistoryViews): DataFrame = {
     val bounds = v.boundsPerJob
     val finals = v.finalAttempts.select(col("attempt_id"), lit(true).as("is_final"))
     def rel(c: Column): Column = c - col("submit_u")
@@ -350,6 +366,8 @@ object Reports {
   private[jobhistory] def releaseIntervals(v: JobHistoryViews): Unit = {
     val df = intervalsMemo.remove(v)
     if (df != null) df.unpersist()
+    val pj = intervalsPerJobMemo.remove(v)
+    if (pj != null) pj.unpersist()
   }
 
   private def computeIntervals(v: JobHistoryViews): DataFrame = {

@@ -225,38 +225,30 @@ object TextOps {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     repetitionStatsOf(docs(s, dir))
 
-  private[queries] def repetitionStatsOf(d: DataFrame): DataFrame =
+  private[queries] def repetitionStatsOf(d: DataFrame): DataFrame = {
+    // fused native kernel: one compiled counting pass per document for
+    // the top-token count and the distinct-trigram count, replacing a
+    // sort + interpreted aggregate fold + trigram array build +
+    // array_distinct (four higher-order passes). Values identical —
+    // TokenStatsSpec asserts vs the SQL formulation; the DuckDB
+    // oracle keeps the naive count-per-distinct-token derivation.
+    graft.functions.TokenStats.register(d.sparkSession)
     d.withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
-      .withColumn("tg", expr(
-        "CASE WHEN size(words) >= 3 THEN " +
-          "transform(sequence(0, size(words) - 3), " +
-          "i -> concat_ws(' ', slice(words, i + 1, 3))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("st", expr("token_stats(words)"))
       .select(
         col("doc_id"),
         col("n_tokens"),
-        // most-frequent-token count == longest run in the sorted token
-        // array: one O(n log n) sort + O(n) fold per document, vs the
-        // naive O(n·distinct) count-per-distinct-token scan (~30×
-        // fewer lambda evaluations; higher-order functions evaluate
-        // interpreted, so the constant matters). The oracle keeps the
-        // naive formulation — identical values, independent derivation.
+        round(col("st.top_tok").cast("double") / col("n_tokens"), 6)
+          .as("top_tok_frac"),
         round(expr(
-          "aggregate(sort_array(words), " +
-            "struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best), " +
-            "(a, x) -> struct(x AS prev, " +
-            "  IF(x = a.prev, a.run + 1, 1L) AS run, " +
-            "  GREATEST(a.best, IF(x = a.prev, a.run + 1, 1L)) AS best), " +
-            "a -> a.best)").cast("double") /
-          col("n_tokens"), 6).as("top_tok_frac"),
-        round(expr(
-          "CASE WHEN size(tg) > 0 THEN " +
-            "CAST(size(tg) - size(array_distinct(tg)) AS DOUBLE) / size(tg) " +
-            "ELSE 0.0 END"), 6).as("dup_trigram_frac"))
+          "CASE WHEN n_tokens >= 3 THEN " +
+            "CAST(n_tokens - 2 - st.distinct_trigrams AS DOUBLE) / " +
+            "(n_tokens - 2) ELSE 0.0 END"), 6).as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("top_tok_frac") > 0.125 || col("dup_trigram_frac") > 0.05)
       .orderBy(col("doc_id"))
+  }
 
   /** t15: benchmark decontamination — remove from the training corpus
     * any document sharing an 8-gram with the held-out set (the

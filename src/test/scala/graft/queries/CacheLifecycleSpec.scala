@@ -3,9 +3,10 @@ package graft.queries
 import graft.{SparkEntry, SparkSpec}
 
 /** Cache-lifecycle guard: the only persisted blocks in the engine are
-  * the two session-scoped job-history views caches (the parsed event
+  * the three session-scoped job-history views caches (the parsed event
   * stream, `Views.scala`'s `events.cache()`, and the memoized interval
-  * classification, `Reports.intervals`). Every other operator — in
+  * classifications, `Reports.intervals` + `Reports.intervalsPerJob`).
+  * Every other operator — in
   * particular the dedup/text pipelines whose round-5 persist removal
   * relies on AQE exchange reuse instead — must leave nothing behind in
   * the block manager: a stale MEMORY_AND_DISK block from one query can
@@ -28,10 +29,10 @@ class CacheLifecycleSpec extends SparkSpec {
     val (jh, rest) = SparkEntry.queries.keys.toSeq.sorted
       .partition(_.startsWith("jh_"))
     // Materialize the job-history family first: it is ALLOWED to pin
-    // its two views-scoped caches (events + intervals)...
+    // its three views-scoped caches (events + both interval memos)...
     jh.foreach(run)
     val afterJh = spark.sparkContext.getPersistentRDDs.keySet
-    assert((afterJh -- before).size <= 2,
+    assert((afterJh -- before).size <= 3,
       s"expected at most events+intervals caches, got ${afterJh -- before}")
     // ...then every other operator must add nothing: same persistent
     // RDD set before and after the full non-jh sweep.
