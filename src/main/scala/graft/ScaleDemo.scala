@@ -56,7 +56,8 @@ object ScaleDemo {
     val fleetDir = Paths.get("target", "scale_fleet").toAbsolutePath
     val haveLogs = Files.isDirectory(fleetDir) &&
       fleetDir.toFile.list().count(_.endsWith(".txt")) >= nLogs
-    if (!haveLogs) {
+    // the docs phase neither reads nor generates the 16 GB log fleet
+    if (!haveLogs && phase != "docs") {
       Files.createDirectories(fleetDir)
       val (src, base, dir) = (FixtureSrc, BaseJobId, fleetDir.toString)
       time(s"generate $nLogs logs") {
@@ -109,7 +110,10 @@ object ScaleDemo {
     // requested sizes: the corpora are reused across runs, so a run
     // asked for fewer logs/copies than a prior run generated still
     // measures (and must label) the bigger corpus on disk.
-    val actualLogs = fleetDir.toFile.list().count(_.endsWith(".txt"))
+    val actualLogs =
+      if (Files.isDirectory(fleetDir))
+        fleetDir.toFile.list().count(_.endsWith(".txt"))
+      else 0
     val actualDocs = spark.read.parquet(docsParquet.toString).count()
     if (phase != "docs") {
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")

@@ -287,7 +287,38 @@ object VectorOps {
           .as("max_abs_err"))
       .orderBy(col("vec_id"))
 
+  /** v6: binary-hash ANN — binarize each embedding to a 64-bit sign
+    * code (bit i set iff component i > 0), then rank candidates for
+    * the first 10 queries by Hamming distance (XOR + popcount).
+    * The third ANN family next to LSH buckets (v3) and IVF cells
+    * (v4): binarization is map-only and collapses each vector to ONE
+    * long — the 100 TB corpus side never shuffles (v1's broadcast
+    * shape), and the per-pair cost drops from a 64-float dot product
+    * to a single XOR+bit_count, the standard first-pass filter before
+    * exact re-ranking. Top-3 per query, ties by candidate id. */
+  def annBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    val codeExpr =
+      "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT), " +
+        "(a, i) -> a + IF(embedding[i] > 0, " +
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    val e = emb(s, dir).withColumn("code", expr(codeExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val c = e.select(col("vec_id").as("c_id"), col("code").as("cc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("c_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("hamming", expr("bit_count(qc ^ cc)").cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("c_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_ann_hamming" -> (annBinaryHamming _),
     "v5_quantize_int8" -> (quantizeInt8 _),
     "v1_cosine_topk" -> (cosineTopK _),
     "v2_label_norm_stats" -> (labelNormStats _),
@@ -295,6 +326,27 @@ object VectorOps {
     "v4_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
+    "v6_ann_hamming" ->
+      """WITH b AS (
+        | SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CASE WHEN embedding[i] <= 0 THEN 0
+        |      WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << (i - 1)) END)) AS BIGINT)
+        |    AS code
+        | FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming
+        | FROM b q, b c
+        | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        | SELECT q_id, c_id, hamming,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id)
+        |    AS rnk
+        | FROM p)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, hamming
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "v5_quantize_int8" ->
       """WITH b AS (
         | SELECT vec_id, embedding AS e,

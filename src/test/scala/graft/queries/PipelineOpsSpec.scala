@@ -76,6 +76,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("v6: hamming ANN returns 3 ranked rows per query within the code width") {
+    val rows = VectorOps.annBinaryHamming(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+      // monotone by rank; 64-dim codes bound the distance
+      val hs = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("hamming"))
+      assert(hs.toSeq === hs.sorted.toSeq)
+      assert(hs.forall(h => h >= 0 && h <= 64))
+    }
+  }
+
   test("q22: every as-of match is a real prior view of the same user") {
     val e = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
