@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(VectorDotProduct.descriptor)
     extensions.injectFunction(TextHashes.minhashDescriptor)
     extensions.injectFunction(TextHashes.simhashDescriptor)
+    extensions.injectFunction(TextHashes.xxShinglesDescriptor)
     extensions.injectFunction(TokenStats.descriptor)
   }
 }

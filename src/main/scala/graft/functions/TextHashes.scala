@@ -121,6 +121,34 @@ object TextHashes {
     fp
   }
 
+  /** Distinct xxhash64 keys of the doc's 3-word shingles (first-
+    * occurrence order, matching `array_distinct`); null below 3 words.
+    * Bit-identical to `xxhash64(words[i], words[i+1], words[i+2])` —
+    * the same seed-42 left fold over the three strings Spark's
+    * built-in computes ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]). */
+  def xxShingles(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < 3) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long](Math.max(16, n * 2))
+    var i = 0
+    while (i <= n - 3) {
+      var h = 42L
+      var j = i
+      while (j < i + 3) {
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(words.getUTF8String(j), StringType, h)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   private def checkStringArray(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -138,6 +166,11 @@ object TextHashes {
     new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
     (children: Seq[Expression]) => SimHashFp(children.head))
 
+  val xxShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("xx_shingles"),
+    new ExpressionInfo(classOf[XxShingles].getName, "xx_shingles"),
+    (children: Seq[Expression]) => XxShingles(children.head))
+
   /** Idempotent per-session registration (same pattern as
     * [[VectorDotProduct.register]]). */
   def register(spark: SparkSession): Unit = {
@@ -148,12 +181,17 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("simhash_fp")))
       reg.createOrReplaceTempFunction(
         "simhash_fp", children => SimHashFp(children.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("xx_shingles")))
+      reg.createOrReplaceTempFunction(
+        "xx_shingles", children => XxShingles(children.head), "built-in")
   }
 
   private[functions] def checkMinhash(child: Expression): TypeCheckResult =
     checkStringArray("minhash_sig", child)
   private[functions] def checkSimhash(child: Expression): TypeCheckResult =
     checkStringArray("simhash_fp", child)
+  private[functions] def checkXxShingles(child: Expression): TypeCheckResult =
+    checkStringArray("xx_shingles", child)
 }
 
 /** `minhash_sig(array<string>) → array<long>` — the 12-element MinHash
@@ -180,6 +218,33 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `xx_shingles(array<string>) → array<long>` — distinct xxhash64 keys
+  * of a document's 3-word shingles (first-occurrence order); null
+  * below 3 words. */
+case class XxShingles(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.checkXxShingles(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "xx_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.xxShingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sh")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.TextHashes.xxShingles($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XxShingles =
     copy(child = newChild)
 }
 

@@ -124,12 +124,16 @@ object TextOps {
     * (doc, shingle) pair), and a within-doc hash collision can't emit
     * duplicate `(doc_id, sh)` rows — a collision instead merges two
     * shingles, which the string-keyed oracle would surface. */
-  private[queries] def hashedShinglesOf(d: DataFrame): DataFrame =
+  private[queries] def hashedShinglesOf(d: DataFrame): DataFrame = {
+    // fused native kernel: distinct 64-bit shingle keys in one
+    // compiled pass (bit-identical to xxhash64(words[i], words[i+1],
+    // words[i+2]) + array_distinct — asserted in TextHashesSpec); the
+    // higher-order transform it replaces ran interpreted per shingle
+    graft.functions.TextHashes.register(d.sparkSession)
     d.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words) - 3), " +
-          "i -> xxhash64(words[i], words[i + 1], words[i + 2])))")).as("sh"))
+      .select(col("doc_id"), explode(expr("xx_shingles(words)")).as("sh"))
+  }
 
   /** Distinct (doc, shingle-key) pairs with the stop-shingle df filter
     * applied. The df count is `groupBy(sh).count()` joined back, not

@@ -65,6 +65,21 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("xx_shingles equals the SQL xxhash64 transform + array_distinct formulation") {
+    val sql = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(words) - 3), " +
+          "i -> xxhash64(words[i], words[i + 1], words[i + 2])))").as("sql_sh"))
+    val fused = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr("xx_shingles(words)").as("fused_sh"))
+    val diff = fused.join(sql, Seq("doc_id"))
+      .filter(col("fused_sh") =!= col("sql_sh"))
+    assert(fused.count() > 0)
+    assert(diff.count() === 0)
+  }
+
   test("minhash_sig is null below 3 words; simhash_fp of one token is its bit pattern") {
     import org.apache.spark.sql.Row
     TextHashes.register(spark)
