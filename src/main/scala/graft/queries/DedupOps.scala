@@ -165,13 +165,14 @@ object DedupOps {
     * `doc_b`) by min-label propagation: every node's label converges to
     * the smallest doc_id reachable from it. Two passes:
     *
-    *  1. *Discovery* — an RDD loop with explicit persist/unpersist
-    *     finds the converged round count R. Each round is one keyed
-    *     join + `reduceByKey(min)`, fully distributed; convergence is
-    *     a scalar sum check (labels only ever decrease, so the label
-    *     sum is strictly monotone until fixpoint — no diff join
-    *     needed). Every intermediate is unpersisted before return:
-    *     the operator leaves no blocks behind (CacheLifecycleSpec).
+    *  1. *Discovery* — a DataFrame loop with explicit persist/
+    *     unpersist finds the converged round count R. Each round is
+    *     one keyed join + `min` hash aggregate (codegen'd, map-side
+    *     partials), fully distributed; convergence is a scalar sum
+    *     check (labels only ever decrease, so the label sum is
+    *     strictly monotone until fixpoint — no diff join needed).
+    *     Every intermediate is unpersisted before return: the
+    *     operator leaves no blocks behind (CacheLifecycleSpec).
     *  2. *Rebuild* — the returned DataFrame is a fully lazy R-round
     *     unrolled plan over the same edges: each round joins the
     *     self-looped symmetric edge list (shuffled by `dst`) against
@@ -190,37 +191,46 @@ object DedupOps {
     * here. */
   private[queries] def connectedComponentsOf(s: SparkSession,
       edges: DataFrame): DataFrame = {
-    import s.implicits._
     // --- discovery: how many rounds until the labels stop moving?
+    // A DataFrame loop (Tungsten joins + hash aggregates), not RDDs:
+    // the round-7 rewrite of the original RDD loop — same persist/
+    // unpersist discipline, but each round's keyed join and min-
+    // aggregate run codegen'd with map-side partials instead of
+    // Java-serialized shuffles (fleet t13 at 25 M edges: the RDD loop
+    // was the dominant cost).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
-      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .persist(lvl)
-    var labels = sym.keys.distinct().map(x => (x, x)).persist(lvl)
-    var prevSum = labels.values.fold(0L)(_ + _)
+    val symDf = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = symDf.select(col("src")).distinct()
+    val withSelf = symDf.union(nodes.select(col("src"), col("src").as("dst")))
+    // one materialization of the (possibly expensive) edge derivation
+    // feeds every discovery round
+    val symCached = withSelf.persist(lvl)
+    var labels = symCached.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node")).persist(lvl)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = if (labels.isEmpty) 0L else labelSum(labels)
     var rounds = 0
-    var converged = sym.isEmpty()
+    var converged = labels.isEmpty
     while (!converged && rounds < 60) {
-      val next = sym.join(labels)
-        .map { case (_, (nbr, lab)) => (nbr, lab) }
-        .union(labels)
-        .reduceByKey(math.min)
+      val next = symCached.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.node"))
+        .groupBy(col("e.src"))
+        .agg(min(col("l.label")).as("label"))
+        .withColumnRenamed("src", "node")
         .persist(lvl)
-      val sum = next.values.fold(0L)(_ + _)
+      val sum = labelSum(next)
+      // blocking: CacheLifecycleSpec reads getPersistentRDDs right
+      // after a sweep — an async unpersist would leave a racing ghost
       labels.unpersist(blocking = true)
       labels = next
       if (sum == prevSum) converged = true
       else { prevSum = sum; rounds += 1 }
     }
-    // blocking: CacheLifecycleSpec reads getPersistentRDDs right after a
-    // sweep — an async unpersist would leave a racing ghost entry
     labels.unpersist(blocking = true)
-    sym.unpersist(blocking = true)
+    symCached.unpersist(blocking = true)
     // --- rebuild: lazy R-round plan (nothing persisted survives)
-    val symDf = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val nodes = symDf.select(col("src")).distinct()
-    val withSelf = symDf.union(nodes.select(col("src"), col("src").as("dst")))
     var lab = nodes.select(col("src").as("node"), col("src").as("label"))
     for (_ <- 0 until rounds) {
       lab = withSelf.as("e").join(lab.as("l"), col("e.dst") === col("l.node"))
