@@ -408,7 +408,38 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** t21: cross-source contamination matrix — for every source pair,
+    * the number of distinct 8-grams they share (t15's holdout
+    * decontamination generalized pairwise; the curation diagnostic
+    * that tells a pipeline which domains leak into each other, e.g. a
+    * benchmark mirrored inside a crawl). Scale shape: one distinct
+    * over (source, gram) — grams keyed by `xxhash64` over the eight
+    * words, no string materialization — then an inverted-index
+    * self-join on the gram. A gram present in k sources contributes
+    * C(k,2) pairs, and k is bounded by the source count (domains, not
+    * documents), so the join cannot blow up the way a doc-level
+    * self-join would. The oracle joins on the 8-gram STRINGS, so a
+    * gate match proves no hash collision altered any cell. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hash8 = (0 until 8).map(j => s"words[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
+    val g = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words) - 8), " +
+          s"i -> $hash8))")).as("g"))
+      .distinct()
+    g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_source_overlap" -> (sourceOverlap _),
     "t16_stratified_sample" -> (stratifiedSample _),
     "t18_pii_scrub" -> (piiScrub _),
     "t19_length_buckets" -> (lengthBuckets _),
@@ -434,6 +465,17 @@ object TextOps {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |   % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "t21_source_overlap" ->
+      """WITH w AS (
+        | SELECT source, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        | SELECT DISTINCT source, array_to_string(words[i:i+7], ' ') AS g
+        | FROM w, unnest(generate_series(1, len(words) - 7)) AS u(i)
+        | WHERE len(words) >= 8)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t18_pii_scrub" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, 'customer [a-z]+')) AS BIGINT)

@@ -33,6 +33,26 @@ object IngestDedup {
   /** One emitted bucket collision. */
   final case class Collision(doc_id: Long, band: Int, dup_of: Long)
 
+  /** The per-bucket state transition — extracted so the TTL path is
+    * unit-testable with `TestGroupState` (a streaming query with
+    * ProcessingTimeTimeout keeps scheduling timeout-check batches,
+    * which `processAllAvailable` never sees drain). */
+  private[streaming] def bucketHandler(stateTtl: Option[String])(
+      key: (Int, String), rows: Iterator[(Long, Int, String)],
+      state: GroupState[Long]): Iterator[Collision] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // deterministic within a micro-batch: the smallest id in the
+      // batch claims a fresh bucket, matching the batch operator's
+      // min-id canonical choice
+      val ids = rows.map(_._1).toVector.sorted
+      val canon = state.getOption.getOrElse(ids.head)
+      if (!state.exists) state.update(canon)
+      stateTtl.foreach(state.setTimeoutDuration)
+      ids.iterator.filter(_ != canon)
+        .map(Collision(_, key._1, canon))
+    }
+
   /** Per-(band, sig) bucket collision stream. Append-mode compatible
     * (emits only on arrival; nothing is retracted). `stateTtl` None =
     * keep every bucket forever (exact vs all history). */
@@ -48,22 +68,8 @@ object IngestDedup {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     bands.groupByKey { case (_, band, sig) => (band, sig) }
-      .flatMapGroupsWithState(OutputMode.Append, timeout) {
-        (key: (Int, String), rows: Iterator[(Long, Int, String)],
-         state: GroupState[Long]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // deterministic within a micro-batch: the smallest id in
-            // the batch claims a fresh bucket, matching the batch
-            // operator's min-id canonical choice
-            val ids = rows.map(_._1).toVector.sorted
-            val canon = state.getOption.getOrElse(ids.head)
-            if (!state.exists) state.update(canon)
-            stateTtl.foreach(state.setTimeoutDuration)
-            ids.iterator.filter(_ != canon)
-              .map(Collision(_, key._1, canon))
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        bucketHandler(stateTtl))
   }
 
   /** Convenience: distinct flagged near-duplicate docs with one

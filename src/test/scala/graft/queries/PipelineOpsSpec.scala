@@ -89,6 +89,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("t21: hash-keyed overlap matrix equals the string-keyed derivation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val g = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(words) - 8), " +
+          "i -> concat_ws(' ', slice(words, i + 1, 8)))")).as("g"))
+      .distinct()
+    val strings = g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val hashed = TextOps.sourceOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hashed.nonEmpty)
+    assert(hashed === strings)
+    assert(hashed.forall { case (a, b, n) => a < b && n > 0 })
+  }
+
   test("q22: every as-of match is a real prior view of the same user") {
     val e = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),

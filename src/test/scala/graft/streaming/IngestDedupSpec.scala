@@ -1,7 +1,9 @@
 package graft.streaming
 
+import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.SparkSpec
 
@@ -45,6 +47,37 @@ class IngestDedupSpec extends SparkSpec {
       // every flag points at a strictly earlier canonical doc
       assert(streamed.forall { case (d, _, c) => c < d })
     } finally q.stop()
+  }
+
+  test("bucket TTL handler: timeout removes state so a post-expiry duplicate re-seeds") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val key = (0, "sig")
+    def rows(ids: Long*) = ids.iterator.map(id => (id, 0, "sig"))
+    val ttl = Some("1 hour")
+
+    // arrival seeds the bucket and registers a timeout
+    val s1 = TestGroupState.create[Long](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
+    assert(IngestDedup.bucketHandler(ttl)(key, rows(7L), s1).toSeq === Nil)
+    assert(s1.getOption.contains(7L) && s1.getTimeoutTimestampMs.isPresent)
+
+    // within the TTL: duplicate flagged against the held canonical
+    val s2 = TestGroupState.create[Long](Optional.of(7L),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L, Optional.empty(), false)
+    assert(IngestDedup.bucketHandler(ttl)(key, rows(9L), s2).toSeq ===
+      Seq(IngestDedup.Collision(9L, 0, 7L)))
+
+    // timeout fires: state dropped, nothing emitted
+    val s3 = TestGroupState.create[Long](Optional.of(7L),
+      GroupStateTimeout.ProcessingTimeTimeout, 9999L, Optional.empty(), true)
+    assert(IngestDedup.bucketHandler(ttl)(key, Iterator.empty, s3).toSeq === Nil)
+    assert(s3.isRemoved)
+
+    // post-expiry re-arrival seeds fresh (no flag against doc 7)
+    val s4 = TestGroupState.create[Long](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 10000L, Optional.empty(), false)
+    assert(IngestDedup.bucketHandler(ttl)(key, rows(9L), s4).toSeq === Nil)
+    assert(s4.getOption.contains(9L))
   }
 
   test("a later re-arrival of a bucket's canonical doc is not self-flagged") {
