@@ -317,7 +317,131 @@ object VectorOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------ k-means (v7)
+
+  private[queries] val KmeansK = 8
+  private[queries] val KmeansIters = 2
+
+  /** Squared-L2 argmin over the broadcast centroid array in ONE
+    * projection: `array_min` over `struct(d, c)` compares the rounded
+    * distance first, then the cluster id, so ties break toward the
+    * lower id in both engines. No join, no window — assignment is
+    * map-only, which is the property that matters at 100 TB (the
+    * corpus never shuffles; only k×dims centroid partials do). */
+  private val kmAssignExpr: String =
+    "array_min(transform(cents, s -> named_struct(" +
+      "'d', round(aggregate(zip_with(embedding, s.cvec, " +
+      "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+      "0D, (a, v) -> a + v), 6), " +
+      "'c', s.cluster)))"
+
+  /** Nearest-centroid assignment: centroids collapse to a single
+    * array-of-structs row and broadcast; each corpus row evaluates the
+    * argmin inside codegen. */
+  private[queries] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cluster"), col("cvec")))
+          .as("cents"))))
+      .withColumn("m", expr(kmAssignExpr))
+      .select(col("vec_id"), col("embedding"),
+        col("m.c").as("cluster"), col("m.d").as("dist2"))
+
+  /** Per-cluster dimension-wise mean, rounded to 6 so both engines
+    * carry identical centroid literals into the next assignment (the
+    * same canonicalization v4 applies to its IVF centroids). The
+    * posexplode rows partial-aggregate to k×dims per partition before
+    * the (tiny) exchange. */
+  private[queries] def kmRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("cx"))
+      .groupBy(col("cluster"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cvec"))
+
+  /** v7: deterministic Lloyd's k-means over the embedding column — the
+    * semantic-clustering pass a training-data pipeline runs for
+    * cluster-based dedup/mixing (SemDeDup-style) and for building IVF
+    * coarse quantizers. Seeds are the first k vectors by id (cluster
+    * id = seed vec_id), followed by [[KmeansIters]] fixed
+    * assign/recompute rounds and a final assignment — all one lazy
+    * plan: assignments are map-only against broadcast centroids
+    * (see [[kmAssignExpr]]), recomputes shuffle only k×dims partials,
+    * and the per-cluster report is a k-row aggregate. Scanning the
+    * corpus (iters+1)× is inherent to Lloyd; at 100 TB the standard
+    * mitigation (fit on a hash-sample, assign the full corpus once)
+    * composes from this same shape plus t16's sampler. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    var assigned = kmAssign(e, seeds)
+    for (_ <- 0 until KmeansIters)
+      assigned = kmAssign(e, kmRecompute(assigned))
+    // avg over exact integer micro-units: a double avg of the rounded
+    // distances is summation-order-dependent and flipped a 6th decimal
+    // between engines at sf0.1; BIGINT sums are order-free (headroom:
+    // dist2 ≤ ~4 → 4e6 micro per row, ~1e12 rows before overflow)
+    assigned
+      .withColumn("d_micro", round(col("dist2") * 1e6).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d_micro")).as("sum_micro"),
+        min(col("vec_id")).as("min_member"))
+      .select(col("cluster").as("cluster_id"), col("n"),
+        round(col("sum_micro").cast("double") / col("n") / 1e6, 6)
+          .as("avg_dist2"),
+        col("min_member"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** v7 oracle: the same seeds/rounds unrolled as chained CTEs —
+    * row_number argmin instead of array_min, identical rounded
+    * values. */
+  private lazy val kmeansOracle: String = {
+    def assignCte(idx: Int, centCte: String): String =
+      s"""a${idx}raw AS (
+         | SELECT e.vec_id, e.embedding, c.cluster,
+         |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+         |        (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d
+         | FROM e, $centCte c),
+         |a$idx AS (
+         | SELECT vec_id, embedding, cluster, d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d, cluster) AS rn
+         |  FROM a${idx}raw) WHERE rn = 1)""".stripMargin
+    def recomputeCte(idx: Int, fromCte: String): String =
+      s"""c${idx}dims AS (
+         | SELECT cluster, i - 1 AS pos,
+         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cx
+         | FROM $fromCte, unnest(generate_series(1, len(embedding))) AS u(i)
+         | GROUP BY 1, 2),
+         |c$idx AS (
+         | SELECT cluster, array_agg(cx ORDER BY pos) AS cvec
+         | FROM c${idx}dims GROUP BY 1)""".stripMargin
+    val rounds = (0 until KmeansIters).map { r =>
+      recomputeCte(r + 1, s"a$r") + ",\n" + assignCte(r + 1, s"c${r + 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       | SELECT vec_id AS cluster,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       | FROM e WHERE vec_id < $KmeansK),
+       |${assignCte(0, "c0")},
+       |$rounds
+       |SELECT cluster AS cluster_id, count(*) AS n,
+       | round(CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS DOUBLE)
+       |   / count(*) / 1000000.0, 6) AS avg_dist2,
+       | min(vec_id) AS min_member
+       |FROM a$KmeansIters GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_kmeans" -> (kmeansClusters _),
     "v6_ann_hamming" -> (annBinaryHamming _),
     "v5_quantize_int8" -> (quantizeInt8 _),
     "v1_cosine_topk" -> (cosineTopK _),
@@ -326,6 +450,7 @@ object VectorOps {
     "v4_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
+    "v7_kmeans" -> kmeansOracle,
     "v6_ann_hamming" ->
       """WITH b AS (
         | SELECT vec_id,

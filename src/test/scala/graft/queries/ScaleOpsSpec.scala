@@ -248,4 +248,62 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "holdout n-gram set must broadcast, not shuffle the corpus")
   }
+
+  test("v7: kmAssign picks the true nearest centroid (brute force) and is map-only") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < VectorOps.KmeansK)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    val assigned = VectorOps.kmAssign(e, seeds)
+    // brute force: every (vector, centroid) distance via a plain join
+    val d2 = "round(aggregate(zip_with(embedding, cvec, " +
+      "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+      "0D, (a, v) -> a + v), 6)"
+    val brute = e.crossJoin(seeds)
+      .withColumn("d", expr(d2))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("bc"), col("m.d").as("bd"))
+    val joined = assigned.join(brute, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cluster") === r.getAs[Long]("bc"))
+      assert(r.getAs[Double]("dist2") === r.getAs[Double]("bd"))
+    }
+    // scale shape: assignment must not shuffle the corpus — no exchange
+    // between the scan and the argmin projection (the only exchange in
+    // the assigned plan is the broadcast of the packed centroid row)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "centroids must reach the corpus as a broadcast")
+    assert(!plan.contains("ShuffleExchange"),
+      "assignment must be map-only over the corpus")
+  }
+
+  test("v7: Lloyd iterations never increase the clustering objective") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < VectorOps.KmeansK)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    def objective(a: org.apache.spark.sql.DataFrame): Double =
+      a.agg(sum(col("dist2"))).head.getDouble(0)
+    var assigned = VectorOps.kmAssign(e, seeds)
+    var prev = objective(assigned)
+    (0 until VectorOps.KmeansIters).foreach { _ =>
+      assigned = VectorOps.kmAssign(e, VectorOps.kmRecompute(assigned))
+      val cur = objective(assigned)
+      // 1e-4 headroom: distances and centroids are rounded to 1e-6
+      assert(cur <= prev + 1e-4, s"objective rose: $prev -> $cur")
+      prev = cur
+    }
+    // and the gate query reports exactly those clusters
+    val gate = VectorOps.kmeansClusters(spark, dir).collect()
+    val nTotal = gate.map(_.getAs[Long]("n")).sum
+    assert(nTotal === e.count())
+    assert(gate.map(_.getAs[Long]("cluster_id")).toSet
+      .subsetOf((0L until VectorOps.KmeansK).toSet))
+  }
 }
