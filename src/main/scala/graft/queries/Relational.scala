@@ -281,6 +281,24 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy(col("rflag"), col("lstatus"))
 
+  /** SURVEY §2.6 beyond-reference: full CUBE over two order dimensions
+    * — all four grouping sets ((a,b), (a), (b), ()) from ONE scan via
+    * the Expand operator, each set map-side-combined like q18's
+    * rollup; `grouping_id` (leftmost column = high bit in both
+    * engines) disambiguates a genuine NULL dimension value from a
+    * subtotal row. */
+  def q23Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   /** SURVEY §2.6: lag-based sessionization — per-user event gaps > 30
     * minutes open a new session; one window shuffle on the user key. */
   def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
@@ -379,6 +397,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_cube" -> (q23Cube _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q21_range_frame" -> (q21RangeFrame _),
     "q20_percentiles" -> (q20Percentiles _),
@@ -433,6 +452,13 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         | coalesce(l_linestatus, 'ALL') AS lstatus,

@@ -438,7 +438,42 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** The t22 quality-filter cutoff: documents whose per-token average
+    * log-probability under the corpus unigram LM falls below this are
+    * marked for drop (the sf0.01 distribution spans [-3.70, -3.38],
+    * median -3.40 — the cutoff splits off the repetitive/rare-token
+    * tail). */
+  private[queries] val KeepLogprob = -3.45
+
+  /** t22: unigram-LM log-probability scoring — the perplexity-style
+    * quality filter (CCNet/Gopher run a KenLM here; the unigram model
+    * is the engine-shaped equivalent with no external artifacts). Two
+    * passes: (1) corpus token counts — map-side-combined aggregate on
+    * the token, vocabulary-sized output; (2) score — tokens join the
+    * broadcast vocabulary (word-like vocabularies stay Zipf-bounded at
+    * corpus scale; an unbounded token set would flip this to a shuffle
+    * hash join on the token key) and fold back to one row per doc via
+    * a partial-aggregated groupBy on `doc_id`, whose exploded tokens
+    * are already co-partitioned with the scan. The corpus total
+    * crosses in as a broadcast scalar (J5 shape). */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("tot"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        log(col("cnt").cast("double") / col("tot").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lp")), 6).as("avg_logprob"))
+      .withColumn("keep", col("avg_logprob") >= lit(KeepLogprob))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_unigram_logprob" -> (unigramLogprob _),
     "t21_source_overlap" -> (sourceOverlap _),
     "t16_stratified_sample" -> (stratifiedSample _),
     "t18_pii_scrub" -> (piiScrub _),
@@ -457,6 +492,19 @@ object TextOps {
     "t15_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "t22_unigram_logprob" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         | FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v),
+         |sc AS (
+         | SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 6) AS avg_logprob
+         | FROM toks JOIN v USING (tok), t GROUP BY 1)
+         |SELECT doc_id, n_tokens, avg_logprob,
+         | (avg_logprob >= $KeepLogprob) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "t16_stratified_sample" ->
       """SELECT doc_id, source,
         | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100

@@ -135,4 +135,27 @@ class PipelineOpsSpec extends SparkSpec {
           col("p_us") - col("w.us") < col("asof_gap_us"))
     assert(better.count() === 0)
   }
+
+  test("t22: per-doc logprob matches a driver-side unigram model") {
+    val scored = TextOps.unigramLogprob(spark, dir).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // independent model: plain Scala maps, no Spark
+    val all = texts.values.flatMap(_.split(" ")).toSeq
+    val cnt = all.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val tot = all.size.toDouble
+    assert(scored.length === texts.size)
+    scored.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").toSeq
+      assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
+      val lp = toks.map(t => math.log(cnt(t) / tot)).sum / toks.size
+      assert(math.abs(r.getAs[Double]("avg_logprob") - lp) < 1e-5)
+      assert(r.getAs[Boolean]("keep") ===
+        (r.getAs[Double]("avg_logprob") >= TextOps.KeepLogprob))
+    }
+    // the threshold actually partitions the corpus both ways at sf0.001
+    val keeps = scored.count(_.getAs[Boolean]("keep"))
+    assert(keeps > 0 && keeps < scored.length)
+  }
 }

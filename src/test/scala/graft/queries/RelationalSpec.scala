@@ -51,4 +51,26 @@ class RelationalSpec extends SparkSpec {
     assert(back.count() === 512L)
     assert(back.columns.toSeq === df.columns.toSeq)
   }
+
+  test("q23: cube marginals are consistent across grouping sets") {
+    val rows = Relational.q23Cube(spark, dir).collect()
+    def level(gid: Long) = rows.filter(_.getAs[Long]("gid") == gid)
+    val leaves = level(0)
+    // one scan, four grouping sets: every marginal re-aggregates the leaves
+    val total = level(3)
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n") === leaves.map(_.getAs[Long]("n")).sum)
+    // gid bit semantics: bit set = column aggregated away ('ALL')
+    rows.foreach { r =>
+      val gid = r.getAs[Long]("gid")
+      assert((r.getAs[String]("status") == "ALL") === ((gid & 2L) != 0))
+      assert((r.getAs[String]("priority") == "ALL") === ((gid & 1L) != 0))
+    }
+    // status marginal (priority aggregated, gid=1) matches leaf sums
+    level(1).foreach { m =>
+      val n = leaves.filter(_.getAs[String]("status") ==
+        m.getAs[String]("status")).map(_.getAs[Long]("n")).sum
+      assert(m.getAs[Long]("n") === n)
+    }
+  }
 }
