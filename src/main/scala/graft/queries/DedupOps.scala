@@ -210,9 +210,10 @@ object DedupOps {
       .distinct().withColumn("label", col("node")).persist(lvl)
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum(col("label"))).head.getLong(0)
-    var prevSum = if (labels.isEmpty) 0L else labelSum(labels)
+    val emptyGraph = labels.isEmpty
+    var prevSum = if (emptyGraph) 0L else labelSum(labels)
     var rounds = 0
-    var converged = labels.isEmpty
+    var converged = emptyGraph
     while (!converged && rounds < 60) {
       val next = symCached.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.node"))
@@ -228,16 +229,28 @@ object DedupOps {
       if (sum == prevSum) converged = true
       else { prevSum = sum; rounds += 1 }
     }
-    labels.unpersist(blocking = true)
-    symCached.unpersist(blocking = true)
-    // --- rebuild: lazy R-round plan (nothing persisted survives)
-    var lab = nodes.select(col("src").as("node"), col("src").as("label"))
-    for (_ <- 0 until rounds) {
-      lab = withSelf.as("e").join(lab.as("l"), col("e.dst") === col("l.node"))
-        .groupBy(col("e.src"))
-        .agg(min(col("l.label")).as("label"))
-        .withColumnRenamed("src", "node")
-    }
+    // --- result: the converged labels ARE the answer — spill them once
+    // through a parquet checkpoint (one distributed write, the GraphX
+    // iteration-checkpoint idiom) and return a plain scan. The previous
+    // lazy R-round rebuild re-derived the edge input (for t13: the full
+    // MinHash-LSH pair generation) R more times when the returned plan
+    // executed — at fleet scale that re-derivation dominated the
+    // operator. Nothing persisted survives (CacheLifecycleSpec); the
+    // location is configurable for cluster deployments (HDFS/S3 path).
+    val lab =
+      if (emptyGraph) {
+        labels.unpersist(blocking = true)
+        symCached.unpersist(blocking = true)
+        // no edges: an empty result with the checkpoint's scan schema
+        nodes.select(col("src").as("node"), col("src").as("label"))
+      } else {
+        val ckpt = s.conf.get("graft.checkpointDir", "target/graft_ckpt") +
+          "/cc_labels_" + s.sparkContext.applicationId
+        labels.write.mode("overwrite").parquet(ckpt)
+        labels.unpersist(blocking = true)
+        symCached.unpersist(blocking = true)
+        s.read.parquet(ckpt)
+      }
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, Seq("label"))
       .select(col("label").as("cluster_id"), col("node").as("doc_id"),
