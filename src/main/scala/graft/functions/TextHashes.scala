@@ -121,20 +121,20 @@ object TextHashes {
     fp
   }
 
-  /** Distinct xxhash64 keys of the doc's 3-word shingles (first-
-    * occurrence order, matching `array_distinct`); null below 3 words.
-    * Bit-identical to `xxhash64(words[i], words[i+1], words[i+2])` —
-    * the same seed-42 left fold over the three strings Spark's
-    * built-in computes ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]). */
-  def xxShingles(words: ArrayData): ArrayData = {
+  /** Distinct xxhash64 keys of the doc's `ng`-word grams (first-
+    * occurrence order, matching `array_distinct`); null below `ng`
+    * words. Bit-identical to `xxhash64(words[i], …, words[i+ng-1])` —
+    * the same seed-42 left fold over the strings Spark's built-in
+    * computes ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]). */
+  def xxNgrams(words: ArrayData, ng: Int): ArrayData = {
     val n = words.numElements()
-    if (n < 3) return null
+    if (n < ng) return null
     val seen = new java.util.LinkedHashSet[java.lang.Long](Math.max(16, n * 2))
     var i = 0
-    while (i <= n - 3) {
+    while (i <= n - ng) {
       var h = 42L
       var j = i
-      while (j < i + 3) {
+      while (j < i + ng) {
         h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(words.getUTF8String(j), StringType, h)
         j += 1
@@ -148,6 +148,9 @@ object TextHashes {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** 3-gram special case kept for t6's registered name. */
+  def xxShingles(words: ArrayData): ArrayData = xxNgrams(words, 3)
 
   private def checkStringArray(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
@@ -184,6 +187,13 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("xx_shingles")))
       reg.createOrReplaceTempFunction(
         "xx_shingles", children => XxShingles(children.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("xx_ngrams")))
+      reg.createOrReplaceTempFunction(
+        "xx_ngrams", children => XxNgrams(children.head, {
+          require(children.length == 2 && children(1).foldable,
+            "xx_ngrams(words, n) needs a literal n")
+          children(1).eval().asInstanceOf[Int]
+        }), "built-in")
   }
 
   private[functions] def checkMinhash(child: Expression): TypeCheckResult =
@@ -202,6 +212,9 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     TextHashes.checkMinhash(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // the kernel itself returns null below the gram width, even for a
+  // non-null input array
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -229,6 +242,9 @@ case class XxShingles(child: Expression) extends UnaryExpression {
     TextHashes.checkXxShingles(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // the kernel itself returns null below the gram width, even for a
+  // non-null input array
+  override def nullable: Boolean = true
   override def prettyName: String = "xx_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -245,6 +261,36 @@ case class XxShingles(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): XxShingles =
+    copy(child = newChild)
+}
+
+/** `xx_ngrams(array<string>, n) → array<long>` — distinct xxhash64
+  * keys of a document's n-word grams (first-occurrence order); null
+  * below n words. `n` must be a literal. */
+case class XxNgrams(child: Expression, ng: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.checkXxShingles(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // the kernel itself returns null below the gram width, even for a
+  // non-null input array
+  override def nullable: Boolean = true
+  override def prettyName: String = "xx_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.xxNgrams(input.asInstanceOf[ArrayData], ng)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ng")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.TextHashes.xxNgrams($c, $ng);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XxNgrams =
     copy(child = newChild)
 }
 

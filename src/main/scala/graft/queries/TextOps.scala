@@ -268,14 +268,15 @@ object TextOps {
     * string materialization); the oracle joins on the 8-gram STRINGS,
     * so a gate match proves no hash collision altered the result. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val hash8 = (0 until 8).map(j => s"words[i + $j]")
-      .mkString("xxhash64(", ", ", ")")
+    // fused native kernel: distinct 8-gram keys in one compiled pass
+    // per doc — bit-identical to the array_distinct(transform(…,
+    // xxhash64(words[i], …, words[i+7]))) formulation it replaced
+    // (asserted in TextHashesSpec)
+    graft.functions.TextHashes.register(s)
     def grams(d: DataFrame): DataFrame = d
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words) - 8), " +
-          s"i -> $hash8))")).as("g"))
+      .select(col("doc_id"), explode(expr("xx_ngrams(words, 8)")).as("g"))
     val d = docs(s, dir)
     val holdout = grams(d.filter(col("source") === "src0"))
       .select(col("g")).distinct()
@@ -421,14 +422,11 @@ object TextOps {
     * self-join would. The oracle joins on the 8-gram STRINGS, so a
     * gate match proves no hash collision altered any cell. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val hash8 = (0 until 8).map(j => s"words[i + $j]")
-      .mkString("xxhash64(", ", ", ")")
+    graft.functions.TextHashes.register(s)
     val g = docs(s, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 8)
-      .select(col("source"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words) - 8), " +
-          s"i -> $hash8))")).as("g"))
+      .select(col("source"), explode(expr("xx_ngrams(words, 8)")).as("g"))
       .distinct()
     g.as("a")
       .join(g.as("b"),

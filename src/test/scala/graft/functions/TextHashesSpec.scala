@@ -80,6 +80,27 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("xx_ngrams(words, 8) equals the SQL 8-gram formulation; null below 8 words") {
+    val hash8 = (0 until 8).map(j => s"words[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
+    val sql = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(words) - 8), " +
+          s"i -> $hash8))").as("sql_g"))
+    val fused = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), expr("xx_ngrams(words, 8)").as("fused_g"))
+    val diff = fused.join(sql, Seq("doc_id"))
+      .filter(col("fused_g") =!= col("sql_g"))
+    assert(fused.count() > 0)
+    assert(diff.count() === 0)
+    // below n words the kernel is null (the callers filter first)
+    val short = docs.limit(1)
+      .select(expr("xx_ngrams(array('a', 'b'), 8)").as("g")).head
+    assert(short.isNullAt(0))
+  }
+
   test("minhash_sig is null below 3 words; simhash_fp of one token is its bit pattern") {
     import org.apache.spark.sql.Row
     TextHashes.register(spark)
