@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(TextHashes.minhashDescriptor)
     extensions.injectFunction(TextHashes.simhashDescriptor)
     extensions.injectFunction(TextHashes.xxShinglesDescriptor)
+    extensions.injectFunction(TextHashes.xxNgramsDescriptor)
     extensions.injectFunction(TokenStats.descriptor)
   }
 }

@@ -155,6 +155,30 @@ object ScaleDemo {
     time(s"t15 decontaminate ($actualDocs docs)") {
       noop(queries.TextOps.decontaminate(spark, docsDir.toString))
     }
+    time(s"t22 unigram logprob ($actualDocs docs)") {
+      noop(queries.TextOps.unigramLogprob(spark, docsDir.toString))
+    }
+    // embeddings at copies x sf0.1 scale: copies are per-copy shifted
+    // in one component (deterministic, not bit-identical) — k-means
+    // cost is data-size-driven, not content-driven
+    val embParquet = docsDir.resolve("embeddings.parquet")
+    if (!Files.exists(embParquet)) {
+      time(s"generate ${copies}x embeddings") {
+        Tables(spark, "/root/testdata/sf0.1", "embeddings")
+          .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
+          .withColumn("vec_id", col("vec_id") * copies + col("k"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> " +
+              "CAST(x + IF(i = 0, k * 1e-4, 0D) AS FLOAT))"))
+          .drop("k")
+          .repartition(cpus.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(embParquet.toString)
+      }
+    }
+    val actualVecs = spark.read.parquet(embParquet.toString).count()
+    time(s"v7 kmeans ($actualVecs vectors)") {
+      noop(queries.VectorOps.kmeansClusters(spark, docsDir.toString))
+    }
     }
     spark.stop()
   }

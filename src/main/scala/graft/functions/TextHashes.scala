@@ -174,6 +174,17 @@ object TextHashes {
     new ExpressionInfo(classOf[XxShingles].getName, "xx_shingles"),
     (children: Seq[Expression]) => XxShingles(children.head))
 
+  private[functions] def buildXxNgrams(children: Seq[Expression]): XxNgrams = {
+    require(children.length == 2 && children(1).foldable,
+      "xx_ngrams(words, n) needs a literal n")
+    XxNgrams(children.head, children(1).eval().asInstanceOf[Int])
+  }
+
+  val xxNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("xx_ngrams"),
+    new ExpressionInfo(classOf[XxNgrams].getName, "xx_ngrams"),
+    (children: Seq[Expression]) => buildXxNgrams(children))
+
   /** Idempotent per-session registration (same pattern as
     * [[VectorDotProduct.register]]). */
   def register(spark: SparkSession): Unit = {
@@ -189,11 +200,7 @@ object TextHashes {
         "xx_shingles", children => XxShingles(children.head), "built-in")
     if (!reg.functionExists(FunctionIdentifier("xx_ngrams")))
       reg.createOrReplaceTempFunction(
-        "xx_ngrams", children => XxNgrams(children.head, {
-          require(children.length == 2 && children(1).foldable,
-            "xx_ngrams(words, n) needs a literal n")
-          children(1).eval().asInstanceOf[Int]
-        }), "built-in")
+        "xx_ngrams", buildXxNgrams, "built-in")
   }
 
   private[functions] def checkMinhash(child: Expression): TypeCheckResult =
