@@ -140,7 +140,41 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m5: perceptual-hash media dedup — the image-dedup pass a
+    * multimodal pipeline runs before training: a 64-bit average-hash
+    * (bit i set iff pixel i is above the image mean, computed
+    * division-free as `p*64 > sum`) keys each payload, then one
+    * shuffle on the hash groups duplicate media and keeps the lowest
+    * doc id per group (t2's exact-dedup shape on a perceptual key).
+    * The hash runs in m2's batched map-only decode stage; with a real
+    * decoder the identical plan runs on true pixels, and Hamming-ball
+    * near-dup (rotated/re-encoded images) composes by feeding these
+    * hashes through t8's pigeonhole block join instead of the
+    * equi-join. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, p) =>
+        val u = p.map(b => (b & 0xff).toLong)
+        val total = u.sum
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (u(i) * 64L > total) hash |= 1L << i; i += 1 }
+        (id, hash)
+      }))
+      .toDF("doc_id", "ahash")
+    val g = h.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("keeper"))
+    h.join(g, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("group_n"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_phash_dedup" -> (phashDedup _),
     "m1_media_schema" -> (mediaSchema _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_media_resize" -> (mediaResize _),
@@ -154,6 +188,27 @@ object MultimodalOps {
     * `math.rint` is the identity on it — and both engines perform the
     * same single IEEE division `(S * 15625) / 1e6`. */
   val oracle: Map[String, String] = Map(
+    "m5_phash_dedup" -> {
+      // bit 63 of the BIGINT hash is the sign bit (v6's formulation)
+      s"""WITH h AS (
+         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+         |px AS (
+         | SELECT doc_id, i, ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT AS v
+         | FROM h, unnest(generate_series(0, 63)) AS u(i)),
+         |t AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+         |a AS (
+         | SELECT px.doc_id,
+         |  CAST(sum(CASE WHEN v * 64 > total
+         |    THEN CASE WHEN i = 63 THEN -9223372036854775808
+         |      ELSE (CAST(1 AS BIGINT) << i) END
+         |    ELSE 0 END) AS BIGINT) AS ahash
+         | FROM px JOIN t USING (doc_id) GROUP BY px.doc_id),
+         |g AS (
+         | SELECT ahash, count(*) AS group_n, min(doc_id) AS keeper
+         | FROM a GROUP BY 1)
+         |SELECT a.doc_id, a.ahash, g.group_n, (a.doc_id = g.keeper) AS keep
+         |FROM a JOIN g USING (ahash) ORDER BY a.doc_id""".stripMargin
+    },
     "m2_media_features" -> {
       // byte sum over hex chars [first, first + 2*n) as one list fold
       def bsum(n: Int) =

@@ -249,6 +249,40 @@ class ScaleOpsSpec extends SparkSpec {
       "holdout n-gram set must broadcast, not shuffle the corpus")
   }
 
+  test("m5: ahash matches an independent computation; one keeper per group") {
+    val rows = MultimodalOps.phashDedup(spark, dir).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def ahashOf(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bytes = (hex * 4).grouped(2).map(Integer.parseInt(_, 16).toLong).toArray
+      val total = bytes.sum
+      (0 until 64).foldLeft(0L)((h, i) =>
+        if (bytes(i) * 64L > total) h | (1L << i) else h)
+    }
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ahash") === ahashOf(texts(r.getAs[Long]("doc_id"))))
+    }
+    // group invariants: sizes consistent, exactly one keeper per hash,
+    // and the keeper is the group's min doc id
+    rows.groupBy(_.getAs[Long]("ahash")).foreach { case (_, g) =>
+      assert(g.forall(_.getAs[Long]("group_n") === g.length.toLong))
+      val keepers = g.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length === 1)
+      assert(keepers.head.getAs[Long]("doc_id") ===
+        g.map(_.getAs[Long]("doc_id")).min)
+    }
+    // identical texts (t2's exact duplicates) necessarily share a group
+    val dupGroups = texts.groupBy(_._2).values.filter(_.size > 1)
+    val hashByDoc = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("ahash")).toMap
+    dupGroups.foreach { fam =>
+      assert(fam.keys.map(hashByDoc).toSet.size === 1)
+    }
+  }
+
   test("v7: kmAssign picks the true nearest centroid (brute force) and is map-only") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
