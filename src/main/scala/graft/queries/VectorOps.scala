@@ -373,7 +373,9 @@ object VectorOps {
     * corpus (iters+1)× is inherent to Lloyd; at 100 TB the standard
     * mitigation (fit on a hash-sample, assign the full corpus once)
     * composes from this same shape plus t16's sampler. */
-  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The final per-vector assignment after the fixed Lloyd rounds —
+    * shared by v7's per-cluster report and v8's outlier pruning. */
+  private[queries] def kmFinalAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val seeds = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cluster"),
@@ -381,6 +383,11 @@ object VectorOps {
     var assigned = kmAssign(e, seeds)
     for (_ <- 0 until KmeansIters)
       assigned = kmAssign(e, kmRecompute(assigned))
+    assigned
+  }
+
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmFinalAssign(s, dir)
     // avg over exact integer micro-units: a double avg of the rounded
     // distances is summation-order-dependent and flipped a 6th decimal
     // between engines at sf0.1; BIGINT sums are order-free (headroom:
@@ -398,10 +405,32 @@ object VectorOps {
       .orderBy(col("cluster_id"))
   }
 
-  /** v7 oracle: the same seeds/rounds unrolled as chained CTEs —
+  /** v8: cluster-based outlier pruning — the pass after semantic
+    * clustering that drops each cluster's farthest tail (SemDeDup-style
+    * curation: vectors far from their centroid are near-noise for that
+    * cluster's concept). Keeps the closest 90 % per cluster by an
+    * INTEGER rank threshold (`10·rank ≤ 9·n`, ties by vec id) — no
+    * float percentile crosses the engine boundary, so the keep flag
+    * cannot flip on an interpolation ulp. One window shuffle on the
+    * cluster key over v7's final assignment (which itself never
+    * shuffles the corpus). */
+  def clusterPrune(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist2"), col("vec_id"))
+    val wc = Window.partitionBy(col("cluster"))
+    kmFinalAssign(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(wc))
+      .select(col("vec_id"), col("cluster").as("cluster_id"),
+        col("dist2"), col("rnk"),
+        (col("rnk") * 10 <= col("n_cluster") * 9).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** v7/v8 oracle CTE chain: the same seeds/rounds unrolled —
     * row_number argmin instead of array_min, identical rounded
     * values. */
-  private lazy val kmeansOracle: String = {
+  private lazy val kmeansCtes: String = {
     def assignCte(idx: Int, centCte: String): String =
       s"""a${idx}raw AS (
          | SELECT e.vec_id, e.embedding, c.cluster,
@@ -432,15 +461,29 @@ object VectorOps {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
        | FROM e WHERE vec_id < $KmeansK),
        |${assignCte(0, "c0")},
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val kmeansOracle: String =
+    s"""$kmeansCtes
        |SELECT cluster AS cluster_id, count(*) AS n,
        | round(CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS DOUBLE)
        |   / count(*) / 1000000.0, 6) AS avg_dist2,
        | min(vec_id) AS min_member
        |FROM a$KmeansIters GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** v8 oracle: v7's unrolled rounds, then the integer-rank keep. */
+  private lazy val clusterPruneOracle: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, cluster AS cluster_id, d AS dist2,
+       | CAST(row_number() OVER
+       |   (PARTITION BY cluster ORDER BY d, vec_id) AS BIGINT) AS rnk,
+       | (row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) * 10
+       |   <= count(*) OVER (PARTITION BY cluster) * 9) AS keep
+       |FROM a$KmeansIters ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_cluster_prune" -> (clusterPrune _),
     "v7_kmeans" -> (kmeansClusters _),
     "v6_ann_hamming" -> (annBinaryHamming _),
     "v5_quantize_int8" -> (quantizeInt8 _),
@@ -450,6 +493,7 @@ object VectorOps {
     "v4_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
+    "v8_cluster_prune" -> clusterPruneOracle,
     "v7_kmeans" -> kmeansOracle,
     "v6_ann_hamming" ->
       """WITH b AS (

@@ -316,6 +316,30 @@ class ScaleOpsSpec extends SparkSpec {
       "assignment must be map-only over the corpus")
   }
 
+  test("v8: pruning keeps exactly the closest 90% per cluster") {
+    val rows = VectorOps.clusterPrune(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, g) =>
+      val n = g.length
+      val kept = g.filter(_.getAs[Boolean]("keep"))
+      // integer threshold: rank*10 <= n*9 keeps floor(0.9n) vectors
+      assert(kept.length === (n * 9) / 10)
+      // every kept vector is at least as close as every dropped one
+      // (ties broken by vec_id inside the rank, so compare by rank)
+      val maxKeptRank = if (kept.isEmpty) 0L
+        else kept.map(_.getAs[Long]("rnk")).max
+      g.filterNot(_.getAs[Boolean]("keep")).foreach { d =>
+        assert(d.getAs[Long]("rnk") > maxKeptRank)
+      }
+    }
+    // v8 rows agree with v7's aggregate per-cluster counts
+    val v7n = VectorOps.kmeansClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n")).toMap
+    val v8n = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, g) => c -> g.length.toLong }
+    assert(v8n === v7n)
+  }
+
   test("v7: Lloyd iterations never increase the clustering objective") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
