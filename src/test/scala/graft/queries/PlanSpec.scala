@@ -161,4 +161,33 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1,
       s"expected exactly one user_id shuffle, got: $hashEx")
   }
+
+  test("t22: the vocabulary reaches the scoring join as a broadcast") {
+    // the corpus token stream must not shuffle to meet its own
+    // vocabulary — word-like vocabularies are Zipf-bounded, the corpus
+    // at 100 TB is not
+    val p = plan("t22_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab must broadcast into the scoring join")
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge")
+  }
+
+  test("q23: cube computes all four grouping sets from ONE scan (a single Expand)") {
+    val p = plan("q23_cube")
+    assert("(?m)Expand".r.findAllIn(p).size == 1,
+      "grouping sets must share one Expand, not re-scan")
+    assert("(?m)FileScan".r.findAllIn(p).size == 1,
+      "cube must read orders exactly once")
+  }
+
+  test("m5: perceptual hashing is map-only; the hash key is the only pre-result exchange") {
+    // hash computation must not shuffle payloads; grouping shuffles
+    // only the (doc_id, ahash) pairs
+    val p = plan("m5_phash_dedup")
+    val hashEx = "(?m)Exchange hashpartitioning".r.findAllIn(p).toList
+    assert(hashEx.nonEmpty && hashEx.size <= 2,
+      s"expected the ahash shuffle (plus at most the final join's), got: $hashEx")
+    assert(!p.contains("SortMergeJoin") || !p.contains("payload"),
+      "payload bytes must not reach a sort-merge join")
+  }
 }
