@@ -299,6 +299,22 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  /** SURVEY §2.6 beyond-reference: UNPIVOT — q11's pivot inverted,
+    * wide metric columns back to long (metric, value) rows. The
+    * Expand-based unpivot multiplies rows AFTER the aggregate, so the
+    * wide input is the k-row result, never the scan. */
+  def q24Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "v")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** SURVEY §2.6: lag-based sessionization — per-user event gaps > 30
     * minutes open a new session; one window shuffle on the user key. */
   def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
@@ -397,6 +413,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_unpivot" -> (q24Unpivot _),
     "q23_cube" -> (q23Cube _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q21_range_frame" -> (q21RangeFrame _),
@@ -452,6 +469,15 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_unpivot" ->
+      """WITH w AS (
+        | SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_discount), 2) AS sum_disc
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, v
+        |FROM w UNPIVOT (v FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q23_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

@@ -52,6 +52,21 @@ class RelationalSpec extends SparkSpec {
     assert(back.columns.toSeq === df.columns.toSeq)
   }
 
+  test("q24: unpivot is the exact inverse of re-pivoting its output") {
+    val long = Relational.q24Unpivot(spark, dir)
+    val wide = long.groupBy("l_returnflag")
+      .pivot("metric", Seq("sum_qty", "sum_price", "sum_disc"))
+      .agg(first(col("v")))
+    val direct = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+    assert(wide.select("l_returnflag", "sum_qty", "sum_price", "sum_disc")
+      .except(direct).count() === 0)
+    assert(long.count() === direct.count() * 3)
+  }
+
   test("q23: cube marginals are consistent across grouping sets") {
     val rows = Relational.q23Cube(spark, dir).collect()
     def level(gid: Long) = rows.filter(_.getAs[Long]("gid") == gid)
