@@ -210,8 +210,11 @@ object DedupOps {
       .distinct().withColumn("label", col("node")).persist(lvl)
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum(col("label"))).head.getLong(0)
-    val emptyGraph = labels.isEmpty
-    var prevSum = if (emptyGraph) 0L else labelSum(labels)
+    // one action materializes the initial labels AND answers both the
+    // empty-graph and the convergence-baseline questions
+    val init = labels.agg(sum(col("label")), count(lit(1))).head
+    val emptyGraph = init.getLong(1) == 0L
+    var prevSum = if (emptyGraph) 0L else init.getLong(0)
     var rounds = 0
     var converged = emptyGraph
     while (!converged && rounds < 60) {
@@ -222,9 +225,11 @@ object DedupOps {
         .withColumnRenamed("src", "node")
         .persist(lvl)
       val sum = labelSum(next)
-      // blocking: CacheLifecycleSpec reads getPersistentRDDs right
-      // after a sweep — an async unpersist would leave a racing ghost
-      labels.unpersist(blocking = true)
+      // async is safe mid-loop: `next` is already materialized, so the
+      // dropped blocks have no remaining reader; only the FINAL
+      // unpersists below must block (CacheLifecycleSpec reads
+      // getPersistentRDDs right after a sweep)
+      labels.unpersist(blocking = false)
       labels = next
       if (sum == prevSum) converged = true
       else { prevSum = sum; rounds += 1 }
