@@ -179,6 +179,12 @@ object ScaleDemo {
     time(s"v7 kmeans ($actualVecs vectors)") {
       noop(queries.VectorOps.kmeansClusters(spark, docsDir.toString))
     }
+    time(s"v8 cluster prune ($actualVecs vectors)") {
+      noop(queries.VectorOps.clusterPrune(spark, docsDir.toString))
+    }
+    time(s"m5 phash dedup ($actualDocs docs)") {
+      noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
+    }
     }
     spark.stop()
   }
