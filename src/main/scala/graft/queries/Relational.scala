@@ -299,6 +299,25 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  /** SURVEY §2 beyond-reference: correlated-subquery semantics —
+    * orders priced above their own customer's average. Spark-first
+    * decorrelation: ONE aggregate over orders + a re-join on the
+    * customer key (what Catalyst's subquery decorrelation emits
+    * anyway), instead of a per-row subquery; the oracle states the
+    * same query as a genuinely correlated scalar subquery, proving
+    * the rewrite. */
+  def q25AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgSpend = o.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    o.join(avgSpend, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** SURVEY §2.6 beyond-reference: UNPIVOT — q11's pivot inverted,
     * wide metric columns back to long (metric, value) rows. The
     * Expand-based unpivot multiplies rows AFTER the aggregate, so the
@@ -413,6 +432,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_above_avg" -> (q25AboveAvg _),
     "q24_unpivot" -> (q24Unpivot _),
     "q23_cube" -> (q23Cube _),
     "q22_asof_join" -> (q22AsofJoin _),
@@ -469,6 +489,13 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_above_avg" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_unpivot" ->
       """WITH w AS (
         | SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
