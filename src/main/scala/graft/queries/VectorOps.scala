@@ -411,9 +411,11 @@ object VectorOps {
     * cluster's concept). Keeps the closest 90 % per cluster by an
     * INTEGER rank threshold (`10·rank ≤ 9·n`, ties by vec id) — no
     * float percentile crosses the engine boundary, so the keep flag
-    * cannot flip on an interpolation ulp. One window shuffle on the
-    * cluster key over v7's final assignment (which itself never
-    * shuffles the corpus). */
+    * cannot flip on an interpolation ulp. The centroid-nearest vector
+    * is always kept (a curation pass must never empty a cluster —
+    * matters only when `floor(0.9·n) = 0`, i.e. tiny clusters). One
+    * window shuffle on the cluster key over v7's final assignment
+    * (which itself never shuffles the corpus). */
   def clusterPrune(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("dist2"), col("vec_id"))
@@ -423,7 +425,8 @@ object VectorOps {
       .withColumn("n_cluster", count(lit(1)).over(wc))
       .select(col("vec_id"), col("cluster").as("cluster_id"),
         col("dist2"), col("rnk"),
-        (col("rnk") * 10 <= col("n_cluster") * 9).as("keep"))
+        (col("rnk") === 1L || col("rnk") * 10 <= col("n_cluster") * 9)
+          .as("keep"))
       .orderBy(col("vec_id"))
   }
 
@@ -478,7 +481,8 @@ object VectorOps {
        |SELECT vec_id, cluster AS cluster_id, d AS dist2,
        | CAST(row_number() OVER
        |   (PARTITION BY cluster ORDER BY d, vec_id) AS BIGINT) AS rnk,
-       | (row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) * 10
+       | (row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) = 1
+       |  OR row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) * 10
        |   <= count(*) OVER (PARTITION BY cluster) * 9) AS keep
        |FROM a$KmeansIters ORDER BY vec_id""".stripMargin
 

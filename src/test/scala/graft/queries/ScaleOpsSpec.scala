@@ -322,8 +322,9 @@ class ScaleOpsSpec extends SparkSpec {
     rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, g) =>
       val n = g.length
       val kept = g.filter(_.getAs[Boolean]("keep"))
-      // integer threshold: rank*10 <= n*9 keeps floor(0.9n) vectors
-      assert(kept.length === (n * 9) / 10)
+      // integer threshold: rank*10 <= n*9 keeps floor(0.9n) vectors,
+      // and the centroid-nearest is always kept
+      assert(kept.length === math.max(1, (n * 9) / 10))
       // every kept vector is at least as close as every dropped one
       // (ties broken by vec_id inside the rank, so compare by rank)
       val maxKeptRank = if (kept.isEmpty) 0L
@@ -338,6 +339,28 @@ class ScaleOpsSpec extends SparkSpec {
     val v8n = rows.groupBy(_.getAs[Long]("cluster_id"))
       .map { case (c, g) => c -> g.length.toLong }
     assert(v8n === v7n)
+  }
+
+  test("v7/v8: fewer vectors than k — every vector still assigned, pruning keeps floor(0.9n)") {
+    // scratch table with n < KmeansK vectors (k>n boundary: every
+    // vector is its own seed, distances are 0 to self)
+    val tiny = "target/kmeans_tiny"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    val gate = VectorOps.kmeansClusters(spark, tiny).collect()
+    assert(gate.map(_.getAs[Long]("n")).sum === 3L)
+    // each vector sits exactly on its own seed: 3 singleton clusters
+    assert(gate.length === 3)
+    gate.foreach { r =>
+      assert(r.getAs[Double]("avg_dist2") === 0.0)
+      assert(r.getAs[Long]("min_member") === r.getAs[Long]("cluster_id"))
+    }
+    val pruned = VectorOps.clusterPrune(spark, tiny).collect()
+    // floor(0.9 * 1) = 0, but the centroid-nearest vector is always
+    // kept: pruning never empties a cluster
+    assert(pruned.length === 3)
+    assert(pruned.forall(_.getAs[Boolean]("keep")))
   }
 
   test("v7: Lloyd iterations never increase the clustering objective") {
