@@ -215,25 +215,54 @@ object DedupOps {
     val init = labels.agg(sum(col("label")), count(lit(1))).head
     val emptyGraph = init.getLong(1) == 0L
     var prevSum = if (emptyGraph) 0L else init.getLong(0)
+    val ckptBase = s.conf.get("graft.checkpointDir", "target/graft_ckpt") +
+      "/cc_labels_" + s.sparkContext.applicationId
     var rounds = 0
     var converged = emptyGraph
     while (!converged && rounds < 60) {
-      val next = symCached.as("e")
+      // 1-hop neighbor min, then ONE pointer jump (label(label(v)),
+      // "hash-to-min" shortcutting): rounds track log2(diameter), not
+      // diameter — a plain 1-hop loop silently mislabeled any
+      // component wider than the round cap (pinned by the 150-chain
+      // spec), and its per-round lineage growth blew up plan-tree
+      // traversal long before that.
+      val prop = symCached.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.node"))
         .groupBy(col("e.src"))
         .agg(min(col("l.label")).as("label"))
         .withColumnRenamed("src", "node")
         .persist(lvl)
+      val jumped = prop.as("p")
+        .join(prop.select(col("node").as("ln"), col("label").as("l2")).as("j"),
+          col("p.label") === col("j.ln"), "left")
+        .select(col("p.node").as("node"),
+          least(col("p.label"), coalesce(col("j.l2"), col("p.label")))
+            .as("label"))
+      // every few rounds the labels respill through parquet: a hard
+      // lineage cut, so the analyzed plan stays shallow no matter how
+      // many rounds run (alternating paths — never overwrite the file
+      // a live plan is reading)
+      val next =
+        if (rounds % 4 == 3) {
+          val spill = ckptBase + s"_loop${rounds % 8 / 4}"
+          jumped.write.mode("overwrite").parquet(spill)
+          s.read.parquet(spill)
+        } else jumped.persist(lvl)
       val sum = labelSum(next)
       // async is safe mid-loop: `next` is already materialized, so the
       // dropped blocks have no remaining reader; only the FINAL
       // unpersists below must block (CacheLifecycleSpec reads
       // getPersistentRDDs right after a sweep)
+      prop.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
       if (sum == prevSum) converged = true
       else { prevSum = sum; rounds += 1 }
     }
+    if (!converged)
+      throw new IllegalStateException(
+        "connected components did not converge within 60 doubling rounds " +
+          "(component diameter would exceed 2^60 — malformed input?)")
     // --- result: the converged labels ARE the answer — spill them once
     // through a parquet checkpoint (one distributed write, the GraphX
     // iteration-checkpoint idiom) and return a plain scan. The previous

@@ -30,6 +30,18 @@ class DedupClustersSpec extends SparkSpec {
     Seq(50L, 51L, 52L).foreach { d => assert(byDoc(d) === ((50L, 3L, d == 50L))) }
   }
 
+  test("CC core: a 150-node chain (diameter >> round cap) resolves correctly") {
+    import spark.implicits._
+    val edges = (1L to 149L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponentsOf(spark, edges).collect()
+    assert(cc.length === 150)
+    cc.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") === 1L,
+        s"node ${r.getAs[Long]("doc_id")} mislabeled")
+      assert(r.getAs[Long]("cluster_size") === 150L)
+    }
+  }
+
   test("CC core: empty edge list yields empty clustering") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
