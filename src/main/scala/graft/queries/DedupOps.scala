@@ -238,10 +238,13 @@ object DedupOps {
         .select(col("p.node").as("node"),
           least(col("p.label"), coalesce(col("j.l2"), col("p.label")))
             .as("label"))
-      // every few rounds the labels respill through parquet: a hard
-      // lineage cut, so the analyzed plan stays shallow no matter how
-      // many rounds run (alternating paths — never overwrite the file
-      // a live plan is reading)
+      // every 4 rounds the labels respill through parquet: a hard
+      // lineage cut (alternating paths — never overwrite the file a
+      // live plan is reading). The cadence is load-bearing: the jump
+      // references `prop` twice, so the ANALYZED plan doubles its
+      // nodes per round within a segment — 4-round segments (16×) are
+      // fine, 8-round segments (256×) already blow up plan-string
+      // generation.
       val next =
         if (rounds % 4 == 3) {
           val spill = ckptBase + s"_loop${rounds % 8 / 4}"
