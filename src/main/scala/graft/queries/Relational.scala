@@ -351,33 +351,71 @@ object Relational {
   }
 
   /** Exact interpolated percentiles per group (the linear-interpolation
-    * definition both engines share), via rank-based selection instead
-    * of `percentile()`: a per-group Tungsten sort assigns row numbers,
-    * only the two bracketing order statistics per requested quantile
-    * survive the filter, and the interpolation `lower + (pos -
-    * floor(pos)) * (higher - lower)` is the same double expression
-    * `percentile`/`quantile_cont` evaluate — results stay bit-exact.
-    * Scale rationale: `percentile()` is an ObjectHashAggregate that
-    * buffers the whole per-group multiset in one in-memory array (a
-    * hot group must fit an aggregation buffer); the window sort spills
-    * gracefully and parallelizes the scan side. approx_percentile
-    * remains the sketch path at 100 TB. */
+    * definition both engines share), via DISTRIBUTED selection — no
+    * per-group single-task sort. The naive window
+    * (`row_number() OVER (PARTITION BY l_returnflag ORDER BY price)`)
+    * sorts each flag's ENTIRE row set on one task: with ~3 distinct
+    * flags that is a straggler/OOM at 100 TB. Instead:
+    *
+    *  - pass 1 range-partitions on (group, value) — the sampled range
+    *    partitioner is a pure function of the key, so equal values
+    *    share a cell and per-(group, cell) counts define exact global
+    *    rank offsets (a tiny table: groups × nCells rows);
+    *  - the bracketing global ranks `floor/ceil(p·(n-1))+1` locate the
+    *    cells that contain them (prefix-sum over the tiny count table);
+    *  - pass 2 sorts ONLY those hot cells, each bounded by the range
+    *    split size n/nCells — never a whole group — and `off +
+    *    row_number()` reconstructs the exact global rank.
+    *
+    * The interpolation `lower + (pos - floor(pos)) * (higher - lower)`
+    * is the same double expression `percentile`/`quantile_cont`
+    * evaluate — results stay bit-exact. At 100 TB, nCells is the
+    * scaling knob (cells stay executor-sized); `percentile()` (one
+    * in-memory buffer per hot group) and the low-cardinality window
+    * sort both fail that test. approx_percentile remains the sketch
+    * path. */
   def q20Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val nCells = s.sessionState.conf.numShufflePartitions
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
     val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+
+    // Pass 1: range cells + exact per-cell rank offsets.
+    val ranged = li
+      .repartitionByRange(nCells, col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("cell", spark_partition_id())
+    val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("l_returnflag"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+
+    // The 1-indexed global ranks bracketing each requested quantile.
+    val targets = counts
+      .select(col("l_returnflag"), explode(array(
+        floor(pos(0.5)) + 1, ceil(pos(0.5)) + 1,
+        floor(pos(0.95)) + 1, ceil(pos(0.95)) + 1)).as("rn"))
+      .distinct()
+
+    // Pass 2: sort only the cells holding a target rank.
+    val hotCells = targets.join(offsets, Seq("l_returnflag"))
+      .filter(col("rn") > col("off") && col("rn") <= col("off") + col("cnt"))
+      .select(col("l_returnflag"), col("cell"), col("off")).distinct()
+    val wCell = Window.partitionBy(col("l_returnflag"), col("cell"))
+      .orderBy(col("l_extendedprice"))
+    val ranked = ranged
+      .join(broadcast(hotCells), Seq("l_returnflag", "cell"))
+      .withColumn("rn", col("off") + row_number().over(wCell))
+      .join(broadcast(targets), Seq("l_returnflag", "rn"))
+
     val k = col("rn") - 1
-    def isBracket(p: Double): Column =
-      k === floor(pos(p)) || k === ceil(pos(p))
     def stat(p: Double, edge: Column => Column): Column =
       max(when(k === edge(pos(p)), col("l_extendedprice")))
     def interp(p: Double, lower: Column, higher: Column): Column =
       lower + (pos(p) - floor(pos(p)).cast("double")) * (higher - lower)
-    li.withColumn("rn", row_number().over(w))
+    ranked
       .join(broadcast(counts), Seq("l_returnflag"))
-      .filter(isBracket(0.5) || isBracket(0.95))
       .groupBy(col("l_returnflag"), col("n"))
       .agg(
         stat(0.5, floor).as("l50"), stat(0.5, ceil).as("h50"),

@@ -79,12 +79,18 @@ class PlanSpec extends SparkSpec {
       "the 32 conditional bit sums must not reappear as an aggregate")
   }
 
-  test("q20: rank-based percentiles use a spillable window sort, not a buffering aggregate") {
+  test("q20: percentiles select distributedly — no whole-group sort on a 3-value key") {
     val p = plan("q20_percentiles")
-    assert(p.contains("Window"), "per-group sort via window")
+    assert(p.contains("rangepartitioning(l_returnflag"),
+      "pass 1 must range-partition on (group, value)")
+    assert("windowspecdefinition\\(l_returnflag#\\d+, cell#\\d+".r.findFirstIn(p).isDefined,
+      "the data-sized rank window must partition by (group, cell)")
+    assert("windowspecdefinition\\(l_returnflag#\\d+, l_extendedprice#\\d+ ASC".r
+      .findFirstIn(p).isEmpty,
+      "a window partitioned by the 3-value flag alone sorts each whole group on one task")
     assert(!p.toLowerCase.contains("percentile"),
       "percentile() buffers the whole group in one aggregation buffer")
-    assert(p.contains("BroadcastHashJoin"), "group counts broadcast")
+    assert(p.contains("BroadcastHashJoin"), "hot cells / targets / counts broadcast")
   }
 
   test("jh_summary_per_job: fleet summary runs explode-free (conditional LWW aggregates)") {
