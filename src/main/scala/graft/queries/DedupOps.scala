@@ -353,25 +353,74 @@ object DedupOps {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** t9: embedding cosine near-duplicates, blocked by the coarse label
-    * (IVF cell): only within-cell pairs scored. Top-20 by cosine.
-    * Norms are precomputed per row *before* the join — each vector
-    * participates in O(cell) pairs, so per-pair norm recomputation is
-    * the dominant wasted work at scale. */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorDotProduct.register(s)
-    val e = Tables(s, dir, "embeddings").select(
-      col("label"), col("vec_id"), col("embedding"),
-      expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+  /** t9 cell-count scaling: target within-cell size, so k = ⌈n/50⌉
+    * (min 8) GROWS with the corpus — the property the fixed 10-value
+    * label blocking lacked (pairs were O(n²/10)). */
+  private[queries] val NearDupCellTarget = 50
+  /** Hard cap on any one cell: cells the clustering leaves bigger than
+    * this split into ⌈cnt/cap⌉ sub-buckets, bounding the worst-case
+    * per-block pair count even under total centroid collapse. */
+  private[queries] val NearDupCellCap = 100
+
+  /** t9: embedding cosine near-duplicates, blocked by SemDeDup-style
+    * k-means cells (v7's Lloyd machinery) with k ∝ corpus size —
+    * top-20 within-cell pairs by cosine.
+    *
+    * Scale shape: k = max(8, ⌈n/[[NearDupCellTarget]]⌉) keeps the
+    * expected cell size CONSTANT as the corpus grows, so within-cell
+    * pair work is O(n·cell) = O(n), not the O(n²/cells) a fixed cell
+    * count degrades to; any cell the clustering still leaves above
+    * [[NearDupCellCap]] is sub-bucketed by `vec_id % ⌈cnt/cap⌉`, a
+    * deterministic split both engines compute identically. Assignment
+    * is v7's map-only broadcast-centroid argmin (the corpus never
+    * shuffles for it); k is derived lazily from a broadcast 1-row
+    * count, never a driver action. Norms are precomputed per row
+    * *before* the pair join — each vector participates in O(cell)
+    * pairs, so per-pair norm recomputation is the dominant wasted
+    * work at scale. */
+  /** Corpus-scaled k-means cell assignment over (vec_id, embedding):
+    * k = max(8, ⌈n/[[NearDupCellTarget]]⌉) derived lazily from a
+    * broadcast 1-row count, then v7's Lloyd rounds. */
+  private[queries] def nearDupAssign(e: DataFrame): DataFrame = {
+    val kdf = e.agg(greatest(lit(8L),
+      ceil(count(lit(1)) / lit(NearDupCellTarget.toDouble))).as("k"))
+    val seeds = e.crossJoin(broadcast(kdf))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    var assigned = VectorOps.kmAssign(e, seeds)
+    for (_ <- 0 until VectorOps.KmeansIters)
+      assigned = VectorOps.kmAssign(e, VectorOps.kmRecompute(assigned))
+    assigned
+  }
+
+  /** Within-cell cosine pairs over a (cluster, vec_id, embedding)
+    * assignment, sub-bucketing any cell above `cap` rows by
+    * `vec_id % ⌈cnt/cap⌉` so no block ever exceeds ~cap rows
+    * regardless of how skewed the clustering came out. Requires
+    * `vec_dot` to be registered. */
+  private[queries] def cellBlockedPairs(assigned: DataFrame, cap: Int): DataFrame = {
+    val cellSizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
+    val cells = assigned
+      .join(broadcast(cellSizes), Seq("cluster"))
+      .withColumn("sub", col("vec_id") % ceil(col("cnt") / lit(cap.toDouble)))
+      .select(col("cluster"), col("sub"), col("vec_id"), col("embedding"),
+        expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
     val dot = "vec_dot(ea, eb)"
-    e.select(col("label"), col("vec_id").as("vec_a"),
+    cells.select(col("cluster"), col("sub"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
-      .join(e.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("label"))
+      .join(cells.select(col("cluster"), col("sub"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster", "sub"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(expr(dot) / (col("na") * col("nb")), 6))
-      .select(col("label").cast("long").as("label"),
+      .select(col("cluster").cast("long").as("cell"),
         col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    cellBlockedPairs(nearDupAssign(e), NearDupCellCap)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
@@ -447,21 +496,37 @@ object DedupOps {
        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
   }
 
-  private val nearDupOracle: String =
-    """WITH p AS (
-      | SELECT CAST(a.label AS BIGINT) AS label,
-      |  a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(
-      |   list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-      |   (sqrt(list_sum(list_transform(a.embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-      |    sqrt(list_sum(list_transform(b.embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
-      | FROM embeddings a JOIN embeddings b
-      |   ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT label, vec_a, vec_b, cos FROM p
-      |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  /** t9 oracle: v7's unrolled Lloyd rounds seeded on a corpus-scaled
+    * k, then the identical sub-bucketed within-cell cosine pairs. */
+  private lazy val nearDupOracle: String = {
+    val kp =
+      s"""kp AS (
+         | SELECT greatest(8, CAST(ceil(count(*) / $NearDupCellTarget.0)
+         |   AS BIGINT)) AS k
+         | FROM embeddings),
+         |""".stripMargin
+    val fin = s"a${VectorOps.KmeansIters}"
+    s"""${VectorOps.kmeansCteChain(kp, "vec_id < (SELECT k FROM kp)")},
+       |cs AS (SELECT cluster, count(*) AS cnt FROM $fin GROUP BY 1),
+       |cells AS (
+       | SELECT a.vec_id, a.embedding, a.cluster,
+       |  a.vec_id % CAST(ceil(cs.cnt / $NearDupCellCap.0) AS BIGINT) AS sub
+       | FROM $fin a JOIN cs USING (cluster)),
+       |p AS (
+       | SELECT CAST(a.cluster AS BIGINT) AS cell,
+       |  a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(
+       |   list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+       |   (sqrt(list_sum(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |    sqrt(list_sum(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       | FROM cells a JOIN cells b
+       |   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id)
+       |SELECT cell, vec_a, vec_b, cos FROM p
+       |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
 
   private val cleanCorpusOracle: String = {
     val mins = hashParams.zipWithIndex

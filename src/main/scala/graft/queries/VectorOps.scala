@@ -430,10 +430,12 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  /** v7/v8 oracle CTE chain: the same seeds/rounds unrolled —
+  /** v7/v8/t9 oracle CTE chain: the same seeds/rounds unrolled —
     * row_number argmin instead of array_min, identical rounded
-    * values. */
-  private lazy val kmeansCtes: String = {
+    * values. Parameterized so t9 can prepend a CTE computing a
+    * corpus-scaled k and seed on it (`extraCtes` must end with a
+    * comma when non-empty; `seedWhere` filters the seed vectors). */
+  private[queries] def kmeansCteChain(extraCtes: String, seedWhere: String): String = {
     def assignCte(idx: Int, centCte: String): String =
       s"""a${idx}raw AS (
          | SELECT e.vec_id, e.embedding, c.cluster,
@@ -458,14 +460,17 @@ object VectorOps {
     val rounds = (0 until KmeansIters).map { r =>
       recomputeCte(r + 1, s"a$r") + ",\n" + assignCte(r + 1, s"c${r + 1}")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH ${extraCtes}e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (
        | SELECT vec_id AS cluster,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       | FROM e WHERE vec_id < $KmeansK),
+       | FROM e WHERE $seedWhere),
        |${assignCte(0, "c0")},
        |$rounds""".stripMargin
   }
+
+  private lazy val kmeansCtes: String =
+    kmeansCteChain("", s"vec_id < $KmeansK")
 
   private lazy val kmeansOracle: String =
     s"""$kmeansCtes

@@ -95,10 +95,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rAll >= 0.9, s"full probe recall was $rAll")
   }
 
-  test("t9: near-dup pairs are valid cosines within one label block") {
+  test("t9: near-dup pairs are valid cosines within one k-means cell") {
     val rows = DedupOps.embeddingNearDup(spark, dir).collect()
     assert(rows.length === 20)
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
+  }
+
+  test("t9: k grows with the corpus and a skewed cell sub-buckets under the cap") {
+    import spark.implicits._
+    graft.functions.VectorDotProduct.register(spark)
+    // one degenerate 250-vector cell: without the cap this is
+    // 250·249/2 = 31125 pairs; with cap=100 it must split into
+    // ceil(250/100)=3 sub-buckets, so only same-(vec_id%3) pairs
+    // survive and the pair count is bounded by the sub-bucket sizes
+    val assigned = (0L until 250L)
+      .map(i => (0L, i, Array(1.0f, i.toFloat / 250f)))
+      .toDF("cluster", "vec_id", "embedding")
+    val pairs = DedupOps.cellBlockedPairs(assigned, cap = 100).collect()
+    assert(pairs.forall(r =>
+      r.getAs[Long]("vec_a") % 3 === r.getAs[Long]("vec_b") % 3),
+      "pairs must never cross a sub-bucket")
+    val expect = Seq(84L, 83L, 83L).map(n => n * (n - 1) / 2).sum
+    assert(pairs.length === expect.toInt,
+      s"sub-bucketed pair count must be ${expect}, was ${pairs.length}")
+
+    // k scales: 500 vectors -> ceil(500/50) = 10 seed cells at sf0.001,
+    // never fewer than the corpus-size floor of 8
+    val cellsUsed = DedupOps.nearDupAssign(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")))
+      .select("cluster").distinct().count()
+    assert(cellsUsed > 1 && cellsUsed <= 10,
+      s"expected up to ceil(500/50)=10 populated cells, got $cellsUsed")
   }
 
   test("v3: ANN candidates are a subset of same-bucket pairs and ranked by cosine") {
