@@ -20,11 +20,17 @@ import graft.Tables
   *  - SimHash fingerprints are one groupBy with 32 conditional sums;
   *    candidate pairs come from the 4×8-bit pigeonhole blocks (any
   *    pair with hamming ≤ 3 shares a block), again an equi-join.
-  *  - Embedding near-dup blocks on the coarse label (IVF-style): only
-  *    within-cell pairs are scored, so the join shuffles on the cell id
-  *    instead of crossing the corpus.
+  *  - Embedding near-dup blocks on corpus-scaled k-means cells
+  *    (SemDeDup-style): only within-cell pairs are scored, so the join
+  *    shuffles on the cell id instead of crossing the corpus, and the
+  *    cell count grows with n so per-cell work stays constant.
   */
 object DedupOps {
+
+  /** Serial for per-invocation checkpoint paths: overlapping
+    * [[connectedComponentsOf]] calls in one app must never share
+    * spill files. */
+  private val ccInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -208,91 +214,124 @@ object DedupOps {
     val symCached = withSelf.persist(lvl)
     var labels = symCached.select(col("src").as("node"))
       .distinct().withColumn("label", col("node")).persist(lvl)
+    var prop: DataFrame = null
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum(col("label"))).head.getLong(0)
-    // one action materializes the initial labels AND answers both the
-    // empty-graph and the convergence-baseline questions
-    val init = labels.agg(sum(col("label")), count(lit(1))).head
-    val emptyGraph = init.getLong(1) == 0L
-    var prevSum = if (emptyGraph) 0L else init.getLong(0)
-    val ckptBase = s.conf.get("graft.checkpointDir", "target/graft_ckpt") +
-      "/cc_labels_" + s.sparkContext.applicationId
-    var rounds = 0
-    var converged = emptyGraph
-    while (!converged && rounds < 60) {
-      // 1-hop neighbor min, then ONE pointer jump (label(label(v)),
-      // "hash-to-min" shortcutting): rounds track log2(diameter), not
-      // diameter — a plain 1-hop loop silently mislabeled any
-      // component wider than the round cap (pinned by the 150-chain
-      // spec), and its per-round lineage growth blew up plan-tree
-      // traversal long before that.
-      val prop = symCached.as("e")
-        .join(labels.as("l"), col("e.dst") === col("l.node"))
-        .groupBy(col("e.src"))
-        .agg(min(col("l.label")).as("label"))
-        .withColumnRenamed("src", "node")
-        .persist(lvl)
-      val jumped = prop.as("p")
-        .join(prop.select(col("node").as("ln"), col("label").as("l2")).as("j"),
-          col("p.label") === col("j.ln"), "left")
-        .select(col("p.node").as("node"),
-          least(col("p.label"), coalesce(col("j.l2"), col("p.label")))
-            .as("label"))
-      // every 4 rounds the labels respill through parquet: a hard
-      // lineage cut (alternating paths — never overwrite the file a
-      // live plan is reading). The cadence is load-bearing: the jump
-      // references `prop` twice, so the ANALYZED plan doubles its
-      // nodes per round within a segment — 4-round segments (16×) are
-      // fine, 8-round segments (256×) already blow up plan-string
-      // generation.
-      val next =
-        if (rounds % 4 == 3) {
-          val spill = ckptBase + s"_loop${rounds % 8 / 4}"
-          jumped.write.mode("overwrite").parquet(spill)
-          s.read.parquet(spill)
-        } else jumped.persist(lvl)
-      val sum = labelSum(next)
-      // async is safe mid-loop: `next` is already materialized, so the
-      // dropped blocks have no remaining reader; only the FINAL
-      // unpersists below must block (CacheLifecycleSpec reads
-      // getPersistentRDDs right after a sweep)
-      prop.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
-      labels = next
-      if (sum == prevSum) converged = true
-      else { prevSum = sum; rounds += 1 }
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        "connected components did not converge within 60 doubling rounds " +
-          "(component diameter would exceed 2^60 — malformed input?)")
-    // --- result: the converged labels ARE the answer — spill them once
-    // through a parquet checkpoint (one distributed write, the GraphX
-    // iteration-checkpoint idiom) and return a plain scan. The previous
-    // lazy R-round rebuild re-derived the edge input (for t13: the full
-    // MinHash-LSH pair generation) R more times when the returned plan
-    // executed — at fleet scale that re-derivation dominated the
-    // operator. Nothing persisted survives (CacheLifecycleSpec); the
-    // location is configurable for cluster deployments (HDFS/S3 path).
-    val lab =
-      if (emptyGraph) {
-        labels.unpersist(blocking = true)
-        symCached.unpersist(blocking = true)
-        // no edges: an empty result with the checkpoint's scan schema
-        nodes.select(col("src").as("node"), col("src").as("label"))
-      } else {
-        val ckpt = s.conf.get("graft.checkpointDir", "target/graft_ckpt") +
-          "/cc_labels_" + s.sparkContext.applicationId
-        labels.write.mode("overwrite").parquet(ckpt)
-        labels.unpersist(blocking = true)
-        symCached.unpersist(blocking = true)
-        s.read.parquet(ckpt)
+    try {
+      // one action materializes the initial labels AND answers the
+      // empty-graph, fast-path, and convergence-baseline questions
+      val init = labels.agg(sum(col("label")), count(lit(1))).head
+      val nNodes = init.getLong(1)
+      val emptyGraph = nNodes == 0L
+      var prevSum = if (emptyGraph) 0L else init.getLong(0)
+      // small graphs (node count under the threshold — so the label
+      // table is bounded) cut lineage through a driver-local relation
+      // instead of a parquet respill: same hard cut, no filesystem
+      // round-trip. t13's gate graphs are hundreds of nodes, so the
+      // registry never pays the checkpoint I/O; fleet-scale graphs
+      // take the distributed spill path unchanged.
+      val small = nNodes <=
+        s.conf.get("graft.cc.smallGraphMaxNodes", "100000").toLong
+      def localSpill(df: DataFrame): DataFrame =
+        s.createDataFrame(df.collectAsList(), df.schema)
+      // spill/checkpoint paths are keyed by a per-invocation counter on
+      // top of the applicationId: two overlapping invocations in one
+      // app (parallel suites, a caller holding a prior lazy result)
+      // must never scan each other's files
+      val ckptBase = s.conf.get("graft.checkpointDir", "target/graft_ckpt") +
+        "/cc_labels_" + s.sparkContext.applicationId +
+        "_" + ccInvocations.incrementAndGet()
+      var rounds = 0
+      var converged = emptyGraph
+      while (!converged && rounds < 60) {
+        // 1-hop neighbor min, then ONE pointer jump (label(label(v)),
+        // "hash-to-min" shortcutting): rounds track log2(diameter), not
+        // diameter — a plain 1-hop loop silently mislabeled any
+        // component wider than the round cap (pinned by the 150-chain
+        // spec), and its per-round lineage growth blew up plan-tree
+        // traversal long before that.
+        prop = symCached.as("e")
+          .join(labels.as("l"), col("e.dst") === col("l.node"))
+          .groupBy(col("e.src"))
+          .agg(min(col("l.label")).as("label"))
+          .withColumnRenamed("src", "node")
+          .persist(lvl)
+        val jumped = prop.as("p")
+          .join(prop.select(col("node").as("ln"), col("label").as("l2")).as("j"),
+            col("p.label") === col("j.ln"), "left")
+          .select(col("p.node").as("node"),
+            least(col("p.label"), coalesce(col("j.l2"), col("p.label")))
+              .as("label"))
+        // every 4 rounds the labels respill — a hard lineage cut
+        // (parquet on alternating paths for big graphs, a local
+        // relation for small ones; never overwrite the file a live
+        // plan is reading). The cadence is load-bearing: the jump
+        // references `prop` twice, so the ANALYZED plan doubles its
+        // nodes per round within a segment — 4-round segments (16×)
+        // are fine, 8-round segments (256×) already blow up
+        // plan-string generation.
+        val next =
+          if (rounds % 4 == 3) {
+            if (small) localSpill(jumped)
+            else {
+              val spill = ckptBase + s"_loop${rounds % 8 / 4}"
+              jumped.write.mode("overwrite").parquet(spill)
+              s.read.parquet(spill)
+            }
+          } else jumped.persist(lvl)
+        val sum = labelSum(next)
+        // async is safe mid-loop: `next` is already materialized, so
+        // the dropped blocks have no remaining reader; only the FINAL
+        // unpersists below must block (CacheLifecycleSpec reads
+        // getPersistentRDDs right after a sweep)
+        prop.unpersist(blocking = false)
+        prop = null
+        labels.unpersist(blocking = false)
+        labels = next
+        if (sum == prevSum) converged = true
+        else { prevSum = sum; rounds += 1 }
       }
-    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    lab.join(sizes, Seq("label"))
-      .select(col("label").as("cluster_id"), col("node").as("doc_id"),
-        col("cluster_size"), (col("node") === col("label")).as("keep"))
-      .orderBy(col("cluster_id"), col("doc_id"))
+      if (!converged)
+        throw new IllegalStateException(
+          "connected components did not converge within 60 doubling rounds " +
+            "(component diameter would exceed 2^60 — malformed input?)")
+      // --- result: the converged labels ARE the answer — spill them
+      // once (parquet checkpoint + plain scan for big graphs, the
+      // GraphX iteration-checkpoint idiom; a local relation for small
+      // ones) so the returned plan re-derives nothing. The previous
+      // lazy R-round rebuild re-derived the edge input (for t13: the
+      // full MinHash-LSH pair generation) R more times per action —
+      // at fleet scale that re-derivation dominated the operator.
+      // Nothing persisted survives (CacheLifecycleSpec); the location
+      // is configurable for cluster deployments (HDFS/S3 path).
+      val lab =
+        if (emptyGraph)
+          // no edges: an empty result with the checkpoint's scan schema
+          nodes.select(col("src").as("node"), col("src").as("label"))
+        else if (small) localSpill(labels)
+        else {
+          labels.write.mode("overwrite").parquet(ckptBase)
+          // the loop spills are dead once the final labels land
+          val conf = s.sparkContext.hadoopConfiguration
+          Seq("_loop0", "_loop1").foreach { sfx =>
+            val p = new org.apache.hadoop.fs.Path(ckptBase + sfx)
+            p.getFileSystem(conf).delete(p, true)
+          }
+          s.read.parquet(ckptBase)
+        }
+      val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, Seq("label"))
+        .select(col("label").as("cluster_id"), col("node").as("doc_id"),
+          col("cluster_size"), (col("node") === col("label")).as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    } finally {
+      // the leak-free invariant holds on EVERY exit path (convergence
+      // throw, spill failure): nothing this operator persisted may
+      // outlive it and skew later queries
+      if (prop != null) prop.unpersist(blocking = true)
+      labels.unpersist(blocking = true)
+      symCached.unpersist(blocking = true)
+    }
   }
 
   /** t13: near-duplicate cluster assembly — the step a cleaning

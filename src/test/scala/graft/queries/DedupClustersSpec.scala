@@ -42,6 +42,32 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("CC: overlapping invocations keep private checkpoints (big-graph path)") {
+    import spark.implicits._
+    // force the distributed spill/checkpoint path on tiny graphs
+    spark.conf.set("graft.cc.smallGraphMaxNodes", "0")
+    try {
+      val e1 = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val e2 = Seq((100L, 101L), (101L, 102L)).toDF("doc_a", "doc_b")
+      // hold the first result lazily while the second invocation runs:
+      // with shared checkpoint paths the second overwrote the files the
+      // first result's scan still referenced
+      val cc1 = DedupOps.connectedComponentsOf(spark, e1)
+      val cc2 = DedupOps.connectedComponentsOf(spark, e2)
+      val r1 = cc1.collect()
+      assert(r1.length === 10 && r1.forall(_.getAs[Long]("cluster_id") === 1L))
+      val r2 = cc2.collect()
+      assert(r2.length === 3 && r2.forall(_.getAs[Long]("cluster_id") === 100L))
+      // loop spills from this app are deleted once the final labels land
+      val appId = spark.sparkContext.applicationId
+      val stale = Option(new java.io.File("target/graft_ckpt").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.contains(appId) && f.getName.contains("_loop"))
+      assert(stale.isEmpty,
+        s"stale loop spills: ${stale.map(_.getName).mkString(",")}")
+    } finally spark.conf.unset("graft.cc.smallGraphMaxNodes")
+  }
+
   test("CC core: empty edge list yields empty clustering") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
