@@ -62,7 +62,11 @@ object TextHashes {
   }
 
   /** 12 MinHash mins over the doc's 3-word shingles; null if < 3
-    * words. Called from codegen — one invocation per document. */
+    * words. Null elements contribute neither text nor separator —
+    * exactly `concat_ws`'s null-skipping, so the kernel stays
+    * bit-identical to the SQL formulation on ANY array<string>, not
+    * just split() output (KernelPropertySpec generates null tokens).
+    * Called from codegen — one invocation per document. */
   def minhashSig(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n < 3) return null
@@ -70,7 +74,7 @@ object TextHashes {
     var i = 0
     while (i < n) {
       val w = words.getUTF8String(i)
-      bytes(i) = if (w == null) Array.emptyByteArray else w.getBytes
+      bytes(i) = if (w == null) null else w.getBytes
       i += 1
     }
     val mins = Array.fill(NumHashes)(Long.MaxValue)
@@ -78,9 +82,16 @@ object TextHashes {
     i = 0
     while (i <= n - 3) {
       md.reset()
-      md.update(bytes(i)); md.update(Space)
-      md.update(bytes(i + 1)); md.update(Space)
-      md.update(bytes(i + 2))
+      var first = true
+      var j = i
+      while (j < i + 3) {
+        if (bytes(j) != null) {
+          if (!first) md.update(Space)
+          md.update(bytes(j))
+          first = false
+        }
+        j += 1
+      }
       val h = take32(md)
       var k = 0
       while (k < NumHashes) {
@@ -94,7 +105,9 @@ object TextHashes {
   }
 
   /** 32-bit term-frequency SimHash over the doc's tokens (per
-    * occurrence, like the explode it replaces); 0 for an empty array. */
+    * occurrence, like the explode it replaces); 0 for an empty array.
+    * Null tokens are skipped entirely (the same null discipline as
+    * [[minhashSig]]: a null is not a token). */
   def simhashFp(tokens: ArrayData): Long = {
     val sums = new Array[Int](32)
     val md = tlMd.get()
@@ -102,13 +115,15 @@ object TextHashes {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      md.reset()
-      md.update(if (t == null) Array.emptyByteArray else t.getBytes)
-      val h = take32(md)
-      var b = 0
-      while (b < 32) {
-        sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      if (t != null) {
+        md.reset()
+        md.update(t.getBytes)
+        val h = take32(md)
+        var b = 0
+        while (b < 32) {
+          sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
       i += 1
     }
@@ -175,9 +190,16 @@ object TextHashes {
     (children: Seq[Expression]) => XxShingles(children.head))
 
   private[functions] def buildXxNgrams(children: Seq[Expression]): XxNgrams = {
-    require(children.length == 2 && children(1).foldable,
-      "xx_ngrams(words, n) needs a literal n")
-    XxNgrams(children.head, children(1).eval().asInstanceOf[Int])
+    require(children.length == 2, "xx_ngrams(words, n) takes exactly 2 arguments")
+    require(children(1).foldable, "xx_ngrams(words, n) needs a literal n")
+    val ng = children(1).eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        "xx_ngrams: n must be an INT literal, got " +
+          s"${children(1).dataType.simpleString} ($other)")
+    }
+    require(ng >= 1, s"xx_ngrams: n must be >= 1, got $ng")
+    XxNgrams(children.head, ng)
   }
 
   val xxNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -209,6 +231,8 @@ object TextHashes {
     checkStringArray("simhash_fp", child)
   private[functions] def checkXxShingles(child: Expression): TypeCheckResult =
     checkStringArray("xx_shingles", child)
+  private[functions] def checkXxNgrams(child: Expression): TypeCheckResult =
+    checkStringArray("xx_ngrams", child)
 }
 
 /** `minhash_sig(array<string>) → array<long>` — the 12-element MinHash
@@ -276,7 +300,7 @@ case class XxShingles(child: Expression) extends UnaryExpression {
   * below n words. `n` must be a literal. */
 case class XxNgrams(child: Expression, ng: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    TextHashes.checkXxShingles(child)
+    TextHashes.checkXxNgrams(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   // the kernel itself returns null below the gram width, even for a

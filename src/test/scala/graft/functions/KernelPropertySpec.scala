@@ -90,6 +90,51 @@ class KernelPropertySpec extends SparkSpec {
     assert(fpDiff.count() === 0, "simhash mismatch")
   }
 
+  test("minhash_sig and simhash_fp skip null tokens (concat_ws discipline)") {
+    TextHashes.register(spark)
+    val tokenOrNull: Gen[String] =
+      Gen.frequency(3 -> token, 1 -> Gen.const(null: String))
+    val wordsWithNulls: Gen[List[String]] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokenOrNull))
+    val data = df(samples(24)(wordsWithNulls))
+    // minhash: concat_ws skips null elements AND their separator — the
+    // kernel must agree on arrays split() can never produce
+    val h32 = "CAST(conv(substr(md5(concat_ws(' ', words[i], words[i + 1], " +
+      "words[i + 2])), 1, 8), 16, 10) AS BIGINT)"
+    val sigSql = TextHashes.hashParams.map { case (a, b) =>
+      s"array_min(transform(sequence(0, size(words) - 3), " +
+        s"i -> ($a * $h32 + $b) % ${TextHashes.HashPrime}))"
+    }.mkString("CASE WHEN size(words) >= 3 THEN array(", ", ", ") ELSE NULL END")
+    val sig = data
+      .select(col("id"), expr("minhash_sig(words)").as("fused"),
+        expr(sigSql).as("sql"))
+      .filter(!(col("fused") <=> col("sql")))
+    assert(sig.count() === 0, "minhash null-token mismatch")
+    // simhash: a null is not a token — it contributes no bit votes
+    val fused = data.select(col("id"), expr("simhash_fp(words)").as("fp"),
+      expr("simhash_fp(filter(words, w -> w IS NOT NULL))").as("fp_filtered"))
+      .filter(col("fp") =!= col("fp_filtered"))
+    assert(fused.count() === 0, "simhash null-token mismatch")
+  }
+
+  test("xx_ngrams rejects non-INT and non-positive n with clear messages") {
+    TextHashes.register(spark)
+    val data = df(Seq(List("a", "b", "c")))
+    def msgOf(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null && !c.getMessage.contains("xx_ngrams")) c = c.getCause
+      c.getMessage
+    }
+    val zero = intercept[Throwable] {
+      data.select(expr("xx_ngrams(words, 0)")).collect()
+    }
+    assert(msgOf(zero).contains("n must be >= 1"))
+    val bigint = intercept[Throwable] {
+      data.select(expr("xx_ngrams(words, CAST(3 AS BIGINT))")).collect()
+    }
+    assert(msgOf(bigint).contains("n must be an INT literal"))
+  }
+
   test("xx_ngrams skips null elements exactly like the built-in xxhash64") {
     TextHashes.register(spark)
     val one = df(Seq(List("a", "b", "c")))
