@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, JobHistoryOps, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.queries.{DedupOps, JobHistoryOps, MultimodalOps, Relational, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
-      JobHistoryOps.queries ++ DedupOps.queries ++ MultimodalOps.queries
+      JobHistoryOps.queries ++ DedupOps.queries ++ MultimodalOps.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      JobHistoryOps.oracle ++ DedupOps.oracle ++ MultimodalOps.oracle
+      JobHistoryOps.oracle ++ DedupOps.oracle ++ MultimodalOps.oracle ++
+      StreamingOps.oracle
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.EventWindows
+
+/** SURVEY §2.9 inside the oracle gate: the streaming surfaces were
+  * spec-tested (batch ≡ stream convergence) but invisible to the
+  * driver's DuckDB hash compare. These two entries close that gap —
+  * s1 executes a REAL Structured Streaming query to completion and
+  * gates its final table; s2 gates the engine's dynamic session-window
+  * operator where it is exactly SQL-expressible.
+  */
+object StreamingOps {
+
+  /** Memory-sink names must be unique per invocation: the bench runs
+    * each gate query several times in one session. */
+  private val runSerial = new AtomicLong(0)
+
+  /** s1: the tumbling-window aggregation executed as a real stream
+    * over the fixture (file source → AvailableNow trigger →
+    * complete-mode memory sink), final table returned for the gate.
+    * Complete mode keeps every window in state, so the finished
+    * stream equals the batch aggregation exactly — the convergence
+    * property EventWindowsSpec pins, here hash-gated against a plain
+    * GROUP BY oracle. (Append mode is covered by the spec instead:
+    * its final windows intentionally never emit on bounded input.)
+    * Scale note: complete mode is gate-only — an unbounded deployment
+    * uses the append/watermark path, whose state is bounded. */
+  def streamedTumbling(s: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val schema = s.read.parquet(src).schema
+    // the file source streams a DIRECTORY; the fixture is one parquet
+    // file per table, so stream the table dir filtered to that file
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val name = "s1_stream_" + runSerial.incrementAndGet()
+    val q = EventWindows.windowedCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** s2: per-user session windows (30-minute gap) via the engine's
+    * `session_window` — the same dynamic-window operator the
+    * streaming path uses, gated in batch mode against a
+    * gaps-and-islands oracle (split on diff >= gap, matching
+    * session_window's exclusive end). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    EventWindows.sessionCounts(Tables(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("value")))
+      .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_tumbling" -> (streamedTumbling _),
+    "s2_session_windows" -> (sessionWindows _))
+
+  val oracle: Map[String, String] = Map(
+    "s1_stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s2_session_windows" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (
+        | SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (
+        | SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m)
+        |SELECT user_id, min(us) AS s_start_us,
+        | max(us) + 1800000000 AS s_end_us,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_us""".stripMargin)
+}
