@@ -126,6 +126,111 @@ object ChartSink {
     } finally g.dispose()
   }
 
+  /** Gantt parity for the reference's grap scripts
+    * (vis/grap/reducegraph.gr:1-50, mapgraph.gr:1-11): one row per
+    * task, maps as red start→end bars (rank 0 upward), reduces as a
+    * green shuffle segment (max(start, maps-complete)→shuffle-finish)
+    * then a yellow reduce segment (shuffle-finish→end), black start
+    * ticks, a blue total-elapsed baseline and the blue maps-complete
+    * divider — the same marks the grap/groff pipeline draws from
+    * `map.d`/`reduce.d`, rendered directly from the `-m`/`-r` frames.
+    *
+    * Presentation sink like [[writePng]]: one collected row per task
+    * (the reference plots the same per-task files). */
+  def writeGantt(maps: DataFrame, reduces: DataFrame, path: String,
+      title: String = "", width: Int = Width, height: Int = Height): Unit = {
+    val m = maps.select("start_time", "end_time").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rd = reduces
+      .select("start_time", "maps_complete", "shuffle_finish", "end_time")
+      .collect()
+      .map { r =>
+        val end = r.getLong(3)
+        (r.getLong(0),
+          if (r.isNullAt(1)) r.getLong(0) else r.getLong(1),
+          if (r.isNullAt(2)) end else r.getLong(2),
+          end)
+      }.toSeq
+    val out = Files.newOutputStream(Paths.get(path))
+    try javax.imageio.ImageIO.write(
+      renderGantt(m, rd, title, width, height), "png", out)
+    finally out.close()
+  }
+
+  /** Pure Gantt core (testable without Spark): maps as (start, end),
+    * reduces as (start, maps_complete, shuffle_finish, end). */
+  private[jobhistory] def renderGantt(maps: Seq[(Long, Long)],
+      reduces: Seq[(Long, Long, Long, Long)], title: String,
+      width: Int, height: Int): BufferedImage = {
+    val cBlue = new Color(0x22, 0x22, 0xFF)
+    val cGreen = new Color(0x22, 0xFF, 0x22)
+    val cRed = new Color(0xFF, 0x22, 0x22)
+    val cYellow = new Color(0xFF, 0xFF, 0x22)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+        RenderingHints.VALUE_ANTIALIAS_OFF)
+      g.setColor(background)
+      g.fillRect(0, 0, width, height)
+      val (left, right, top, bottom) = (60, 20, 40, 60)
+      val plotW = width - left - right
+      val plotH = height - top - bottom
+      g.setColor(plotBackground)
+      g.fillRect(left, top, plotW, plotH)
+      if (maps.nonEmpty || reduces.nonEmpty) {
+        val starts = maps.map(_._1) ++ reduces.map(_._1)
+        val t0 = starts.min // reducegraph.gr: startTime = min start
+        val endMapTime = (maps.map(_._2) :+ t0).max
+        val endTime = (reduces.map(_._4) :+ endMapTime).max
+        val span = math.max(1L, endTime - t0)
+        def x(t: Long): Int =
+          left + ((t - t0).toDouble * (plotW - 1) / span).toInt
+        // maps rank from 0, reduces from 1 — the grap scripts' counters
+        val yMax = math.max(1, math.max(maps.length, reduces.length + 1))
+        def y(rank: Int): Int = top + plotH - 1 - rank * (plotH - 1) / yMax
+        // blue frame marks first (total-elapsed baseline + maps-done
+        // divider) so the per-task marks stay visible on rank 0
+        g.setColor(cBlue)
+        g.drawLine(x(t0), y(0), x(endTime), y(0))
+        g.drawLine(x(endMapTime), y(yMax), x(endMapTime), y(0))
+        maps.zipWithIndex.foreach { case ((s, e), r) =>
+          val yy = y(r)
+          g.setColor(Color.BLACK)
+          g.drawLine(x(s), yy - 3, x(s), yy + 3) // vtick at start
+          g.setColor(cRed)
+          g.drawLine(x(s), yy, x(e), yy)
+          g.fillRect(x(e) - 2, yy - 2, 5, 5) // square at end
+        }
+        reduces.zipWithIndex.foreach { case ((s, mc, sf, e), i) =>
+          val yy = y(i + 1)
+          val st = math.max(s, mc) // bullet at max(start, maps-complete)
+          g.setColor(cGreen)
+          g.fillOval(x(st) - 2, yy - 2, 5, 5)
+          g.drawLine(x(st), yy, x(sf), yy) // shuffle segment
+          g.setColor(Color.BLACK)
+          g.drawLine(x(sf), yy - 3, x(sf), yy + 3) // vtick at shuffle end
+          g.setColor(cYellow)
+          g.drawLine(x(sf), yy, x(e), yy) // reduce segment
+          g.fillRect(x(e) - 2, yy - 2, 5, 5)
+        }
+        g.setColor(Color.BLACK)
+        g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 12))
+        g.drawString((endTime - t0).toString,
+          (x(t0) + x(endTime)) / 2, y(0) + 16)
+        g.drawString(maps.length.toString, x(endTime) - 24, y(yMax / 2))
+      }
+      g.setColor(Color.DARK_GRAY)
+      g.setStroke(new BasicStroke(1f))
+      g.drawRect(left, top, plotW, plotH)
+      g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 12))
+      g.drawString("time", left + plotW / 2 - 12, height - 24)
+      g.drawString("task rank", 8, top - 8)
+      if (title.nonEmpty) g.drawString(title, left, 20)
+      img
+    } finally g.dispose()
+  }
+
   private def drawLegend(g: Graphics2D, x0: Int, y: Int): Unit = {
     var x = x0
     g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 12))

@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `-s` summary, `-m` map details, `-r` reduce details, `-b` the
   * python-surface bytes report, `-t`/default the concurrency timeline.
   * `-png <path>` additionally renders the timeline as the reference
-  * CGI's stacked chart (S6, job_history.cgi:344-390).
+  * CGI's stacked chart (S6, job_history.cgi:344-390); `-gantt <path>`
+  * renders the per-task Gantt plot the reference generates with
+  * grap/groff from map.d/reduce.d (vis/grap/reducegraph.gr).
   * Reports print CSV-style with the `-d` delimiter (default ", ").
   * `--scale` defaults to 1000 (seconds — the golden-output scale);
   * the reference CLI's 1000000 and the CGI's 100 are both reachable.
@@ -20,7 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Cli {
 
   private[jobhistory] case class Config(input: String = "-", sep: String = ", ",
-    scale: Long = 1000L, report: String = "t", png: Option[String] = None)
+    scale: Long = 1000L, report: String = "t", png: Option[String] = None,
+    gantt: Option[String] = None)
 
   private[jobhistory] def parseArgs(args: Array[String]): Config = {
     var cfg = Config()
@@ -40,6 +43,7 @@ object Cli {
               sys.error(s"--scale requires a number, got: $v")
           })
         case "-png" => cfg = cfg.copy(png = Some(value("-png")))
+        case "-gantt" => cfg = cfg.copy(gantt = Some(value("-gantt")))
         case "-s" | "-m" | "-r" | "-b" | "-t" =>
           cfg = cfg.copy(report = args(i).substring(1)); i += 1
         case a if a.startsWith("-D") => i += 1 // P10: java-opts absorbed
@@ -63,7 +67,7 @@ object Cli {
   }
 
   private[jobhistory] def run(spark: SparkSession, cfg: Config): Unit = {
-    val Config(input, sep, scale, report, _) = cfg
+    val Config(input, sep, scale, report, _, _) = cfg
     val events =
       if (input == "-")
         JobHistoryReader.readString(spark, scala.io.Source.stdin.mkString)
@@ -74,7 +78,11 @@ object Cli {
   }
 
   private def runReport(v: JobHistoryViews, cfg: Config): Unit = {
-    val Config(input, sep, _, report, _) = cfg
+    val Config(input, sep, _, report, _, _) = cfg
+    // `-gantt <path>`: the grap per-task plot (vis/grap/*.gr) rendered
+    // straight from the -m/-r frames, independent of the report choice
+    cfg.gantt.foreach(path => ChartSink.writeGantt(
+      Reports.mapDetails(v), Reports.reduceDetails(v), path, title = input))
     report match {
       case "s" =>
         val r = Reports.summary(v).collect().head

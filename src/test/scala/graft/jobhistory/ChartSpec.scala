@@ -63,6 +63,51 @@ class ChartSpec extends SparkSpec {
     } finally Files.deleteIfExists(out)
   }
 
+  test("gantt marks: map bar, reduce shuffle+sort segments, blue frame lines") {
+    // one map [110, 200], one reduce start 105 / maps-complete 200 /
+    // shuffle-finish 300 / end 400 on a 340px-wide plot over span 295
+    // (the reduce starts first, so the map's start tick is off the
+    // dark-gray plot border; its bullet sits at maps-complete anyway)
+    val img = ChartSink.renderGantt(
+      Seq((110L, 200L)), Seq((105L, 200L, 300L, 400L)), "", 420, 300)
+    val (left, top, plotW, plotH) = (60, 40, 420 - 60 - 20, 300 - 40 - 60)
+    def x(t: Long): Int = left + ((t - 105) * (plotW - 1) / 295L).toInt
+    val yMax = 2 // max(1 map, 1 reduce + 1)
+    def y(r: Int): Int = top + plotH - 1 - r * (plotH - 1) / yMax
+    // map row (rank 0): red mid-bar, black start tick
+    assert(img.getRGB(x(150), y(0)) === red, "map bar")
+    assert(img.getRGB(x(110), y(0) - 2) === black, "map start tick")
+    // reduce row (rank 1): green until shuffle-finish (from
+    // max(start, maps-complete) = 200), yellow after
+    assert(img.getRGB(x(250), y(1)) === green, "shuffle segment")
+    assert(img.getRGB(x(350), y(1)) === yellow, "sort segment")
+    assert(img.getRGB(x(300), y(1) - 2) === black, "shuffle-finish tick")
+    // blue frame marks: baseline (visible beyond the map bar) +
+    // maps-complete divider
+    assert(img.getRGB(x(250), y(0)) === blue, "elapsed baseline")
+    assert(img.getRGB(x(200), top + 30) === blue, "maps-done divider")
+  }
+
+  test("golden gantt: Pig-fixture pixels are pinned by hash") {
+    val out = Files.createTempFile("graft-gantt-golden", ".png")
+    try {
+      Cli.run(spark, Cli.Config(input = Fixtures.pig,
+        gantt = Some(out.toString), report = "m"))
+      val img = ImageIO.read(out.toFile)
+      assert(img.getWidth === 1200 && img.getHeight === 800)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4 * img.getWidth)
+      for (y <- 0 until img.getHeight) {
+        buf.clear()
+        for (x <- 0 until img.getWidth) buf.putInt(img.getRGB(x, y))
+        md.update(buf.array())
+      }
+      val hash = md.digest().map("%02x".format(_)).mkString
+      assert(hash === "767eedfaf464137b7e80f63b847edd1b",
+        s"rendered gantt pixel hash drifted: $hash")
+    } finally Files.deleteIfExists(out)
+  }
+
   test("CLI -png writes the reference-sized chart for the Pig fixture") {
     val out = Files.createTempFile("graft-chart", ".png")
     try {
