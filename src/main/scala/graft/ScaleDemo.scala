@@ -54,6 +54,14 @@ object ScaleDemo {
 
     // ---------------------------------------------- corpus generation
     val fleetDir = Paths.get("target", "scale_fleet").toAbsolutePath
+    // the fleet scan globs the whole directory, so the corpus on disk
+    // must be exactly the nLogs requested: trim any surplus left by a
+    // larger prior run (zero-padded names sort numerically)
+    if (phase != "docs" && Files.isDirectory(fleetDir)) {
+      val logs = fleetDir.toFile.list().filter(_.endsWith(".txt")).sorted
+      if (logs.length > nLogs)
+        logs.drop(nLogs).foreach(f => Files.delete(fleetDir.resolve(f)))
+    }
     val haveLogs = Files.isDirectory(fleetDir) &&
       fleetDir.toFile.list().count(_.endsWith(".txt")) >= nLogs
     // the docs phase neither reads nor generates the 16 GB log fleet
@@ -78,7 +86,11 @@ object ScaleDemo {
 
     val docsDir = Paths.get("target", "scale_docs").toAbsolutePath
     val docsParquet = docsDir.resolve("documents.parquet")
-    if (!Files.exists(docsParquet)) {
+    def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
+      Files.exists(path) && spark.read.parquet(path.toString).count() != need
+    val baseDocs = Tables(spark, "/root/testdata/sf0.1", "documents").count()
+    if (!Files.exists(docsParquet) ||
+        corpusStale(docsParquet, baseDocs * copies)) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
         // family is a cluster of mutual near-duplicates (overlapping
@@ -162,7 +174,9 @@ object ScaleDemo {
     // in one component (deterministic, not bit-identical) — k-means
     // cost is data-size-driven, not content-driven
     val embParquet = docsDir.resolve("embeddings.parquet")
-    if (!Files.exists(embParquet)) {
+    val baseVecs = Tables(spark, "/root/testdata/sf0.1", "embeddings").count()
+    if (!Files.exists(embParquet) ||
+        corpusStale(embParquet, baseVecs * copies)) {
       time(s"generate ${copies}x embeddings") {
         Tables(spark, "/root/testdata/sf0.1", "embeddings")
           .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
@@ -185,6 +199,28 @@ object ScaleDemo {
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
     }
+    // t9 scale property: k-means cells with k ∝ n and a hard cell cap
+    // keep candidate pairs ~LINEAR in corpus size — doubling the
+    // corpus must roughly double the pair count, not quadruple it
+    // (the old fixed-10-label blocking grew O(n²/10))
+    graft.functions.VectorDotProduct.register(spark)
+    val embAll = spark.read.parquet(embParquet.toString)
+      .select(col("vec_id"), col("embedding"))
+    def t9Pairs(e: DataFrame, tag: String): Long = {
+      var n = 0L
+      time(s"t9 near-dup candidate pairs ($tag)") {
+        n = queries.DedupOps.cellBlockedPairs(
+          queries.DedupOps.nearDupAssign(e),
+          queries.DedupOps.NearDupCellCap).count()
+      }
+      n
+    }
+    val pHalf = t9Pairs(embAll.filter(col("vec_id") % 2 === 0),
+      s"${actualVecs / 2} vectors")
+    val pFull = t9Pairs(embAll, s"$actualVecs vectors")
+    println(f"SCALE t9 pair growth 2x corpus -> " +
+      f"${pFull.toDouble / math.max(1L, pHalf)}%.2fx pairs " +
+      f"($pHalf -> $pFull)")
     }
     spark.stop()
   }

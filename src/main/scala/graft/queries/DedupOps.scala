@@ -395,22 +395,36 @@ object DedupOps {
   /** t9 cell-count scaling: target within-cell size, so k = ⌈n/50⌉
     * (min 8) GROWS with the corpus — the property the fixed 10-value
     * label blocking lacked (pairs were O(n²/10)). */
-  private[queries] val NearDupCellTarget = 50
+  private[graft] val NearDupCellTarget = 50
+  /** Centroid-count ceiling: brute nearest-centroid assignment is
+    * O(n·k·dims), so an uncapped k ∝ n makes ASSIGNMENT quadratic
+    * (measured: 229 s for 100k vectors at k=2000 vs linear under the
+    * cap). Above the cap the hard sub-bucket split below carries the
+    * block-count scaling instead — the pair bound never depends on k
+    * growing. A cluster deployment can raise the cap together with a
+    * hierarchical assignment (route through v4's coarse IVF cells,
+    * then argmin within) to keep the split semantic at any scale. */
+  private[graft] val NearDupKCap = 512L
   /** Hard cap on any one cell: cells the clustering leaves bigger than
     * this split into ⌈cnt/cap⌉ sub-buckets, bounding the worst-case
-    * per-block pair count even under total centroid collapse. */
-  private[queries] val NearDupCellCap = 100
+    * per-block pair count even under total centroid collapse — and,
+    * past [[NearDupKCap]], supplying the O(n) growth in block count
+    * that keeps total pair work linear. */
+  private[graft] val NearDupCellCap = 100
 
   /** t9: embedding cosine near-duplicates, blocked by SemDeDup-style
     * k-means cells (v7's Lloyd machinery) with k ∝ corpus size —
     * top-20 within-cell pairs by cosine.
     *
-    * Scale shape: k = max(8, ⌈n/[[NearDupCellTarget]]⌉) keeps the
-    * expected cell size CONSTANT as the corpus grows, so within-cell
-    * pair work is O(n·cell) = O(n), not the O(n²/cells) a fixed cell
-    * count degrades to; any cell the clustering still leaves above
-    * [[NearDupCellCap]] is sub-bucketed by `vec_id % ⌈cnt/cap⌉`, a
-    * deterministic split both engines compute identically. Assignment
+    * Scale shape: k = min(max(8, ⌈n/[[NearDupCellTarget]]⌉),
+    * [[NearDupKCap]]) keeps the expected cell size CONSTANT while k
+    * grows (so within-cell pair work is O(n·cell) = O(n), not the
+    * O(n²/cells) a fixed cell count degrades to) and keeps the
+    * map-only brute assignment LINEAR once k hits its cap; any cell
+    * above [[NearDupCellCap]] — every cell, once k is capped — is
+    * sub-bucketed by `vec_id % ⌈cnt/cap⌉`, a deterministic split both
+    * engines compute identically, so the block count keeps growing
+    * ∝ n at any scale. Assignment
     * is v7's map-only broadcast-centroid argmin (the corpus never
     * shuffles for it); k is derived lazily from a broadcast 1-row
     * count, never a driver action. Norms are precomputed per row
@@ -420,9 +434,9 @@ object DedupOps {
   /** Corpus-scaled k-means cell assignment over (vec_id, embedding):
     * k = max(8, ⌈n/[[NearDupCellTarget]]⌉) derived lazily from a
     * broadcast 1-row count, then v7's Lloyd rounds. */
-  private[queries] def nearDupAssign(e: DataFrame): DataFrame = {
-    val kdf = e.agg(greatest(lit(8L),
-      ceil(count(lit(1)) / lit(NearDupCellTarget.toDouble))).as("k"))
+  private[graft] def nearDupAssign(e: DataFrame): DataFrame = {
+    val kdf = e.agg(least(lit(NearDupKCap), greatest(lit(8L),
+      ceil(count(lit(1)) / lit(NearDupCellTarget.toDouble)))).as("k"))
     val seeds = e.crossJoin(broadcast(kdf))
       .filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cluster"),
@@ -438,7 +452,7 @@ object DedupOps {
     * `vec_id % ⌈cnt/cap⌉` so no block ever exceeds ~cap rows
     * regardless of how skewed the clustering came out. Requires
     * `vec_dot` to be registered. */
-  private[queries] def cellBlockedPairs(assigned: DataFrame, cap: Int): DataFrame = {
+  private[graft] def cellBlockedPairs(assigned: DataFrame, cap: Int): DataFrame = {
     val cellSizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
     val cells = assigned
       .join(broadcast(cellSizes), Seq("cluster"))
@@ -540,8 +554,8 @@ object DedupOps {
   private lazy val nearDupOracle: String = {
     val kp =
       s"""kp AS (
-         | SELECT greatest(8, CAST(ceil(count(*) / $NearDupCellTarget.0)
-         |   AS BIGINT)) AS k
+         | SELECT least($NearDupKCap, greatest(8,
+         |   CAST(ceil(count(*) / $NearDupCellTarget.0) AS BIGINT))) AS k
          | FROM embeddings),
          |""".stripMargin
     val fin = s"a${VectorOps.KmeansIters}"
