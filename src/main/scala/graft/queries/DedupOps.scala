@@ -411,6 +411,11 @@ object DedupOps {
     * past [[NearDupKCap]], supplying the O(n) growth in block count
     * that keeps total pair work linear. */
   private[graft] val NearDupCellCap = 100
+  /** Lloyd rounds for the BLOCKING cells: one refinement is enough to
+    * pull the seed cells toward the data (v7 keeps the full k-means
+    * semantics); each extra round costs a serial broadcast cascade
+    * per action. */
+  private[graft] val NearDupIters = 1
 
   /** t9: embedding cosine near-duplicates, blocked by SemDeDup-style
     * k-means cells (v7's Lloyd machinery) with k ∝ corpus size —
@@ -442,7 +447,7 @@ object DedupOps {
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
     var assigned = VectorOps.kmAssign(e, seeds)
-    for (_ <- 0 until VectorOps.KmeansIters)
+    for (_ <- 0 until NearDupIters)
       assigned = VectorOps.kmAssign(e, VectorOps.kmRecompute(assigned))
     assigned
   }
@@ -453,8 +458,15 @@ object DedupOps {
     * regardless of how skewed the clustering came out. Requires
     * `vec_dot` to be registered. */
   private[graft] def cellBlockedPairs(assigned: DataFrame, cap: Int): DataFrame = {
-    val cellSizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
-    val cells = assigned
+    // The explicit repartition is load-bearing (same reason as
+    // minhashPairsOf): the Lloyd assignment chain is map-only off its
+    // broadcasts, so without an exchange of its own the three
+    // consumers below (cell sizes, both pair-join sides) would each
+    // re-derive the entire multi-pass assignment — measured 7.8 s
+    // warm at sf0.1 vs ~2.5 s with the single reused shuffle.
+    val byCell = assigned.repartition(col("cluster"))
+    val cellSizes = byCell.groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
+    val cells = byCell
       .join(broadcast(cellSizes), Seq("cluster"))
       .withColumn("sub", col("vec_id") % ceil(col("cnt") / lit(cap.toDouble)))
       .select(col("cluster"), col("sub"), col("vec_id"), col("embedding"),
@@ -558,8 +570,9 @@ object DedupOps {
          |   CAST(ceil(count(*) / $NearDupCellTarget.0) AS BIGINT))) AS k
          | FROM embeddings),
          |""".stripMargin
-    val fin = s"a${VectorOps.KmeansIters}"
-    s"""${VectorOps.kmeansCteChain(kp, "vec_id < (SELECT k FROM kp)")},
+    val fin = s"a$NearDupIters"
+    s"""${VectorOps.kmeansCteChain(kp, "vec_id < (SELECT k FROM kp)",
+        NearDupIters)},
        |cs AS (SELECT cluster, count(*) AS cnt FROM $fin GROUP BY 1),
        |cells AS (
        | SELECT a.vec_id, a.embedding, a.cluster,

@@ -435,7 +435,8 @@ object VectorOps {
     * values. Parameterized so t9 can prepend a CTE computing a
     * corpus-scaled k and seed on it (`extraCtes` must end with a
     * comma when non-empty; `seedWhere` filters the seed vectors). */
-  private[queries] def kmeansCteChain(extraCtes: String, seedWhere: String): String = {
+  private[queries] def kmeansCteChain(extraCtes: String, seedWhere: String,
+      iters: Int = KmeansIters): String = {
     def assignCte(idx: Int, centCte: String): String =
       s"""a${idx}raw AS (
          | SELECT e.vec_id, e.embedding, c.cluster,
@@ -457,7 +458,7 @@ object VectorOps {
          |c$idx AS (
          | SELECT cluster, array_agg(cx ORDER BY pos) AS cvec
          | FROM c${idx}dims GROUP BY 1)""".stripMargin
-    val rounds = (0 until KmeansIters).map { r =>
+    val rounds = (0 until iters).map { r =>
       recomputeCte(r + 1, s"a$r") + ",\n" + assignCte(r + 1, s"c${r + 1}")
     }.mkString(",\n")
     s"""WITH ${extraCtes}e AS (SELECT vec_id, embedding FROM embeddings),
