@@ -416,6 +416,13 @@ object DedupOps {
     * semantics); each extra round costs a serial broadcast cascade
     * per action. */
   private[graft] val NearDupIters = 1
+  /** Probes per vector: single-cell assignment loses every near-dup
+    * pair that straddles a Voronoi boundary — measured 36/100 of the
+    * true top-100 cosine pairs blocked together at sf0.001. Assigning
+    * each vector to its 2 nearest cells (standard IVF multi-probe, the
+    * same dial v4 exposes) recovers boundary pairs at 2× the probe
+    * rows — still linear. */
+  private[graft] val NearDupProbes = 2
 
   /** t9: embedding cosine near-duplicates, blocked by SemDeDup-style
     * k-means cells (v7's Lloyd machinery) with k ∝ corpus size —
@@ -429,27 +436,52 @@ object DedupOps {
     * above [[NearDupCellCap]] — every cell, once k is capped — is
     * sub-bucketed by `vec_id % ⌈cnt/cap⌉`, a deterministic split both
     * engines compute identically, so the block count keeps growing
-    * ∝ n at any scale. Assignment
-    * is v7's map-only broadcast-centroid argmin (the corpus never
-    * shuffles for it); k is derived lazily from a broadcast 1-row
-    * count, never a driver action. Norms are precomputed per row
-    * *before* the pair join — each vector participates in O(cell)
-    * pairs, so per-pair norm recomputation is the dominant wasted
-    * work at scale. */
+    * ∝ n at any scale. Assignment is map-only against the broadcast
+    * centroids (the corpus never shuffles for it), on the
+    * L2-normalized vectors with [[NearDupProbes]] probes per vector —
+    * planted near-duplicates (cosine ≈ 1) co-assign to a shared cell
+    * ≥ 95% of the time (pinned in ScaleOpsSpec; the fixture itself
+    * has no true near-dups, max pairwise cosine 0.48). k is derived
+    * lazily from a broadcast 1-row count, never a driver action.
+    * Norms are precomputed per row *before* the pair join — each
+    * vector participates in O(cell) pairs, so per-pair norm
+    * recomputation is the dominant wasted work at scale. */
   /** Corpus-scaled k-means cell assignment over (vec_id, embedding):
-    * k = max(8, ⌈n/[[NearDupCellTarget]]⌉) derived lazily from a
-    * broadcast 1-row count, then v7's Lloyd rounds. */
+    * k = min(max(8, ⌈n/[[NearDupCellTarget]]⌉), [[NearDupKCap]])
+    * derived lazily from a broadcast 1-row count, [[NearDupIters]]
+    * Lloyd refinements, then a [[NearDupProbes]]-nearest-cell probe
+    * assignment against the final centroids (map-only: sort the
+    * per-centroid distance structs, slice, explode). */
   private[graft] def nearDupAssign(e: DataFrame): DataFrame = {
-    val kdf = e.agg(least(lit(NearDupKCap), greatest(lit(8L),
+    // cluster the L2-NORMALIZED vectors: for unit vectors L2 distance
+    // is monotone in cosine (‖a−b‖² = 2−2cos), so the cells group by
+    // the similarity the operator actually scores — clustering the
+    // raw vectors mixes norm into the geometry and splits high-cosine
+    // pairs of different length (SemDeDup normalizes for the same
+    // reason). Pair COSINES are still computed on the originals.
+    val en = e.select(col("vec_id"), col("embedding").as("orig"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+        "sqrt(aggregate(embedding, 0D, " +
+        "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
+        .as("embedding"))
+    val kdf = en.agg(least(lit(NearDupKCap), greatest(lit(8L),
       ceil(count(lit(1)) / lit(NearDupCellTarget.toDouble)))).as("k"))
-    val seeds = e.crossJoin(broadcast(kdf))
+    val seeds = en.crossJoin(broadcast(kdf))
       .filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-    var assigned = VectorOps.kmAssign(e, seeds)
+    var cents = seeds
     for (_ <- 0 until NearDupIters)
-      assigned = VectorOps.kmAssign(e, VectorOps.kmRecompute(assigned))
-    assigned
+      cents = VectorOps.kmRecompute(
+        VectorOps.kmAssign(en.select(col("vec_id"), col("embedding")), cents))
+    en.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cluster"), col("cvec")))
+          .as("cents"))))
+      .select(col("vec_id"), col("orig"),
+        explode(expr(s"slice(array_sort(${VectorOps.kmDistStructs}), " +
+          s"1, $NearDupProbes)")).as("m"))
+      .select(col("vec_id"), col("orig").as("embedding"),
+        col("m.c").as("cluster"))
   }
 
   /** Within-cell cosine pairs over a (cluster, vec_id, embedding)
@@ -480,6 +512,12 @@ object DedupOps {
       .withColumn("cos", round(expr(dot) / (col("na") * col("nb")), 6))
       .select(col("cluster").cast("long").as("cell"),
         col("vec_a"), col("vec_b"), col("cos"))
+      // a boundary pair probed into both shared cells would appear
+      // twice (same cos, different cell) — keep one row per pair, the
+      // lowest cell, so the top-k ordering stays total in both engines
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("cell")).as("cell"), max(col("cos")).as("cos"))
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -570,15 +608,28 @@ object DedupOps {
          |   CAST(ceil(count(*) / $NearDupCellTarget.0) AS BIGINT))) AS k
          | FROM embeddings),
          |""".stripMargin
-    val fin = s"a$NearDupIters"
+    val raw = s"a${NearDupIters}raw"
+    // the clustering CTE chain runs on the L2-normalized vectors (see
+    // nearDupAssign); pair cosines below join the ORIGINAL embeddings
+    val normE =
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |  sqrt(list_sum(list_transform(embedding,
+        |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS embedding
+        |FROM embeddings""".stripMargin
     s"""${VectorOps.kmeansCteChain(kp, "vec_id < (SELECT k FROM kp)",
-        NearDupIters)},
-       |cs AS (SELECT cluster, count(*) AS cnt FROM $fin GROUP BY 1),
+        NearDupIters, normE)},
+       |probed AS (
+       | SELECT vec_id, cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cluster) AS rn
+       |  FROM $raw) WHERE rn <= $NearDupProbes),
+       |cs AS (SELECT cluster, count(*) AS cnt FROM probed GROUP BY 1),
        |cells AS (
-       | SELECT a.vec_id, a.embedding, a.cluster,
+       | SELECT a.vec_id, o.embedding, a.cluster,
        |  a.vec_id % CAST(ceil(cs.cnt / $NearDupCellCap.0) AS BIGINT) AS sub
-       | FROM $fin a JOIN cs USING (cluster)),
-       |p AS (
+       | FROM probed a JOIN cs USING (cluster)
+       |  JOIN embeddings o USING (vec_id)),
+       |praw AS (
        | SELECT CAST(a.cluster AS BIGINT) AS cell,
        |  a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(
@@ -589,7 +640,10 @@ object DedupOps {
        |    sqrt(list_sum(list_transform(b.embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
        | FROM cells a JOIN cells b
-       |   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id)
+       |   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id),
+       |p AS (
+       | SELECT vec_a, vec_b, min(cell) AS cell, max(cos) AS cos
+       | FROM praw GROUP BY 1, 2)
        |SELECT cell, vec_a, vec_b, cos FROM p
        |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }

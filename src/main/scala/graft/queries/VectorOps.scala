@@ -328,12 +328,18 @@ object VectorOps {
     * lower id in both engines. No join, no window — assignment is
     * map-only, which is the property that matters at 100 TB (the
     * corpus never shuffles; only k×dims centroid partials do). */
-  private val kmAssignExpr: String =
-    "array_min(transform(cents, s -> named_struct(" +
+  /** The per-centroid (rounded-distance, cluster) struct array —
+    * `array_min` of it is the argmin assignment; `array_sort` + slice
+    * of it is t9's multi-probe assignment (struct ordering compares d
+    * first, then c, in both engines). */
+  private[queries] val kmDistStructs: String =
+    "transform(cents, s -> named_struct(" +
       "'d', round(aggregate(zip_with(embedding, s.cvec, " +
       "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
       "0D, (a, v) -> a + v), 6), " +
-      "'c', s.cluster)))"
+      "'c', s.cluster))"
+
+  private val kmAssignExpr: String = s"array_min($kmDistStructs)"
 
   /** Nearest-centroid assignment: centroids collapse to a single
     * array-of-structs row and broadcast; each corpus row evaluates the
@@ -436,7 +442,8 @@ object VectorOps {
     * corpus-scaled k and seed on it (`extraCtes` must end with a
     * comma when non-empty; `seedWhere` filters the seed vectors). */
   private[queries] def kmeansCteChain(extraCtes: String, seedWhere: String,
-      iters: Int = KmeansIters): String = {
+      iters: Int = KmeansIters,
+      eCte: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assignCte(idx: Int, centCte: String): String =
       s"""a${idx}raw AS (
          | SELECT e.vec_id, e.embedding, c.cluster,
@@ -461,7 +468,7 @@ object VectorOps {
     val rounds = (0 until iters).map { r =>
       recomputeCte(r + 1, s"a$r") + ",\n" + assignCte(r + 1, s"c${r + 1}")
     }.mkString(",\n")
-    s"""WITH ${extraCtes}e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH ${extraCtes}e AS ($eCte),
        |c0 AS (
        | SELECT vec_id AS cluster,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec

@@ -101,6 +101,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
   }
 
+  test("t9: planted near-duplicates co-assign to a shared cell (blocking recall)") {
+    graft.functions.VectorDotProduct.register(spark)
+    // the fixture has NO true near-duplicates (max pairwise cosine
+    // 0.48 — isotropic noise with faint label structure), so blocking
+    // recall is pinned on PLANTED ones: a copy of every vector with
+    // dim 0 shifted by 1e-4 (cosine ≈ 1). Multi-probe assignment must
+    // put ≥ 95% of the planted pairs in at least one shared cell —
+    // the property that makes the operator a near-dup detector.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> CAST(x + IF(i = 0, 1e-4, 0D) AS FLOAT))"))
+    val cells = DedupOps.nearDupAssign(e.union(planted))
+      .select(col("vec_id"), col("cluster")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val base = cells.keys.filter(_ < 100000L).toSeq
+    val hit = base.count(v => (cells(v) & cells(v + 100000L)).nonEmpty)
+    assert(hit >= (base.size * 95) / 100,
+      s"only $hit/${base.size} planted near-dup pairs share a cell")
+  }
+
   test("t9: k grows with the corpus and a skewed cell sub-buckets under the cap") {
     import spark.implicits._
     graft.functions.VectorDotProduct.register(spark)
