@@ -22,6 +22,13 @@ object StreamingOps {
     * each gate query several times in one session. */
   private val runSerial = new AtomicLong(0)
 
+  /** The previous invocation's sink view, dropped when the next one
+    * starts — a complete-mode memory sink pins its whole result in
+    * driver memory for the life of the temp view, so a long-lived
+    * session must not accumulate one table per invocation. */
+  private val lastSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** s1: the tumbling-window aggregation executed as a real stream
     * over the fixture (file source → AvailableNow trigger →
     * complete-mode memory sink), final table returned for the gate.
@@ -41,6 +48,8 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("ts"), col("event_type"), col("value"))
     val name = "s1_stream_" + runSerial.incrementAndGet()
+    val old = lastSink.getAndSet(name)
+    if (old != null) s.catalog.dropTempView(old)
     val q = EventWindows.windowedCounts(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow())

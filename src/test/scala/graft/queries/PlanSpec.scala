@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("t9: the Lloyd assignment materializes once — consumers reuse its exchange") {
+    // the probe-assignment chain is map-only off its broadcasts; the
+    // explicit repartition(cluster) exists so cell sizes and both
+    // pair-join sides consume ONE materialization (measured 7.8 s vs
+    // ~5 s warm at sf0.1 without it). A refactor that de-canonicalizes
+    // the branches would re-derive the clustering per consumer.
+    val p = finalPlan("t9_embedding_neardup")
+    assert(p.contains("ReusedExchange"),
+      "cell sizes / pair-join sides must reuse the clustering exchange")
+  }
+
   test("t6/t7/t10: shared subtrees reuse one exchange (no persist needed)") {
     // DedupOps/TextOps removed their persist() calls on the grounds
     // that the expensive shared subtrees (shingle pipeline, signature
