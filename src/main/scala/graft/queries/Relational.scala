@@ -469,7 +469,45 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q26: range self-join — per-user pairs of events within a
+    * 10-minute window, as a BUCKETED equi-join instead of the
+    * inequality join the SQL spells (`b.us - a.us <= W`). A naive
+    * range join is O(n²) per user (Spark would plan the inequality as
+    * a broadcast nested loop); bucketing `us DIV W` and probing each
+    * later event's own and previous bucket turns it into a hash
+    * equi-join on (user, bucket) — every qualifying pair spans at
+    * most adjacent buckets, each pair matches exactly one probe, and
+    * the shuffle is keyed, partition-parallel, and skew-splittable by
+    * AQE. The exact window predicate then filters the bounded
+    * candidate set. This is the standard interval-join decomposition
+    * (the same shape Flink/Databricks use for point-in-interval
+    * joins); W is the bucket width, so candidate count is
+    * O(pairs-within-2W), never O(n²). */
+  def q26RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 600000000L // 10 min in us
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+    val later = e
+      .select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"))
+      .withColumn("bk", explode(array(
+        expr(s"b_us DIV $W - 1"), expr(s"b_us DIV $W"))))
+    val earlier = e
+      .select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"))
+      .withColumn("bk", expr(s"a_us DIV $W"))
+    later.join(earlier, Seq("user_id", "bk"))
+      .filter(col("a_us") < col("b_us") ||
+        (col("a_us") === col("b_us") && col("a_id") < col("b_id")))
+      .filter(col("b_us") - col("a_us") <= W)
+      .withColumn("gap", col("b_us") - col("a_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_range_join" -> (q26RangeJoin _),
     "q25_above_avg" -> (q25AboveAvg _),
     "q24_unpivot" -> (q24Unpivot _),
     "q23_cube" -> (q23Cube _),
@@ -497,6 +535,17 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q26_range_join" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (
+        | SELECT a.user_id, b.us - a.us AS gap
+        | FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |  AND b.us - a.us <= 600000000)
+        |SELECT user_id, count(*) AS n_pairs, min(gap) AS min_gap_us,
+        | max(gap) AS max_gap_us
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_asof_join" ->
       """WITH e AS (
         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us

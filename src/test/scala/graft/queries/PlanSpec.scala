@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q26: the range join runs as a bucketed hash equi-join, never a nested loop") {
+    // a naive inequality join plans as BroadcastNestedLoopJoin —
+    // O(n²) per user at scale; the bucket decomposition must keep the
+    // range predicate riding a keyed hash join
+    val p = plan("q26_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "expected an equi-join on (user, bucket)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range predicate must not degrade the join to a nested loop")
+  }
+
   test("t9: the Lloyd assignment materializes once — consumers reuse its exchange") {
     // the probe-assignment chain is map-only off its broadcasts; the
     // explicit repartition(cluster) exists so cell sizes and both
