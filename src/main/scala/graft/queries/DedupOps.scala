@@ -543,7 +543,11 @@ object DedupOps {
       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
       |   unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
 
-  private val minhashOracle: String = {
+  /** Shared oracle CTE prefix — shingles → 12-min signatures → banded
+    * LSH bucket keys (`bands(doc_id, band, sig)`), the same dataflow
+    * [[bandedSignaturesOf]] computes; reused by the t7 oracle and the
+    * s3 streaming-ingest-dedup gate. */
+  private[queries] lazy val bandsCtes: String = {
     val mins = hashParams.zipWithIndex
       .map { case ((a, b), k) => s"min(($a * ${h32d("shingle")} + $b) % $HashPrime) AS mh$k" }
       .mkString(",\n   ")
@@ -552,16 +556,20 @@ object DedupOps {
         .mkString("concat_ws(':', ", ", ", ")")
       s"SELECT doc_id, $b AS band, $key AS sig FROM sig"
     }.mkString("\n  UNION ALL ")
-    val agree = (0 until NumHashes)
-      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
-      .mkString(" + ")
     s"""WITH $shinglesSql,
        |sig AS (
        | SELECT doc_id,
        |   $mins
        | FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bandSel),
+       |  $bandSel)""".stripMargin
+  }
+
+  private val minhashOracle: String = {
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$bandsCtes,
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b

@@ -29,6 +29,21 @@ object StreamingOps {
   private val lastSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Run `q` as an AvailableNow stream into a complete/append memory
+    * sink and return the final table; the previous invocation's sink
+    * view is dropped (its rows live in driver memory until then). */
+  private def runStream(s: SparkSession, prefix: String,
+      q: DataFrame, mode: String): DataFrame = {
+    val name = prefix + runSerial.incrementAndGet()
+    val old = lastSink.getAndSet(name)
+    if (old != null) s.catalog.dropTempView(old)
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
   /** s1: the tumbling-window aggregation executed as a real stream
     * over the fixture (file source → AvailableNow trigger →
     * complete-mode memory sink), final table returned for the gate.
@@ -47,18 +62,30 @@ object StreamingOps {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("ts"), col("event_type"), col("value"))
-    val name = "s1_stream_" + runSerial.incrementAndGet()
-    val old = lastSink.getAndSet(name)
-    if (old != null) s.catalog.dropTempView(old)
-    val q = EventWindows.windowedCounts(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    runStream(s, "s1_stream_", EventWindows.windowedCounts(stream), "complete")
       .select(unix_micros(col("w_start")).as("w_start_us"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** s3: the LSH ingest-dedup stream (`flatMapGroupsWithState` keyed
+    * by (band, sig) bucket) executed as a real stream over the
+    * documents fixture, flagged near-dups hash-gated. The fixture is
+    * one file → one AvailableNow micro-batch, where the handler's
+    * smallest-id-in-batch canonical equals the batch rule's global
+    * min — so the finished stream is exactly SQL-expressible: a doc
+    * is flagged iff some band bucket holds a smaller doc_id (witness
+    * = min band, min canonical). */
+  def streamedIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val collisions = graft.streaming.IngestDedup
+      .bucketCollisions(stream).toDF()
+    graft.streaming.IngestDedup
+      .flaggedDocs(runStream(s, "s3_stream_", collisions, "append"))
+      .orderBy(col("doc_id"))
   }
 
   /** s2: per-user session windows (30-minute gap) via the engine's
@@ -76,9 +103,20 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_tumbling" -> (streamedTumbling _),
-    "s2_session_windows" -> (sessionWindows _))
+    "s2_session_windows" -> (sessionWindows _),
+    "s3_stream_ingest_dedup" -> (streamedIngestDedup _))
 
   val oracle: Map[String, String] = Map(
+    "s3_stream_ingest_dedup" ->
+      s"""${DedupOps.bandsCtes},
+         |canon AS (
+         | SELECT band, sig, min(doc_id) AS canon FROM bands GROUP BY 1, 2),
+         |f AS (
+         | SELECT b.doc_id, b.band, c.canon
+         | FROM bands b JOIN canon c ON b.band = c.band AND b.sig = c.sig
+         | WHERE b.doc_id > c.canon)
+         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
