@@ -215,7 +215,11 @@ object ScaleDemo {
       }
       n
     }
-    val pHalf = t9Pairs(embAll.filter(col("vec_id") % 2 === 0),
+    // half corpus by id PREFIX, not parity: nearDupAssign seeds on
+    // vec_id < k assuming dense ids, so a % 2 filter would leave only
+    // ~k/2 seed cells in the halved run (odd ids under k absent) and
+    // skew the growth ratio by under-celling one side
+    val pHalf = t9Pairs(embAll.filter(col("vec_id") < actualVecs / 2),
       s"${actualVecs / 2} vectors")
     val pFull = t9Pairs(embAll, s"$actualVecs vectors")
     println(f"SCALE t9 pair growth 2x corpus -> " +

@@ -32,6 +32,37 @@ object DedupOps {
     * spill files. */
   private val ccInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Final label checkpoints this JVM has written, swept when the
+    * owning SparkContext ends: per-invocation paths fixed the overlap
+    * bug but would otherwise leak one parquet directory per big-graph
+    * invocation FOREVER (a bench session runs each gate query several
+    * times). Deleting on the NEXT invocation instead would break the
+    * spec-pinned overlap contract — a caller may still hold a prior
+    * invocation's lazy result while a new one runs — so the dirs stay
+    * readable for the whole session and die with it. */
+  private[queries] val ccFinalCheckpoints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ccSweepRegistered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def registerCcSweep(s: SparkSession): Unit =
+    ccSweepRegistered.computeIfAbsent(s.sparkContext, sc => {
+      val conf = sc.hadoopConfiguration
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = ccFinalCheckpoints.iterator()
+          while (it.hasNext) {
+            val p = new org.apache.hadoop.fs.Path(it.next())
+            try p.getFileSystem(conf).delete(p, true)
+            catch { case _: java.io.IOException => () } // best-effort sweep
+            it.remove()
+          }
+        }
+      })
+      java.lang.Boolean.TRUE
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -311,7 +342,12 @@ object DedupOps {
         else if (small) localSpill(labels)
         else {
           labels.write.mode("overwrite").parquet(ckptBase)
-          // the loop spills are dead once the final labels land
+          // the loop spills are dead once the final labels land; the
+          // final checkpoint itself stays readable for the session
+          // (callers may hold the lazy result) and is swept when the
+          // SparkContext ends
+          ccFinalCheckpoints.add(ckptBase)
+          registerCcSweep(s)
           val conf = s.sparkContext.hadoopConfiguration
           Seq("_loop0", "_loop1").foreach { sfx =>
             val p = new org.apache.hadoop.fs.Path(ckptBase + sfx)

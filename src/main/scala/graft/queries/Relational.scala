@@ -381,7 +381,12 @@ object Relational {
     val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
 
-    // Pass 1: range cells + exact per-cell rank offsets.
+    // Pass 1: range cells + exact per-cell rank offsets. BOTH consumers
+    // of `ranged` (offsets, pass-2 rank join) must share ONE exchange
+    // materialization: the range partitioner samples its boundaries per
+    // materialization, so divergent copies could disagree on `cell` and
+    // silently corrupt the reconstructed ranks (PlanSpec asserts the
+    // ReusedExchange).
     val ranged = li
       .repartitionByRange(nCells, col("l_returnflag"), col("l_extendedprice"))
       .withColumn("cell", spark_partition_id())

@@ -40,26 +40,38 @@ class ChartSpec extends SparkSpec {
     assert(img.getWidth === 1200 && img.getHeight === 800)
   }
 
-  test("golden chart: Pig-fixture pixels at scale 1000 are pinned by hash") {
-    // Hash of the raw ARGB pixel rows (not the PNG byte stream, which
-    // can legally differ across encoder versions): any drift in series
-    // classification, stacking order, paints, axes, or geometry changes
-    // the hash. Re-pin deliberately if the rendering is ever *meant*
-    // to change.
+  /** MD5 of the raw ARGB rows of the PLOT INTERIOR only (x in [left,
+    * left+plotW), y in [top, top+plotH)) — not the PNG byte stream
+    * (encoders legally differ) and not the margins: every text label
+    * renders via platform glyph rasterization, which varies across
+    * JREs/fontconfig, so a whole-image hash fails spuriously on a
+    * different box. Both renderers keep the interior font-free by
+    * contract (all drawString calls land in the margins); the interior
+    * marks are AA-off fills/lines — deterministic everywhere. */
+  private def interiorHash(img: java.awt.image.BufferedImage): String = {
+    val (left, right, top, bottom) = (60, 20, 40, 60)
+    val plotW = img.getWidth - left - right
+    val plotH = img.getHeight - top - bottom
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4 * plotW)
+    for (y <- top until top + plotH) {
+      buf.clear()
+      for (x <- left until left + plotW) buf.putInt(img.getRGB(x, y))
+      md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("golden chart: Pig-fixture plot-interior pixels at scale 1000 are pinned") {
+    // any drift in series classification, stacking order, paints, or
+    // geometry changes the hash; re-pin deliberately if the rendering
+    // is ever *meant* to change
     val out = Files.createTempFile("graft-chart-golden", ".png")
     try {
       Cli.run(spark, Cli.Config(input = Fixtures.pig, png = Some(out.toString)))
-      val img = ImageIO.read(out.toFile)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val buf = java.nio.ByteBuffer.allocate(4 * img.getWidth)
-      for (y <- 0 until img.getHeight) {
-        buf.clear()
-        for (x <- 0 until img.getWidth) buf.putInt(img.getRGB(x, y))
-        md.update(buf.array())
-      }
-      val hash = md.digest().map("%02x".format(_)).mkString
-      assert(hash === "c5bae08793068ce95181c6982201e926",
-        s"rendered pixel hash drifted: $hash")
+      val hash = interiorHash(ImageIO.read(out.toFile))
+      assert(hash === "f2ede368ee9546783ebd100deb34636f",
+        s"rendered interior pixel hash drifted: $hash")
     } finally Files.deleteIfExists(out)
   }
 
@@ -88,23 +100,16 @@ class ChartSpec extends SparkSpec {
     assert(img.getRGB(x(200), top + 30) === blue, "maps-done divider")
   }
 
-  test("golden gantt: Pig-fixture pixels are pinned by hash") {
+  test("golden gantt: Pig-fixture plot-interior pixels are pinned") {
     val out = Files.createTempFile("graft-gantt-golden", ".png")
     try {
       Cli.run(spark, Cli.Config(input = Fixtures.pig,
         gantt = Some(out.toString), report = "m"))
       val img = ImageIO.read(out.toFile)
       assert(img.getWidth === 1200 && img.getHeight === 800)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val buf = java.nio.ByteBuffer.allocate(4 * img.getWidth)
-      for (y <- 0 until img.getHeight) {
-        buf.clear()
-        for (x <- 0 until img.getWidth) buf.putInt(img.getRGB(x, y))
-        md.update(buf.array())
-      }
-      val hash = md.digest().map("%02x".format(_)).mkString
-      assert(hash === "767eedfaf464137b7e80f63b847edd1b",
-        s"rendered gantt pixel hash drifted: $hash")
+      val hash = interiorHash(img)
+      assert(hash === "2f8c9520fb8e7f0249fee9d07aecb447",
+        s"rendered gantt interior pixel hash drifted: $hash")
     } finally Files.deleteIfExists(out)
   }
 

@@ -65,6 +65,14 @@ class DedupClustersSpec extends SparkSpec {
         .filter(f => f.getName.contains(appId) && f.getName.contains("_loop"))
       assert(stale.isEmpty,
         s"stale loop spills: ${stale.map(_.getName).mkString(",")}")
+      // the final checkpoints survive the session (both results above
+      // stayed readable) but are REGISTERED for the end-of-application
+      // sweep — a long-lived session must not leak one dir per
+      // invocation forever
+      val registered = DedupOps.ccFinalCheckpoints
+      assert(registered.size >= 2 &&
+        registered.stream().allMatch(p => p.contains(appId)),
+        s"final checkpoints not registered for shutdown sweep: $registered")
     } finally spark.conf.unset("graft.cc.smallGraphMaxNodes")
   }
 

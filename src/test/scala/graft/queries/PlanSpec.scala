@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
       "cell sizes / pair-join sides must reuse the clustering exchange")
   }
 
+  test("q20: both percentile passes reuse ONE range exchange (correctness, not perf)") {
+    // `ranged` (repartitionByRange + spark_partition_id) feeds both the
+    // offset table and the pass-2 rank join. RangePartitioner SAMPLES
+    // its boundaries per exchange materialization — if the two
+    // consumers ever stop sharing one materialization (a refactor
+    // de-canonicalizing the branches, exchange reuse disabled), they
+    // can see DIFFERENT cell boundaries and the reconstructed global
+    // ranks go silently wrong. Unlike the t9 assertion below this one
+    // guards correctness, not cost.
+    val p = finalPlan("q20_percentiles")
+    assert(p.contains("ReusedExchange"),
+      "offsets and pass-2 must consume one materialization of the range exchange")
+  }
+
   test("t6/t7/t10: shared subtrees reuse one exchange (no persist needed)") {
     // DedupOps/TextOps removed their persist() calls on the grounds
     // that the expensive shared subtrees (shingle pipeline, signature
