@@ -447,6 +447,19 @@ object Reports {
       .orderBy(col("time"))
   }
 
+  /** Batch completion of the STREAMING timeline: pivots a converged
+    * `(time, phase, count)` table (the [[Streaming.timelineStream]]
+    * sink after an AvailableNow run) onto the batch spine with the
+    * same zero-fill, so the streamed series gates against the exact
+    * [[timeline]] oracle. Only the presentation spine (the dense
+    * 0..duration axis) comes from the batch views — every count is
+    * the stream's own output, including the zero rows its
+    * retractions net out to. */
+  def timelineFromPhaseCounts(v: JobHistoryViews, perPhase: DataFrame): DataFrame =
+    spine(v).join(widen(perPhase, col("count")), Seq("time"), "left")
+      .select(col("time") +: phaseNames.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+      .orderBy(col("time"))
+
   /** W2: the same timeline via sweep-line running sums — +1 at lo,
     * -1 at hi+1, cumulative per phase. Only the O(attempts) sparse
     * delta rows go through the sort-based window (5 tiny phase

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.jobhistory.{JobHistoryViews, Reports}
+import graft.jobhistory.{JobHistoryViews, Reports, Streaming}
 
 /** Driver-gate entries for the job-history engine (SURVEY §2/§3), run
   * against the reference's Pig kmerStats fixture log. The `sfDir`
@@ -49,6 +49,43 @@ object JobHistoryOps {
     memo.computeIfAbsent(s, s2 => JobHistoryViews.fromFile(s2, fixture()))
       .ensureCached()
 
+  private val RecordsPath = "/root/repo/target/pig_fixture_records.parquet"
+
+  /** The fixture as a `(line_no, record)` parquet — the explicit-order
+    * contract the streaming path documents (a live source supplies its
+    * offsets; file order is not implicit on a stream). Staged once per
+    * JVM, driver-side split identical to [[graft.jobhistory
+    * .JobHistoryReader.readString]]. */
+  private def stagedRecords(s: SparkSession): String = synchronized {
+    val p = Paths.get(RecordsPath)
+    if (!Files.exists(p)) {
+      import s.implicits._
+      val recs = Files.readString(Paths.get(fixture()))
+        .split(" \\.\n", -1).toSeq.filter(_.nonEmpty)
+        .zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      s.createDataset(recs).toDF("line_no", "record")
+        .coalesce(1).write.mode("overwrite").parquet(RecordsPath)
+    }
+    RecordsPath
+  }
+
+  /** The reference's signature computation on the STREAMING path, run
+    * to completion for the gate: fixture records → AvailableNow file
+    * stream → [[Streaming.timelineStream]] (per-job keyed state,
+    * signed interval deltas, windowless signed-sum aggregation) →
+    * complete-mode sink, then the converged `(time, phase, count)`
+    * table batch-pivots onto the dense spine so the EXACT
+    * `jh_timeline` oracle hashes it. Complete mode is gate-only, as
+    * with s1 — deployment uses the Update-mode path whose state is
+    * per-job-bounded. */
+  private def streamedTimeline(s: SparkSession): DataFrame = {
+    val dir = stagedRecords(s)
+    val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+    val converged = StreamingOps.runStream(s, "jh_tl_stream_",
+      Streaming.timelineStream(Streaming.parseRecords(stream)), "complete")
+    Reports.timelineFromPhaseCounts(v(s), converged)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_task_counters" -> ((s, _) =>
       v(s).taskCounters.orderBy("task_id", "counter_group", "counter_name")),
@@ -58,6 +95,7 @@ object JobHistoryOps {
     "jh_summary" -> ((s, _) => Reports.summary(v(s))),
     "jh_summary_per_job" -> ((s, _) => Reports.summaryPerJob(v(s))),
     "jh_timeline" -> ((s, _) => Reports.timeline(v(s))),
+    "jh_timeline_stream" -> ((s, _) => streamedTimeline(s)),
     "jh_timeline_sweep" -> ((s, _) => Reports.timelineSweepLine(v(s))),
     "jh_timeline_per_job" -> ((s, _) => Reports.timelinePerJobSweepLine(v(s))))
 
@@ -301,6 +339,9 @@ object JobHistoryOps {
     "jh_summary_per_job" -> summaryPerJobOracle,
     "jh_timeline" -> timelineOracle,
     "jh_timeline_sweep" -> timelineOracle,
+    // the converged stream equals the batch timeline exactly (the
+    // StreamingSpec convergence property, here inside the hash gate)
+    "jh_timeline_stream" -> timelineOracle,
     // the fleet sweep-line on the single-job fixture = the single-job
     // timeline + the job id column (the id-embedded routing and the
     // JOBID-keyed bounds resolve to the same job)

@@ -31,8 +31,9 @@ object StreamingOps {
 
   /** Run `q` as an AvailableNow stream into a complete/append memory
     * sink and return the final table; the previous invocation's sink
-    * view is dropped (its rows live in driver memory until then). */
-  private def runStream(s: SparkSession, prefix: String,
+    * view is dropped (its rows live in driver memory until then).
+    * Shared with [[JobHistoryOps]]'s streamed-timeline gate. */
+  private[queries] def runStream(s: SparkSession, prefix: String,
       q: DataFrame, mode: String): DataFrame = {
     val name = prefix + runSerial.incrementAndGet()
     val old = lastSink.getAndSet(name)
@@ -101,10 +102,27 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("s_start_us"))
 
+  /** s4: the sliding-window aggregation (2-minute windows every
+    * 1 minute — each event lands in length/slide = 2 overlapping
+    * windows), gated in batch mode like s2: the plan is identical to
+    * the streaming one minus the watermark operator (the batch ≡
+    * stream property EventWindowsSpec pins), and s1 already gates the
+    * real-stream execution machinery. The oracle is the overlapping
+    * GROUP BY both engines agree on: explode each event into its 2
+    * epoch-aligned windows, then group. */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame =
+    EventWindows.slidingCounts(Tables(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value")))
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        unix_micros(col("w_end")).as("w_end_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_tumbling" -> (streamedTumbling _),
     "s2_session_windows" -> (sessionWindows _),
-    "s3_stream_ingest_dedup" -> (streamedIngestDedup _))
+    "s3_stream_ingest_dedup" -> (streamedIngestDedup _),
+    "s4_sliding_windows" -> (slidingWindows _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -121,6 +139,14 @@ object StreamingOps {
       """SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s4_sliding_windows" ->
+      """WITH w AS (
+        | SELECT ((epoch_us(ts) // 60000000) - k) * 60000000 AS w_start_us,
+        |   event_type, value
+        | FROM events, unnest(generate_series(0, 1)) AS u(k))
+        |SELECT w_start_us, w_start_us + 120000000 AS w_end_us, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin,
     "s2_session_windows" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events),
