@@ -225,6 +225,18 @@ object ScaleDemo {
     println(f"SCALE t9 pair growth 2x corpus -> " +
       f"${pFull.toDouble / math.max(1L, pHalf)}%.2fx pairs " +
       f"($pHalf -> $pFull)")
+    // t9 assignment wall vs k at fixed n: the brute argmin is O(n·k)
+    // (the reason the default kcap exists); the hierarchical coarse
+    // route is O(n·√k), which is what lets a deployment raise the cap
+    // for finer cells. 512 runs brute; the larger caps route.
+    for (kcap <- Seq(512L, 2048L, 8192L)) {
+      spark.conf.set("graft.neardup.kcap", kcap.toString)
+      val k = math.min(kcap, math.max(8L, math.ceil(actualVecs / 50.0).toLong))
+      time(s"t9 assignment (kcap=$kcap -> k=$k, $actualVecs vectors)") {
+        noop(queries.DedupOps.nearDupAssign(embAll))
+      }
+    }
+    spark.conf.unset("graft.neardup.kcap")
     }
     spark.stop()
   }

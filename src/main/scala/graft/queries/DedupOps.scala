@@ -459,6 +459,23 @@ object DedupOps {
     * same dial v4 exposes) recovers boundary pairs at 2× the probe
     * rows — still linear. */
   private[graft] val NearDupProbes = 2
+  /** Brute-assignment ceiling: at or below this k every centroid is
+    * scanned per vector (the oracle-replicable argmin). Above it —
+    * reachable only when `graft.neardup.kcap` raises the default
+    * [[NearDupKCap]] — assignment routes HIERARCHICALLY: ⌈√k⌉ coarse
+    * groups over the fine centroids (built driver-side from the
+    * already-collected ≤k rows), each vector scans the coarse list
+    * and then only the fine centroids of its [[NearDupCoarseProbes]]
+    * nearest groups — O(√k) distances per vector instead of O(k), the
+    * v4 IVF routing applied to the blocking quantizer itself. That is
+    * what lets a cluster deployment raise the cap (finer cells, same
+    * per-cell pair bound) without the O(n·k) brute assignment wall.
+    * Overridable via `graft.neardup.bruteKMax` (tests force the
+    * hierarchical path at toy scale with it). */
+  private[graft] val NearDupBruteKMax = 512L
+  /** Coarse groups scanned per vector on the hierarchical path — the
+    * same boundary-recovery dial as [[NearDupProbes]], one level up. */
+  private[graft] val NearDupCoarseProbes = 2
 
   /** t9: embedding cosine near-duplicates, blocked by SemDeDup-style
     * k-means cells (v7's Lloyd machinery) with k ∝ corpus size —
@@ -497,17 +514,119 @@ object DedupOps {
     * DuckDB oracle's unrolled CTE chain still reproduces them. */
   private[graft] def nearDupCentroids(en: DataFrame): DataFrame = {
     val s = en.sparkSession
-    val kdf = en.agg(least(lit(NearDupKCap), greatest(lit(8L),
-      ceil(count(lit(1)) / lit(NearDupCellTarget.toDouble)))).as("k"))
-    val seeds = en.crossJoin(broadcast(kdf))
-      .filter(col("vec_id") < col("k"))
+    def local(df: DataFrame): DataFrame =
+      s.createDataFrame(df.collectAsList(), df.schema)
+    val n = en.count()
+    val kCap = s.conf.get("graft.neardup.kcap", NearDupKCap.toString).toLong
+    val k = math.min(kCap,
+      math.max(8L, math.ceil(n / NearDupCellTarget.toDouble).toLong))
+    val bruteMax =
+      s.conf.get("graft.neardup.bruteKMax", NearDupBruteKMax.toString).toLong
+    val seeds = en.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-    var cents = seeds
-    for (_ <- 0 until NearDupIters)
-      cents = VectorOps.kmRecompute(
-        VectorOps.kmAssign(en.select(col("vec_id"), col("embedding")), cents))
-    s.createDataFrame(cents.collectAsList(), cents.schema)
+    var cents = local(seeds)
+    for (_ <- 0 until NearDupIters) {
+      val assigned =
+        if (k <= bruteMax)
+          VectorOps.kmAssign(en.select(col("vec_id"), col("embedding")), cents)
+        else // refinement must not pay O(n·k) either — route, then argmin
+          hierAssign(en.select(col("vec_id"), col("embedding")),
+            centroidRows(cents), probes = 1)
+      cents = local(VectorOps.kmRecompute(assigned))
+    }
+    cents
+  }
+
+  private def centroidRows(cents: DataFrame): Array[(Long, Array[Double])] =
+    cents.collect() // a local relation of ≤ k rows — no cluster job
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Driver-side coarse quantizer OVER THE FINE CENTROIDS: ⌈√k⌉ coarse
+    * groups, seeded on the first coarse-count centroids by cluster id,
+    * two deterministic Lloyd rounds in plain Scala (≤ k·√k·dims flops
+    * on ≤ [[NearDupKCap]]-scale k — microseconds, no Spark job), ties
+    * toward the lower group id. Returns the non-empty groups and the
+    * fine centroids each routes to. */
+  private def coarseGroupsOf(cents: Array[(Long, Array[Double])])
+      : (Seq[(Long, Array[Double])], Seq[(Long, Long, Array[Double])]) = {
+    val sorted = cents.sortBy(_._1)
+    val c = math.max(1, math.ceil(math.sqrt(sorted.length.toDouble)).toInt)
+    var coarse = sorted.take(c).map(_._2)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length && i < b.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bd = d2(v, coarse(0)); var g = 1
+      while (g < coarse.length) {
+        val dd = d2(v, coarse(g))
+        if (dd < bd) { bd = dd; best = g }
+        g += 1
+      }
+      best
+    }
+    var assign = sorted.map(x => nearest(x._2))
+    for (_ <- 0 until 2) {
+      coarse = Array.tabulate(c) { g =>
+        val members = sorted.indices.filter(assign(_) == g)
+        if (members.isEmpty) coarse(g)
+        else {
+          val dims = sorted(members.head)._2.length
+          val m = new Array[Double](dims)
+          members.foreach { i =>
+            val v = sorted(i)._2
+            var j = 0; while (j < dims) { m(j) += v(j); j += 1 }
+          }
+          var j = 0; while (j < dims) { m(j) /= members.length; j += 1 }
+          m
+        }
+      }
+      assign = sorted.map(x => nearest(x._2))
+    }
+    val fines = sorted.indices.map(i =>
+      (assign(i).toLong, sorted(i)._1, sorted(i)._2))
+    val used = assign.toSet
+    (coarse.indices.filter(used).map(g => (g.toLong, coarse(g))), fines)
+  }
+
+  private def sqDist(arr: String): String =
+    s"round(aggregate(zip_with(embedding, $arr, " +
+      "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+      "0D, (a, v) -> a + v), 6)"
+
+  /** Hierarchical `probes`-nearest-centroid assignment (the past-cap
+    * path): one broadcast row carries the coarse struct array and a
+    * coarse-id → fine-centroid-array map; each vector sorts the coarse
+    * distances, takes [[NearDupCoarseProbes]] groups, and argmin-sorts
+    * only their fine centroids — map-only off the broadcast, O(√k)
+    * distances per row. Keeps every input column, adds `cluster` (one
+    * row per probe). */
+  private def hierAssign(df: DataFrame,
+      cents: Array[(Long, Array[Double])], probes: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (coarse, fines) = coarseGroupsOf(cents)
+    val packed = coarse.toDF("cluster", "cvec")
+      .agg(collect_list(struct(col("cluster"), col("cvec"))).as("groups"))
+      .crossJoin(fines.toDF("gid", "cluster", "cvec")
+        .groupBy(col("gid"))
+        .agg(collect_list(struct(col("cluster"), col("cvec"))).as("fines"))
+        .agg(expr("map_from_entries(collect_list(struct(gid, fines)))")
+          .as("fmap")))
+    val probeExpr =
+      s"slice(array_sort(transform(flatten(transform(" +
+      s"slice(array_sort(transform(groups, s -> " +
+      s"named_struct('d', ${sqDist("s.cvec")}, 'c', s.cluster))), " +
+      s"1, $NearDupCoarseProbes), " +
+      s"t -> element_at(fmap, t.c))), " +
+      s"s -> named_struct('d', ${sqDist("s.cvec")}, 'c', s.cluster))), " +
+      s"1, $probes)"
+    df.crossJoin(broadcast(packed))
+      .withColumn("m", explode(expr(probeExpr)))
+      .withColumn("cluster", col("m.c"))
+      .drop("groups", "fmap", "m")
   }
 
   /** Centroid memo: one converged-centroid relation per (session,
@@ -548,14 +667,21 @@ object DedupOps {
         .computeIfAbsent(s, _ =>
           new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
         .computeIfAbsent(memoKey, _ => nearDupCentroids(en))
-    en.crossJoin(broadcast(
-        cents.agg(collect_list(struct(col("cluster"), col("cvec")))
-          .as("cents"))))
-      .select(col("vec_id"), col("orig"),
-        explode(expr(s"slice(array_sort(${VectorOps.kmDistStructs}), " +
-          s"1, $NearDupProbes)")).as("m"))
-      .select(col("vec_id"), col("orig").as("embedding"),
-        col("m.c").as("cluster"))
+    val rows = centroidRows(cents)
+    val bruteMax =
+      s.conf.get("graft.neardup.bruteKMax", NearDupBruteKMax.toString).toLong
+    if (rows.length <= bruteMax)
+      en.crossJoin(broadcast(
+          cents.agg(collect_list(struct(col("cluster"), col("cvec")))
+            .as("cents"))))
+        .select(col("vec_id"), col("orig"),
+          explode(expr(s"slice(array_sort(${VectorOps.kmDistStructs}), " +
+            s"1, $NearDupProbes)")).as("m"))
+        .select(col("vec_id"), col("orig").as("embedding"),
+          col("m.c").as("cluster"))
+    else
+      hierAssign(en, rows, NearDupProbes)
+        .select(col("vec_id"), col("orig").as("embedding"), col("cluster"))
   }
 
   /** Within-cell cosine pairs over a (cluster, vec_id, embedding)

@@ -125,6 +125,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"only $hit/${base.size} planted near-dup pairs share a cell")
   }
 
+  test("t9: past the brute cap, hierarchical routing keeps blocking recall") {
+    graft.functions.VectorDotProduct.register(spark)
+    // force the past-cap path at toy scale: bruteKMax 4 < k = ceil(
+    // 1000/50) = 20, so assignment routes through ~sqrt(20) coarse
+    // groups instead of scanning all 20 centroids. Planted near-dups
+    // (cosine ~ 1) follow near-identical routes, so the co-cell
+    // property that makes the operator a detector must survive the
+    // approximation (slightly looser than the brute 95% bar: a
+    // boundary pair can now ALSO split at the coarse level).
+    spark.conf.set("graft.neardup.bruteKMax", "4")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = e
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(x + IF(i = 0, 1e-4, 0D) AS FLOAT))"))
+      val cells = DedupOps.nearDupAssign(e.union(planted))
+        .select(col("vec_id"), col("cluster")).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val base = cells.keys.filter(_ < 100000L).toSeq
+      val hit = base.count(v => (cells(v) & cells(v + 100000L)).nonEmpty)
+      assert(hit >= (base.size * 90) / 100,
+        s"only $hit/${base.size} planted pairs share a cell on the routed path")
+    } finally spark.conf.unset("graft.neardup.bruteKMax")
+  }
+
   test("t9: k grows with the corpus and a skewed cell sub-buckets under the cap") {
     import spark.implicits._
     graft.functions.VectorDotProduct.register(spark)
