@@ -199,6 +199,58 @@ object ScaleDemo {
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
     }
+    // q26 at fleet scale: the bucketed range self-join over a
+    // copies× events corpus. Copies get FRESH user ids (density per
+    // user unchanged — the 100 TB shape is more users, not denser
+    // timelines), so qualifying pairs grow linearly with the corpus
+    // and the join stays a keyed hash equi-join on (user, bucket).
+    val evParquet = docsDir.resolve("events.parquet")
+    val baseEvents = Tables(spark, "/root/testdata/sf0.1", "events").count()
+    if (!Files.exists(evParquet) ||
+        corpusStale(evParquet, baseEvents * copies)) {
+      time(s"generate ${copies}x events") {
+        val base = Tables(spark, "/root/testdata/sf0.1", "events")
+        val maxUser = base.agg(max(col("user_id"))).head().getLong(0) + 1
+        base
+          .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
+          .withColumn("event_id",
+            col("event_id") * copies + col("k"))
+          .withColumn("user_id",
+            col("user_id") + col("k") * maxUser)
+          .drop("k")
+          .repartition(cpus.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(evParquet.toString)
+      }
+    }
+    val actualEvents = spark.read.parquet(evParquet.toString).count()
+    spark.catalog.clearCache()
+    time(s"q26 bucketed range self-join ($actualEvents events)") {
+      noop(queries.Relational.q26RangeJoin(spark, docsDir.toString))
+    }
+    // s3 at fleet scale: the LSH ingest-dedup stream (real
+    // AvailableNow run, flatMapGroupsWithState keyed by (band, sig))
+    // over the 500k-doc corpus, sunk to noop — measures the stream
+    // machinery + state handling, not a driver-memory sink
+    time(s"s3 ingest-dedup stream ($actualDocs docs)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = docsDir.resolve(s"s3_ckpt_${System.nanoTime()}")
+      try {
+        val schema = spark.read.parquet(docsParquet.toString).schema
+        val stream = spark.readStream.schema(schema)
+          .parquet(docsParquet.toString)
+          .select(col("doc_id"), col("text"))
+        val q = streaming.IngestDedup.bucketCollisions(stream).toDF()
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
     // t9 scale property: k-means cells with k ∝ n and a hard cell cap
     // keep candidate pairs ~LINEAR in corpus size — doubling the
     // corpus must roughly double the pair count, not quadruple it
