@@ -60,8 +60,8 @@ object StreamingOps {
     val schema = s.read.parquet(src).schema
     // the file source streams a DIRECTORY; the fixture is one parquet
     // file per table, so stream the table dir filtered to that file
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = Tables.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .select(col("ts"), col("event_type"), col("value"))
     runStream(s, "s1_stream_", EventWindows.windowedCounts(stream), "complete")
       .select(unix_micros(col("w_start")).as("w_start_us"),

@@ -111,7 +111,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("q22: every as-of match is a real prior view of the same user") {
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    val e = graft.Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("us"))
     val asof = Relational.q22AsofJoin(spark, dir)

@@ -31,7 +31,7 @@ class EventWindowsSpec extends SparkSpec {
   }
 
   private def typedRows(): Seq[(Long, String, Double)] = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.Tables(spark, dir, "events")
       .select(col("ts"), col("event_type"), col("value"))
     events.collect()
       .map(r => (r.getAs[Long]("ts"), r.getAs[String]("event_type"),
@@ -58,7 +58,7 @@ class EventWindowsSpec extends SparkSpec {
       Seq("ts", "event_type", "value"))(EventWindows.windowedCounts(_))
       .filter(col("event_type") =!= "flush")
     val batch = EventWindows.windowedCounts(
-      spark.read.parquet(s"$dir/events.parquet")
+      graft.Tables(spark, dir, "events")
         .select(col("ts"), col("event_type"), col("value")))
     assertConverged(streamed, batch)
   }
@@ -73,7 +73,7 @@ class EventWindowsSpec extends SparkSpec {
       Seq("ts", "event_type", "value"))(EventWindows.slidingCounts(_))
       .filter(col("event_type") =!= "flush")
     val batch = EventWindows.slidingCounts(
-      spark.read.parquet(s"$dir/events.parquet")
+      graft.Tables(spark, dir, "events")
         .select(col("ts"), col("event_type"), col("value")))
     assertConverged(streamed, batch)
     // length/slide = 2: summed sliding counts double the event total
@@ -85,7 +85,7 @@ class EventWindowsSpec extends SparkSpec {
   test("session windows: stream converges to batch; gap merges and splits sessions") {
     val spark2 = spark
     import spark2.implicits._
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.Tables(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
     val rows = events.collect()
       .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("user_id"),
