@@ -107,4 +107,17 @@ class DedupClustersSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // leak check is CacheLifecycleSpec's job: t13 is part of its sweep
   }
+
+  test("t13: the label memo is action-stable and isolated per input dir") {
+    val first = DedupOps.nearDupClusters(spark, dir).collect()
+    // second invocation hits the (session, dir) memo: identical rows
+    val again = DedupOps.nearDupClusters(spark, dir).collect()
+    assert(again.map(_.toSeq.toVector).toSeq ===
+      first.map(_.toSeq.toVector).toSeq)
+    // a different corpus keys a different memo entry, not a stale hit
+    val other = DedupOps.nearDupClusters(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(other.length !== first.length,
+      "sf0.01 must not serve sf0.001's memoized labels")
+  }
 }
