@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * Usage: `SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32
   *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies] [phase]"`
   * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
-  * (500k documents); `phase` = `all` (default) | `fleet` | `docs`
-  * restricts which measurement family runs (the fleet reports take
-  * ~45 min over 16 GB — `docs` re-measures only the document
-  * operators against the reused corpus). Generation is idempotent —
+  * (500k documents); `phase` = `all` (default) | `fleet` | `docs` |
+  * `ann` restricts which measurement family runs (the fleet reports
+  * take ~45 min over 16 GB — `docs` re-measures only the document
+  * operators against the reused corpus; `ann` only the ANN-recall
+  * block against the reused embeddings). Generation is idempotent —
   * corpora are kept under `target/` and reused.
   *
   * The rotated copies are mostly-overlapping shingle sets, so the
@@ -58,7 +59,7 @@ object ScaleDemo {
     // the fleet scan globs the whole directory, so the corpus on disk
     // must be exactly the nLogs requested: trim any surplus left by a
     // larger prior run (zero-padded names sort numerically)
-    if (phase != "docs" && Files.isDirectory(fleetDir)) {
+    if ((phase == "all" || phase == "fleet") && Files.isDirectory(fleetDir)) {
       val logs = fleetDir.toFile.list().filter(_.endsWith(".txt")).sorted
       if (logs.length > nLogs)
         logs.drop(nLogs).foreach(f => Files.delete(fleetDir.resolve(f)))
@@ -66,7 +67,7 @@ object ScaleDemo {
     val haveLogs = Files.isDirectory(fleetDir) &&
       fleetDir.toFile.list().count(_.endsWith(".txt")) >= nLogs
     // the docs phase neither reads nor generates the 16 GB log fleet
-    if (!haveLogs && phase != "docs") {
+    if (!haveLogs && (phase == "all" || phase == "fleet")) {
       Files.createDirectories(fleetDir)
       val (src, base, dir) = (FixtureSrc, BaseJobId, fleetDir.toString)
       time(s"generate $nLogs logs") {
@@ -128,7 +129,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs = spark.read.parquet(docsParquet.toString).count()
-    if (phase != "docs") {
+    if (phase == "all" || phase == "fleet") {
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
     time(s"fleet summaryPerJob ($actualLogs jobs, one scan)") {
       noop(jobhistory.Reports.summaryPerJob(v))
@@ -156,6 +157,7 @@ object ScaleDemo {
     }
     if (phase != "fleet") {
     spark.catalog.clearCache()
+    if (phase != "ann") {
     time(s"t2 exact dedup ($actualDocs docs)") {
       noop(queries.TextOps.dedupExact(spark, docsDir.toString))
     }
@@ -170,6 +172,7 @@ object ScaleDemo {
     }
     time(s"t22 unigram logprob ($actualDocs docs)") {
       noop(queries.TextOps.unigramLogprob(spark, docsDir.toString))
+    }
     }
     // embeddings at copies x sf0.1 scale: copies are per-copy shifted
     // in one component (deterministic, not bit-identical) — k-means
@@ -191,6 +194,90 @@ object ScaleDemo {
       }
     }
     val actualVecs = spark.read.parquet(embParquet.toString).count()
+    // ANN recall vs brute, fleet corpus: v3/v4/v6 trade recall for
+    // touching one bucket/cell per query instead of the whole corpus —
+    // measure the trade instead of asserting it. The measure is
+    // THRESHOLD recall (the standard ANN metric, robust to ties): an
+    // answer counts iff its exact cosine reaches the query's 3rd-best
+    // brute cosine (v1 over the full corpus, same 10 fixed queries).
+    // Identity recall is ill-defined on this corpus: copies are spaced
+    // 1e-4 apart in one of 64 dims, so dozens of candidates tie at the
+    // 6-decimal rounding the gate queries pin for oracle parity, and
+    // set-intersection would score the tie-break order, not the index.
+    // Each variant's wall includes its index build (the cost a fresh
+    // session pays).
+    locally {
+      def cosPairs(df: DataFrame): Map[(Long, Long), Double] = {
+        val pairs = df.select(col("q_id"), col("c_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+        val vecs = spark.read.parquet(embParquet.toString)
+          .filter(col("vec_id").isin(ids.toSeq: _*))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0d; var na = 0d; var nb = 0d; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          d / math.sqrt(na * nb)
+        }
+        pairs.map(p => p -> cos(vecs(p._1), vecs(p._2))).toMap
+      }
+      val brute3 = time(s"v1 brute top-3 ground truth ($actualVecs vectors)") {
+        cosPairs(queries.VectorOps.cosineTopK(spark, docsDir.toString)
+          .filter(col("rnk") <= 3))
+      }
+      // per-query admission threshold: the 3rd-best exact cosine
+      val thresh = brute3.groupBy(_._1._1).map { case (q, m) =>
+        q -> m.values.min }
+      val nTruth = brute3.size
+      def recall3(tag: String, ann: => DataFrame): Unit = {
+        val got = time(s"ann $tag ($actualVecs vectors)") { cosPairs(ann) }
+        // 1e-6 tolerance = the 6-decimal rounding the gate queries pin
+        // for oracle parity; this corpus's copies sit ~3e-10 apart in
+        // cosine, far below it — distinguishing them is tie-breaking,
+        // not index quality (ScaleOpsSpec's crafted geometries do the
+        // discriminating recall tests; this measures the fleet-scale
+        // bound: every variant must return 6-decimal-optimal
+        // neighbors, a random or mis-routed index scores ~0)
+        val hits = got.count { case ((q, _), c) => c >= thresh(q) - 1e-6 }
+        println(f"SCALE ann recall@3 $tag: ${hits.toDouble / nTruth}%.2f")
+      }
+      recall3("v3 lsh-bucket",
+        queries.VectorOps.annLsh(spark, docsDir.toString))
+      recall3("v4 ivf raw-label nprobe=1",
+        queries.VectorOps.annIvfProbes(spark, docsDir.toString, 1))
+      recall3("v4 ivf raw-label nprobe=3",
+        queries.VectorOps.annIvfProbes(spark, docsDir.toString, 3))
+      recall3("v6 hamming",
+        queries.VectorOps.annBinaryHamming(spark, docsDir.toString))
+      // v4 treats the table's label column as the IVF cells; this
+      // corpus's labels are arbitrary wrt geometry, so raw-label
+      // routing measures ~0 recall — the honest negative recorded
+      // above, and the reason an IVF deployment LEARNS its cells
+      // first. The real pipeline: v7's k-means assignment relabels
+      // the corpus (the index-build pass), the same router probes
+      // the learned cells — sign-hash buckets (v3/v6) co-locate the
+      // copy families without any build, learned cells recover the
+      // same property for IVF.
+      val ivfDir = docsDir.resolve("ivf_indexed")
+      time(s"ivf index build: v7 cells as labels ($actualVecs vectors)") {
+        queries.VectorOps.kmFinalAssign(spark, docsDir.toString)
+          .select(col("vec_id"), col("embedding"),
+            col("cluster").cast("int").as("label"))
+          .repartition(cpus.toInt)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(ivfDir.resolve("embeddings.parquet").toString)
+      }
+      recall3("v4 ivf learned-cells nprobe=1",
+        queries.VectorOps.annIvfProbes(spark, ivfDir.toString, 1))
+      recall3("v4 ivf learned-cells nprobe=3",
+        queries.VectorOps.annIvfProbes(spark, ivfDir.toString, 3))
+    }
+    if (phase != "ann") {
     time(s"v7 kmeans ($actualVecs vectors)") {
       noop(queries.VectorOps.kmeansClusters(spark, docsDir.toString))
     }
@@ -290,6 +377,7 @@ object ScaleDemo {
       }
     }
     spark.conf.unset("graft.neardup.kcap")
+    }
     }
     spark.stop()
   }

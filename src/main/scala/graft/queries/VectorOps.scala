@@ -381,7 +381,7 @@ object VectorOps {
     * composes from this same shape plus t16's sampler. */
   /** The final per-vector assignment after the fixed Lloyd rounds —
     * shared by v7's per-cluster report and v8's outlier pruning. */
-  private[queries] def kmFinalAssign(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmFinalAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val seeds = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cluster"),
