@@ -171,7 +171,14 @@ object VectorOps {
     * recall loss of a query sitting on a cell boundary — the standard
     * IVF recall/latency dial (probing all cells ≡ brute force). Cells
     * stay disjoint, so widening the probe multiplies the scanned
-    * fraction of the corpus by nprobe/num_cells, never the whole. */
+    * fraction of the corpus by nprobe/num_cells, never the whole.
+    *
+    * The cells are the table's `label` column — routing only recalls
+    * what the cells geometrically encode. ScaleDemo's `ann` phase
+    * measures both sides at 200k vectors: raw arbitrary labels recall
+    * 0.00 (the honest negative), and one [[kmFinalAssign]] k-means
+    * pass relabeling the corpus (the IVF index build) restores
+    * threshold recall@3 = 1.00 at nprobe=1. */
   def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorDotProduct.register(s)
