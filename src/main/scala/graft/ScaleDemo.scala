@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies] [phase]"`
   * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
   * (500k documents); `phase` = `all` (default) | `fleet` | `docs` |
-  * `ann` restricts which measurement family runs (the fleet reports
-  * take ~45 min over 16 GB — `docs` re-measures only the document
-  * operators against the reused corpus; `ann` only the ANN-recall
-  * block against the reused embeddings). Generation is idempotent —
-  * corpora are kept under `target/` and reused.
+  * `ann` | `stream` | `profile` restricts which measurement family
+  * runs (the fleet reports take ~45 min over 16 GB — `docs`
+  * re-measures only the document/vector operators against the reused
+  * corpora, EXCLUDING the ANN-recall block; `ann` only the
+  * ANN-recall block against the reused embeddings; `stream` only the
+  * live per-job timeline stream over the 100-log slice; `profile`
+  * only the summaryPerJob parse-vs-aggregation decomposition).
+  * Generation is idempotent — corpora are kept under `target/` and
+  * reused.
   *
   * The rotated copies are mostly-overlapping shingle sets, so the
   * corpus is near-duplicate-heavy by construction — the dedup
@@ -37,6 +41,9 @@ object ScaleDemo {
     val nLogs = args.lift(0).map(_.toInt).getOrElse(10000)
     val copies = args.lift(1).map(_.toInt).getOrElse(100)
     val phase = args.lift(2).getOrElse("all")
+    def in(ps: String*): Boolean = ps.contains(phase)
+    // phases that read the log fleet (and so may need to generate it)
+    val needsLogs = in("all", "fleet", "stream", "profile")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +66,7 @@ object ScaleDemo {
     // the fleet scan globs the whole directory, so the corpus on disk
     // must be exactly the nLogs requested: trim any surplus left by a
     // larger prior run (zero-padded names sort numerically)
-    if ((phase == "all" || phase == "fleet") && Files.isDirectory(fleetDir)) {
+    if (needsLogs && Files.isDirectory(fleetDir)) {
       val logs = fleetDir.toFile.list().filter(_.endsWith(".txt")).sorted
       if (logs.length > nLogs)
         logs.drop(nLogs).foreach(f => Files.delete(fleetDir.resolve(f)))
@@ -67,7 +74,7 @@ object ScaleDemo {
     val haveLogs = Files.isDirectory(fleetDir) &&
       fleetDir.toFile.list().count(_.endsWith(".txt")) >= nLogs
     // the docs phase neither reads nor generates the 16 GB log fleet
-    if (!haveLogs && (phase == "all" || phase == "fleet")) {
+    if (!haveLogs && needsLogs) {
       Files.createDirectories(fleetDir)
       val (src, base, dir) = (FixtureSrc, BaseJobId, fleetDir.toString)
       time(s"generate $nLogs logs") {
@@ -90,9 +97,12 @@ object ScaleDemo {
     val docsParquet = docsDir.resolve("documents.parquet")
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
-    val baseDocs = Tables(spark, "/root/testdata/sf0.1", "documents").count()
-    if (!Files.exists(docsParquet) ||
-        corpusStale(docsParquet, baseDocs * copies)) {
+    val baseDocs =
+      if (in("all", "docs"))
+        Tables(spark, "/root/testdata/sf0.1", "documents").count()
+      else 0L
+    if (in("all", "docs") && (!Files.exists(docsParquet) ||
+        corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
         // family is a cluster of mutual near-duplicates (overlapping
@@ -128,7 +138,10 @@ object ScaleDemo {
       if (Files.isDirectory(fleetDir))
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
-    val actualDocs = spark.read.parquet(docsParquet.toString).count()
+    val actualDocs =
+      if (in("all", "docs"))
+        spark.read.parquet(docsParquet.toString).count()
+      else 0L
     if (phase == "all" || phase == "fleet") {
     val v = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
     time(s"fleet summaryPerJob ($actualLogs jobs, one scan)") {
@@ -155,9 +168,9 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (phase != "fleet") {
+    if (in("all", "docs", "ann")) {
     spark.catalog.clearCache()
-    if (phase != "ann") {
+    if (in("all", "docs")) {
     time(s"t2 exact dedup ($actualDocs docs)") {
       noop(queries.TextOps.dedupExact(spark, docsDir.toString))
     }
@@ -205,8 +218,11 @@ object ScaleDemo {
     // 6-decimal rounding the gate queries pin for oracle parity, and
     // set-intersection would score the tie-break order, not the index.
     // Each variant's wall includes its index build (the cost a fresh
-    // session pays).
-    locally {
+    // session pays). Guarded to all/ann only: phase=docs re-measures
+    // only the document/vector operators (the usage doc's contract —
+    // an unguarded block made docs pay the brute ground truth + six
+    // ANN measurements + the IVF index-build write too).
+    if (in("all", "ann")) locally {
       def cosPairs(df: DataFrame): Map[(Long, Long), Double] = {
         val pairs = df.select(col("q_id"), col("c_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -276,8 +292,14 @@ object ScaleDemo {
         queries.VectorOps.annIvfProbes(spark, ivfDir.toString, 1))
       recall3("v4 ivf learned-cells nprobe=3",
         queries.VectorOps.annIvfProbes(spark, ivfDir.toString, 3))
+      // the GATED learned-cells entry (v9_ann_ivf_learned): same
+      // route, but the cells/centroids are learned inside the query
+      // (kmFinalAssign + one recompute) instead of via the staged
+      // index write above — the oracle-checked deployment shape
+      recall3("v9 ivf learned-cells gated query nprobe=1",
+        queries.VectorOps.annIvfLearned(spark, docsDir.toString))
     }
-    if (phase != "ann") {
+    if (in("all", "docs")) {
     time(s"v7 kmeans ($actualVecs vectors)") {
       noop(queries.VectorOps.kmeansClusters(spark, docsDir.toString))
     }
@@ -378,6 +400,74 @@ object ScaleDemo {
     }
     spark.conf.unset("graft.neardup.kcap")
     }
+    }
+
+    // ------------------------------------------- live per-job timeline
+    // The 100-log slice run as a REAL stream through the per-job keyed
+    // state + signed-delta aggregation (Update mode → noop sink, the
+    // deployment path — no driver-memory sink), measured next to the
+    // batch sweep-line's slice row in BASELINE.md. Records are staged
+    // once to parquet with the same ` .\n` framing + byte-offset
+    // line_no a live file/Kafka source would carry (a streamable
+    // store; the text source itself cannot deliver stable offsets).
+    if (in("all", "stream")) {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.catalog.clearCache()
+      val recDir = Paths.get("target", "scale_stream_records").toAbsolutePath
+      val haveRecs = Files.isDirectory(recDir) &&
+        recDir.toFile.list().exists(_.endsWith("_SUCCESS"))
+      if (!haveRecs) time("stage 100-log slice as records parquet") {
+        jobhistory.JobHistoryReader
+          .readRaw(spark, s"$fleetDir/log-000*.txt")
+          .write.mode(SaveMode.Overwrite).parquet(recDir.toString)
+      }
+      val ckpt = Paths.get("target",
+        s"scale_stream_ckpt_${System.nanoTime()}").toAbsolutePath
+      try {
+        time("fleet timelineStreamPerJob (100-log slice, real stream)") {
+          val stream = spark.readStream
+            .schema(spark.read.parquet(recDir.toString).schema)
+            .parquet(recDir.toString)
+          val q = jobhistory.Streaming
+            .timelineStreamPerJob(jobhistory.Streaming.parseRecords(stream))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          Option(q.lastProgress).foreach(_.stateOperators.foreach(so =>
+            println(s"SCALE   state op ${so.operatorName}: " +
+              s"rows=${so.numRowsTotal} mem=${so.memoryUsedBytes}B")))
+        }
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
+
+    // ---------------------------------------- summaryPerJob decomposed
+    // Is the fleet summary parse-bound or aggregation-bound? Three
+    // numbers: (1) the parsed-events view noop-sunk alone from cold =
+    // the 16 GB parse-scan floor (includes the cache build the cold
+    // summary also pays); (2) the two keyed aggregations re-run on the
+    // now-cached parse = the aggregation-only cost; (3) the cold
+    // end-to-end summary for the total. (1) + (2) ≈ (3) closes the
+    // decomposition; the verdict sentence lands in BASELINE.md.
+    if (in("all", "profile")) {
+      spark.catalog.clearCache()
+      val vp = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
+      time(s"profile parse-scan alone ($actualLogs jobs, events noop)") {
+        noop(vp.events)
+      }
+      time("profile summaryPerJob aggregations on cached parse") {
+        noop(jobhistory.Reports.summaryPerJob(vp))
+      }
+      spark.catalog.clearCache()
+      val vc = jobhistory.JobHistoryViews.fromFile(spark, s"$fleetDir/*.txt")
+      time(s"profile summaryPerJob cold ($actualLogs jobs, parse + aggs)") {
+        noop(jobhistory.Reports.summaryPerJob(vc))
+      }
     }
     spark.stop()
   }

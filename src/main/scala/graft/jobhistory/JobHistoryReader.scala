@@ -46,7 +46,14 @@ object JobHistoryReader {
   /** S1: local file / directory / glob scan. One pass: the Hadoop text
     * reader splits on [[RecordSep]] and its `LongWritable` key is the
     * record's byte offset — the deterministic `line_no` for free. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(readRaw(spark, path))
+
+  /** The unparsed (line_no, record) relation behind [[read]] — public
+    * within the project so the streaming fleet measurement can stage
+    * records to a streamable store with the same framing and offsets
+    * a live `readStream` source would provide. */
+  private[graft] def readRaw(spark: SparkSession, path: String): DataFrame = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", RecordSep)
@@ -57,7 +64,7 @@ object JobHistoryReader {
         classOf[org.apache.hadoop.io.Text], conf)
       // Text buffers are reused by the record reader: copy eagerly
       .map { case (off, text) => Row(off.get(), text.toString) }
-    parse(spark.createDataFrame(rdd, rawSchema))
+    spark.createDataFrame(rdd, rawSchema)
   }
 
   /** S2: URL scan (the reference fetches `-i http://…` logs over the

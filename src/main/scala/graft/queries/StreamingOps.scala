@@ -69,6 +69,31 @@ object StreamingOps {
       .orderBy(col("w_start_us"), col("event_type"))
   }
 
+  /** s5: the tumbling-window aggregation executed as a real APPEND-mode
+    * watermarked stream — the semantics a production sink actually
+    * consumes: a window's row emits exactly once, when the watermark
+    * (2 minutes behind the max observed event time) passes its end,
+    * and the window's state is then dropped — BOUNDED state on an
+    * unbounded stream, the property complete mode (s1) trades away to
+    * gate exact batch equality. On the bounded fixture the finished
+    * stream therefore holds exactly the FINALIZED windows: those whose
+    * end ≤ the final watermark = max event time (ms floor) − 2 min;
+    * the trailing open windows intentionally never emit
+    * (EventWindowsSpec pins both sides of that difference — this gate
+    * moves the bounded-state claim from spec to driver hash). The
+    * oracle is the closed-window GROUP BY under the same cutoff. */
+  def streamedTumblingAppend(s: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val schema = s.read.parquet(src).schema
+    val stream = Tables.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("ts"), col("event_type"), col("value"))
+    runStream(s, "s5_stream_", EventWindows.windowedCounts(stream), "append")
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
   /** s3: the LSH ingest-dedup stream (`flatMapGroupsWithState` keyed
     * by (band, sig) bucket) executed as a real stream over the
     * documents fixture, flagged near-dups hash-gated. The fixture is
@@ -122,7 +147,8 @@ object StreamingOps {
     "s1_stream_tumbling" -> (streamedTumbling _),
     "s2_session_windows" -> (sessionWindows _),
     "s3_stream_ingest_dedup" -> (streamedIngestDedup _),
-    "s4_sliding_windows" -> (slidingWindows _))
+    "s4_sliding_windows" -> (slidingWindows _),
+    "s5_stream_append" -> (streamedTumblingAppend _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -147,6 +173,16 @@ object StreamingOps {
         |SELECT w_start_us, w_start_us + 120000000 AS w_end_us, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM w GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin,
+    "s5_stream_append" ->
+      """WITH w AS (
+        | SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
+        |   event_type, value, epoch_us(ts) AS us
+        | FROM events),
+        |mx AS (SELECT ((max(us) // 1000) - 120000) * 1000 AS wm_us FROM w)
+        |SELECT w_start_us, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM w, mx WHERE w_start_us + 60000000 <= wm_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s2_session_windows" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -261,6 +261,97 @@ object VectorOps {
       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** v9: IVF ANN over LEARNED cells — the deployment shape of v4.
+    * v4 routes on the table's raw `label` column, which honestly
+    * measures recall 0.00 at fleet scale (labels are arbitrary wrt
+    * geometry — see BASELINE.md's ANN-recall rows); a real IVF index
+    * build LEARNS its cells. Here the cells are v7's deterministic
+    * k-means assignment ([[kmFinalAssign]] — the measured-1.00-recall
+    * path ScaleDemo's ann phase exercises), the routing centroids are
+    * one more [[kmRecompute]] over that final assignment (rounded to
+    * 6 like every centroid literal), and a query routes to its
+    * nearest learned centroid by cosine (nprobe=1) and probes only
+    * that cell. Same scale shape as v4: the corpus partitions by
+    * cell, centroids broadcast, a query scans 1/k of the corpus. */
+  def annIvfLearned(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val assigned = kmFinalAssign(s, dir)
+    val cents = kmRecompute(assigned)
+      .withColumn("cnorm", expr(
+        "sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
+    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val qcos =
+      "aggregate(zip_with(qv, cvec, (x, c) -> CAST(x AS DOUBLE) * c), 0D, (a, v) -> a + v)"
+    val routeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("cluster"))
+    val routed = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(expr(qcos) / (col("qn") * col("cnorm")), 6))
+      .withColumn("rc", row_number().over(routeW))
+      .filter(col("rc") <= 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("cluster"))
+    val c = assigned.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"),
+      expr("sqrt(vec_dot(embedding, embedding))").as("cn"), col("cluster"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    broadcast(routed).join(c, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosCol, 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** v9 oracle: v7's unrolled Lloyd chain (ending at the final
+    * assignment `a<iters>`), one more centroid recompute over it, then
+    * the v4-style route + in-cell probe CTEs. */
+  private lazy val annIvfLearnedOracle: String =
+    s"""${kmeansCteChain("", s"vec_id < $KmeansK")},
+       |cfd AS (
+       | SELECT cluster, i - 1 AS pos,
+       |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cx
+       | FROM a$KmeansIters, unnest(generate_series(1, len(embedding))) AS u(i)
+       | GROUP BY 1, 2),
+       |cf AS (
+       | SELECT cluster, array_agg(cx ORDER BY pos) AS cvec,
+       |  sqrt(list_sum(list_transform(array_agg(cx ORDER BY pos),
+       |    x -> x * x))) AS cnorm
+       | FROM cfd GROUP BY 1),
+       |en AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM en
+       |  WHERE vec_id < 10),
+       |route AS (
+       | SELECT q_id, qv, qn, cluster,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY
+       |    round(list_sum(list_transform(range(1, len(qv) + 1),
+       |      i -> CAST(qv[i] AS DOUBLE) * cvec[i])) / (qn * cnorm), 6) DESC,
+       |    cluster) AS rc
+       | FROM q CROSS JOIN cf),
+       |routed AS (SELECT q_id, qv, qn, cluster FROM route WHERE rc = 1),
+       |sc AS (
+       | SELECT q_id, a.vec_id AS c_id,
+       |  round(list_sum(list_transform(range(1, len(qv) + 1),
+       |    i -> CAST(qv[i] AS DOUBLE) * CAST(en.embedding[i] AS DOUBLE))) /
+       |   (qn * en.nrm), 6) AS cos
+       | FROM routed JOIN a$KmeansIters a USING (cluster)
+       |  JOIN en ON en.vec_id = a.vec_id
+       | WHERE q_id <> a.vec_id),
+       |r AS (
+       | SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       | FROM sc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   /** v5: per-vector int8 scalar quantization — the compression pass an
     * ANN index build runs before storing vectors. Each vector maps its
     * components to 0..254 codes against its own min/max range; the
@@ -514,7 +605,8 @@ object VectorOps {
     "v1_cosine_topk" -> (cosineTopK _),
     "v2_label_norm_stats" -> (labelNormStats _),
     "v3_ann_lsh" -> (annLsh _),
-    "v4_ann_ivf" -> (annIvf _))
+    "v4_ann_ivf" -> (annIvf _),
+    "v9_ann_ivf_learned" -> (annIvfLearned _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -595,5 +687,6 @@ object VectorOps {
         | round(max(norm), 6) AS max_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "v3_ann_lsh" -> annLshOracle,
-    "v4_ann_ivf" -> annIvfOracle)
+    "v4_ann_ivf" -> annIvfOracle,
+    "v9_ann_ivf_learned" -> annIvfLearnedOracle)
 }

@@ -114,10 +114,17 @@ class DedupClustersSpec extends SparkSpec {
     val again = DedupOps.nearDupClusters(spark, dir).collect()
     assert(again.map(_.toSeq.toVector).toSeq ===
       first.map(_.toSeq.toVector).toSeq)
-    // a different corpus keys a different memo entry, not a stale hit
+    // a different corpus keys a different memo entry, not a stale hit:
+    // compare the (cluster_id, doc_id) CONTENT sets, not row counts — a
+    // count comparison is a data coincidence (two corpora can cluster
+    // to equal counts with different members) and would also pass on a
+    // stale hit of equal size
+    val key = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+        .toSet
     val other = DedupOps.nearDupClusters(spark, "/root/testdata/sf0.01")
       .collect()
-    assert(other.length !== first.length,
+    assert(key(other) !== key(first),
       "sf0.01 must not serve sf0.001's memoized labels")
   }
 }

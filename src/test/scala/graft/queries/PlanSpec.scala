@@ -53,16 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("t7: signatures are map-only — one Generate (bands), fused sig kernel") {
+  test("t7: signatures are map-only — band explodes only, fused sig kernel") {
     // signatures are one native minhash_sig call per document: no
     // shingle explode, no distinct, no groupBy(doc_id). The only
-    // row-generating node left is the band explode — once per
-    // self-join side in the pre-AQE plan (the old shape showed 4
-    // Generates: shingle + band per side). A third means the shingle
-    // explode crept back.
+    // row-generating node left is the band explode, which the pre-AQE
+    // plan shows once per reference to the banded subtree — four
+    // since the bucket-cap size join (each self-join side carries the
+    // bands branch + the sizes branch; at runtime exchange reuse
+    // collapses them to ONE materialization, asserted by the
+    // ReusedExchange test below). More than four means the shingle
+    // explode crept back beside the band explode.
     val p = plan("t7_minhash_lsh")
-    assert("Generate".r.findAllIn(p).length <= 2,
-      "only the band explode may generate rows")
+    assert("Generate".r.findAllIn(p).length <= 4,
+      "only the band explode may generate rows (once per subtree ref)")
     assert(p.contains("minhash_sig"),
       "signatures must come from the fused native kernel")
   }
