@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies] [phase]"`
   * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
   * (500k documents); `phase` = `all` (default) | `fleet` | `docs` |
-  * `ann` | `stream` | `profile` restricts which measurement family
-  * runs (the fleet reports take ~45 min over 16 GB — `docs`
+  * `ann` | `stream` | `profile` | `t8` restricts which measurement
+  * family runs (the fleet reports take ~45 min over 16 GB — `docs`
   * re-measures only the document/vector operators against the reused
   * corpora, EXCLUDING the ANN-recall block; `ann` only the
   * ANN-recall block against the reused embeddings; `stream` only the
   * live per-job timeline stream over the 100-log slice; `profile`
-  * only the summaryPerJob parse-vs-aggregation decomposition).
+  * only the summaryPerJob parse-vs-aggregation decomposition; `t8`
+  * only the fleet SimHash pair measurement).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -98,10 +99,10 @@ object ScaleDemo {
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
     val baseDocs =
-      if (in("all", "docs"))
+      if (in("all", "docs", "t8"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -139,7 +140,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs"))
+      if (in("all", "docs", "t8"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -168,8 +169,20 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann")) {
+    if (in("all", "docs", "ann", "t8")) {
     spark.catalog.clearCache()
+    // t8 at fleet scale — separable (`phase=t8`) because its candidate
+    // generation is the quadratic one: the 4×8-bit pigeonhole gives a
+    // FIXED 1024 blocks, so block size grows O(n) and candidates
+    // O(n²/1024) even on benign corpora (vs t7's bucket count ∝ n).
+    // The round-10 bucket cap bounds per-block compute to O(cap²) and
+    // makes the wall finite here; the measurement records the cost of
+    // exact-hamming completeness at 500k docs next to t7's sketch.
+    if (in("all", "docs", "t8")) {
+    time(s"t8 SimHash pairs ($actualDocs docs)") {
+      noop(queries.DedupOps.simhashPairs(spark, docsDir.toString))
+    }
+    }
     if (in("all", "docs")) {
     time(s"t2 exact dedup ($actualDocs docs)") {
       noop(queries.TextOps.dedupExact(spark, docsDir.toString))
