@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
       "signatures must come from the fused native kernel")
   }
 
+  test("v9: learned-cell routing broadcasts; the corpus probe joins by cell, no cartesian") {
+    // centroids (≤ k rows) and the routed queries (10 rows) must reach
+    // the corpus as broadcasts — the corpus side never shuffles for
+    // the probe, the property that holds the v4/v9 shape at 100 TB
+    val p = plan("v9_ann_ivf_learned")
+    assert(p.contains("BroadcastHashJoin"),
+      "the in-cell probe must be a broadcast hash join on the cell id")
+    assert(!p.contains("CartesianProduct"),
+      "assignment/routing must ride broadcasts, not a cartesian")
+  }
+
   test("t8: fused fingerprints leave the block join as the only exchange") {
     // simhash_fp removed the explode + groupBy(doc_id): fingerprinting
     // is now map-only, so the plan may contain no hash aggregation

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The s1 (complete) ↔ s5 (append + watermark) relationship on the
+  * real fixture: the append stream's finished table is exactly the
+  * complete stream's table restricted to FINALIZED windows — those
+  * whose end the final watermark (max event time, ms floor, − 2 min)
+  * has passed. This is the semantic contract the s5 oracle encodes;
+  * pinning it engine-side means a Spark watermark behavior change
+  * (e.g. the final no-data flush batch) fails here, not just in the
+  * driver gate. */
+class StreamingGateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s5 append stream = s1 complete stream minus unfinalized windows") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("w_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+    val s1 = StreamingOps.streamedTumbling(spark, dir).collect()
+    val s5 = StreamingOps.streamedTumblingAppend(spark, dir).collect()
+    // the oracle's cutoff: watermark = (max event time in ms) - 2 min,
+    // a window emits iff its exclusive end <= watermark
+    val maxUs = Tables(spark, dir, "events")
+      .agg(max(expr("ts DIV 1000"))).head.getLong(0)
+    val wmUs = (maxUs / 1000L - 120000L) * 1000L
+    val expected = s1.filter(r =>
+      r.getAs[Long]("w_start_us") + 60000000L <= wmUs)
+    assert(s5.map(key).toSet === expected.map(key).toSet)
+    // the fixture's trailing windows are inside the watermark delay:
+    // append must have withheld at least one window complete-mode kept
+    assert(s5.length < s1.length,
+      "append emitted every window — the bounded-state semantics " +
+        "this gate exists to pin were not exercised")
+  }
+}
