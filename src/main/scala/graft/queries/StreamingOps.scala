@@ -32,16 +32,35 @@ object StreamingOps {
   /** Run `q` as an AvailableNow stream into a complete/append memory
     * sink and return the final table; the previous invocation's sink
     * view is dropped (its rows live in driver memory until then).
-    * Shared with [[JobHistoryOps]]'s streamed-timeline gate. */
+    * Shared with [[JobHistoryOps]]'s streamed-timeline gate.
+    *
+    * State-store sizing: each stateful operator commits one delta
+    * file per STATE PARTITION per micro-batch, so a bounded stream's
+    * fixed cost scales with the partition count, not the data
+    * (measured at sf0.1: s1 2.2-2.3 s at 32 partitions vs 1.6-1.8 s
+    * at 8; the streamed timeline 3.6-4.2 → ~3.0 s; 4 partitions adds
+    * nothing further). The gate fixtures hold at most tens of
+    * thousands of state keys, so 8 partitions keep the executors
+    * busy without 4× the commit I/O. An unbounded deployment sizes
+    * this with key cardinality exactly like shuffle partitions — the
+    * value is pinned into the stream's checkpoint at first start —
+    * via `graft.stream.statePartitions`. The override is scoped to
+    * this stream's planning and restored in finally (the session is
+    * shared; bench/verify/test callers run queries sequentially). */
   private[queries] def runStream(s: SparkSession, prefix: String,
       q: DataFrame, mode: String): DataFrame = {
     val name = prefix + runSerial.incrementAndGet()
     val old = lastSink.getAndSet(name)
     if (old != null) s.catalog.dropTempView(old)
-    val query = q.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("graft.stream.statePartitions", "8"))
+      val query = q.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
