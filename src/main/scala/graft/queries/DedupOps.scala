@@ -201,6 +201,47 @@ object DedupOps {
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** t23: sketch-accuracy AUDIT — for every LSH candidate pair, the
+    * MinHash-ESTIMATED Jaccard (signature agreement, what t7 ships)
+    * next to the EXACT distinct-3-shingle Jaccard and the absolute
+    * error. A sketch a 100 TB dedup pipeline trusts needs a measured
+    * error profile, and the audit is cheap at any scale because the
+    * exact computation runs ONLY on the candidate pairs the sketch
+    * itself surfaced — per-pair cost ∝ shingle count, never all-pairs.
+    *
+    * Plan shape: the candidate set reuses [[minhashPairsOf]]'s single
+    * (band, sig) exchange; the exact intersection is two keyed joins
+    * (pair → doc_a's shingles → doc_b's matching shingles) and one
+    * map-side-combined count; sizes are one groupBy over the same
+    * shingle stream. The left join keeps a zero-intersection
+    * candidate visible (est > 0 with exact = 0 would be the worst
+    * possible sketch error — exactly what an audit must not drop);
+    * min-hash agreement implies a shared shingle, so such a row also
+    * witnesses a hash collision. */
+  def sketchAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cand = minhashPairsOf(d)
+    val sh = TextOps.hashedShinglesOf(d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("jaccard", round(col("ni").cast("double") /
+        (col("za.n_sh") + col("zb.n_sh") - col("ni")).cast("double"), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** t10: the composed cleaning pipeline a training-data corpus runs —
     * quality filter → exact dedup (keep lowest doc_id per digest) →
     * near-dup removal (drop the higher id of every MinHash candidate
@@ -890,7 +931,8 @@ object DedupOps {
     "t8_simhash_pairs" -> (simhashPairs _),
     "t9_embedding_neardup" -> (embeddingNearDup _),
     "t10_clean_corpus" -> (cleanCorpus _),
-    "t13_dedup_clusters" -> (nearDupClusters _))
+    "t13_dedup_clusters" -> (nearDupClusters _),
+    "t23_sketch_audit" -> (sketchAudit _))
 
   // ------------------------------------------------------------- oracles
 
@@ -920,6 +962,45 @@ object DedupOps {
        | FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSel)""".stripMargin
+  }
+
+  /** t23 oracle: the same bands → candidates → signature-agreement
+    * estimate as t7's, joined to the exact distinct-shingle Jaccard
+    * (string shingles — a gate match proves the hashed Spark path
+    * collision-free on this corpus) and the absolute error. */
+  private lazy val sketchAuditOracle: String = {
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$bandsCtes,
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |est AS (
+       | SELECT doc_a, doc_b,
+       |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       | FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |  JOIN sig sb ON cand.doc_b = sb.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       | SELECT doc_a, doc_b, count(*) AS n_inter
+       | FROM cand
+       |  JOIN sh x ON cand.doc_a = x.doc_id
+       |  JOIN sh y ON cand.doc_b = y.doc_id AND x.shingle = y.shingle
+       | GROUP BY 1, 2),
+       |ex AS (
+       | SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |  round(CAST(COALESCE(n_inter, 0) AS DOUBLE) /
+       |    CAST(za.n_sh + zb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6)
+       |    AS jaccard
+       | FROM est e
+       |  LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       |  JOIN sizes za ON e.doc_a = za.doc_id
+       |  JOIN sizes zb ON e.doc_b = zb.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard, jaccard,
+       | round(abs(est_jaccard - jaccard), 6) AS abs_err
+       |FROM ex ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private val minhashOracle: String = {
@@ -1115,6 +1196,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "t7_minhash_lsh" -> minhashOracle,
+    "t23_sketch_audit" -> sketchAuditOracle,
     "t8_simhash_pairs" -> simhashOracle,
     "t9_embedding_neardup" -> nearDupOracle,
     "t10_clean_corpus" -> cleanCorpusOracle,

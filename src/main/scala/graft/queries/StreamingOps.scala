@@ -133,6 +133,34 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s6: a STREAM-STREAM inner interval join executed as a real
+    * stream — two file sources over the same events fixture (clicks
+    * and purchases), watermarked on both sides, joined per user
+    * within a 2-hour attribution horizon, run to completion under
+    * AvailableNow into an append sink. Inner stream-stream joins
+    * emit each match exactly once when found, so the finished
+    * bounded stream equals the batch join row-for-row — hash-gated
+    * against the plain SQL self-join. The state-eviction bound the
+    * watermark + range condition buys is documented on
+    * [[EventWindows.clickPurchaseJoin]]; the spec additionally pins
+    * batch ≡ stream on the same inputs. */
+  def streamedIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String): DataFrame =
+      Tables.normalizeTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = EventWindows.clickPurchaseJoin(
+      side("click"), side("purchase"))
+    runStream(s, "s6_stream_", joined, "append")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_time")).as("click_us"),
+        unix_micros(col("purchase_time")).as("purchase_us"))
+      .orderBy(col("click_us"), col("purchase_us"),
+        col("click_id"), col("purchase_id"))
+  }
+
   /** s2: per-user session windows (30-minute gap) via the engine's
     * `session_window` — the same dynamic-window operator the
     * streaming path uses, gated in batch mode against a
@@ -167,7 +195,8 @@ object StreamingOps {
     "s2_session_windows" -> (sessionWindows _),
     "s3_stream_ingest_dedup" -> (streamedIngestDedup _),
     "s4_sliding_windows" -> (slidingWindows _),
-    "s5_stream_append" -> (streamedTumblingAppend _))
+    "s5_stream_append" -> (streamedTumblingAppend _),
+    "s6_stream_interval_join" -> (streamedIntervalJoin _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -202,6 +231,16 @@ object StreamingOps {
         | round(sum(value), 2) AS sum_value
         |FROM w, mx WHERE w_start_us + 60000000 <= wm_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s6_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS click_id,
+        | b.event_id AS purchase_id,
+        | epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS purchase_us
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_type = 'click'
+        | AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000
+        |ORDER BY click_us, purchase_us, click_id, purchase_id""".stripMargin,
     "s2_session_windows" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -287,6 +287,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t24: Bloom-prefiltered decontamination — the 100 TB shape of
+    * t15. t15 broadcasts the holdout's EXACT distinct-gram set; at
+    * fleet scale a multi-benchmark holdout's gram set can reach
+    * many GB, past broadcast range. The deployment answer is the
+    * standard two-phase sketch-then-confirm:
+    *
+    *  1. BUILD: aggregate the holdout grams into a Bloom filter
+    *     (Spark's native `BloomFilterAggregate` via
+    *     [[graft.functions.BloomFunctions]] — distributed build,
+    *     per-partition merge), collect the ~1 MB sketch, and inline
+    *     it into the plan as a binary literal (the plan-constant
+    *     equivalent of a broadcast).
+    *  2. PREFILTER: `bloom_might_contain(sketch, g)` drops ~98 % of
+    *     corpus grams MAP-SIDE — before any exchange — at 8 bits/key.
+    *  3. CONFIRM: the few surviving grams take an exact shuffle join
+    *     against the holdout set. Bloom filters have NO false
+    *     negatives, so the confirmed result is bit-identical to the
+    *     exact join without the sketch — which is exactly what the
+    *     oracle (plain exact SQL, string grams) gates.
+    *
+    * The confirm join is deliberately NOT broadcast: at the scale
+    * where t24 beats t15, the holdout no longer broadcasts, and the
+    * shuffle is cheap because the bloom already shrank the probe side
+    * to candidates. 4-grams (vs t15's 8) both differentiate the
+    * gate's output and stress the prefilter with a denser hit rate. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(s)
+    graft.functions.BloomFunctions.register(s)
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 4)
+      .select(col("doc_id"), explode(expr("xx_ngrams(words, 4)")).as("g"))
+    val d = docs(s, dir)
+    val holdout = grams(d.filter(col("source") === "src0"))
+      .select(col("g")).distinct()
+    // one tiny job up front: the sketch is ~num_bits/8 ≈ 1 MB however
+    // large the corpus is, and its build touches only the holdout
+    val sketch = holdout
+      .agg(expr("bloom_agg(g, CAST(1000000 AS BIGINT), " +
+        "CAST(8000000 AS BIGINT))"))
+      .head.getAs[Array[Byte]](0)
+    grams(d.filter(col("source") =!= "src0"))
+      .filter(call_function("bloom_might_contain", lit(sketch), col("g")))
+      .join(holdout, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t16: deterministic stratified sampling — keep ~20 % of documents
     * per source by md5 hash threshold on the doc id. Hash-threshold
     * sampling (vs `rand()`) is reproducible across runs, engines, and
@@ -487,9 +536,27 @@ object TextOps {
     "t6_ngram_jaccard" -> (ngramJaccard _),
     "t12_bpe_tokens" -> (bpeTokenCount _),
     "t14_repetition_stats" -> (repetitionStats _),
-    "t15_decontaminate" -> (decontaminate _))
+    "t15_decontaminate" -> (decontaminate _),
+    "t24_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the EXACT 4-gram decontamination with no sketch
+    // anywhere — a hash match proves the bloom prefilter changed
+    // nothing (no false negatives) and the confirm join killed every
+    // false positive
+    "t24_bloom_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS words
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source, array_to_string(words[i:i+3], ' ') AS g
+        | FROM w, unnest(generate_series(1, len(words) - 3)) AS u(i)
+        | WHERE len(words) >= 4),
+        |hold AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> 'src0')
+        |SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM corp JOIN hold USING (g)
+        |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin,
     "t22_unigram_logprob" ->
       s"""WITH toks AS (
          | SELECT doc_id, unnest(string_split(text, ' ')) AS tok

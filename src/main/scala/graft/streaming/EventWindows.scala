@@ -77,4 +77,38 @@ object EventWindows {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"),
         col("n_events"), col("sum_value"))
+
+  /** Stream-stream inner INTERVAL join: each click joined to the same
+    * user's purchases within `[click_time, click_time + horizon]` —
+    * the attribution join an event pipeline runs continuously. Both
+    * inputs need `event_id`, `user_id`, `ts` (BIGINT nanos).
+    *
+    * State bound (the reason this is runnable on unbounded streams):
+    * from the equi-key + the two event-time range predicates + the
+    * watermarks, the engine derives a per-side eviction threshold — a
+    * buffered click can stop matching once the watermark passes
+    * `click_time + horizon`, a buffered purchase once it passes
+    * `purchase_time` — so each side's join state holds only
+    * `horizon + watermark` worth of events per key, independent of
+    * stream length. The join itself hash-partitions both sides on
+    * `user_id` (one co-partitioned exchange each, no broadcast,
+    * no driver state), the same shape a 1000-executor deployment
+    * shards. Works unchanged on batch inputs (no watermark node),
+    * which is what the spec's batch ≡ stream assertion pins. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "2 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    val a = withEventTime(clicks, watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+    val b = withEventTime(purchases, watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("event_time").as("purchase_time"))
+    a.join(b, col("user_id") === col("p_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_time"), col("purchase_time"))
+  }
 }

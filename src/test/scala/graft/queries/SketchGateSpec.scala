@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Engine-side invariants for the round-10 sketch operators on
+  * sf0.001 — the DuckDB oracles gate cross-engine parity; these pin
+  * the algebra the oracles can't see: the bloom prefilter's
+  * no-false-negative identity and the MinHash audit's internal
+  * consistency.
+  */
+class SketchGateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t24: bloom-prefiltered result is identical to the exact join") {
+    graft.functions.TextHashes.register(spark)
+    // the exact no-sketch computation, t15's broadcast shape at 4-grams
+    def grams(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(src(col("source")))
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 4)
+        .select(col("doc_id"), explode(expr("xx_ngrams(words, 4)")).as("g"))
+    val exact = grams(_ === "src0").select(col("g")).distinct()
+      .join(grams(_ =!= "src0"), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = TextOps.bloomDecontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed === exact)
+    assert(bloomed.nonEmpty, "fixture exercises no contamination")
+  }
+
+  test("t24: the sketch prefilter actually prunes the corpus side") {
+    graft.functions.TextHashes.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 4)
+      .select(col("source"), explode(expr("xx_ngrams(words, 4)")).as("g"))
+    val sketch = d.filter(col("source") === "src0").select(col("g")).distinct()
+      .agg(expr("bloom_agg(g, CAST(1000000 AS BIGINT), " +
+        "CAST(8000000 AS BIGINT))")).head.getAs[Array[Byte]](0)
+    val corpus = d.filter(col("source") =!= "src0")
+    val total = corpus.count()
+    val kept = corpus
+      .filter(call_function("bloom_might_contain", lit(sketch), col("g")))
+      .count()
+    // at 8M bits over a few hundred holdout grams the fpp is ~0: the
+    // map-side prefilter must drop the overwhelming share of grams
+    // BEFORE any exchange — the property that makes t24 the 100 TB
+    // shape of t15
+    assert(kept < total / 2,
+      s"bloom kept $kept of $total corpus grams — no pruning")
+    assert(kept > 0)
+  }
+
+  test("t23: audit covers every LSH candidate pair, consistently") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val nCand = DedupOps.minhashPairsOf(d).count()
+    val audit = SketchAuditRows.of(spark, dir)
+    assert(audit.length.toLong === nCand,
+      "audit dropped or duplicated candidate pairs")
+    audit.foreach { case (a, b, est, jac, err) =>
+      assert(a < b)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(jac >= 0.0 && jac <= 1.0)
+      // abs_err is literally |est - jaccard| on the rounded values
+      assert(math.abs(err - math.abs(est - jac)) < 1e-9)
+      // min-hash agreement implies a genuinely shared shingle: an
+      // est > 0 with exact intersection 0 would witness a hash
+      // collision (the case the left join keeps visible)
+      assert(!(est > 0.0 && jac == 0.0),
+        s"pair ($a, $b): est $est but empty exact intersection")
+    }
+    // the corpus is near-dup-heavy by construction: the audit must
+    // see real agreement, not an empty candidate set
+    assert(audit.exists(_._4 > 0.5))
+  }
+}
+
+/** Collected t23 rows, shared by assertions. */
+private object SketchAuditRows {
+  def of(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Long, Long, Double, Double, Double)] =
+    DedupOps.sketchAudit(s, dir).collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard"),
+        r.getAs[Double]("abs_err")))
+}

@@ -36,4 +36,27 @@ class StreamingGateSpec extends SparkSpec {
       "append emitted every window — the bounded-state semantics " +
         "this gate exists to pin were not exercised")
   }
+
+  test("s6 stream-stream interval join converges to the batch join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("click_us"),
+        r.getAs[Long]("purchase_us"))
+    val streamed = StreamingOps.streamedIntervalJoin(spark, dir).collect()
+    // the batch formulation: the SAME clickPurchaseJoin plan on batch
+    // inputs (no watermark node) — inner stream-stream joins emit each
+    // match exactly once, so the finished bounded stream must equal it
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val batch = graft.streaming.EventWindows.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_time")).as("click_us"),
+        unix_micros(col("purchase_time")).as("purchase_us"))
+      .collect()
+    assert(streamed.nonEmpty, "fixture produced no attribution pairs")
+    assert(streamed.map(key).toSet === batch.map(key).toSet)
+    assert(streamed.length === batch.length)
+  }
 }
