@@ -435,12 +435,15 @@ object VectorOps {
     * `array_min` of it is the argmin assignment; `array_sort` + slice
     * of it is t9's multi-probe assignment (struct ordering compares d
     * first, then c, in both engines). */
-  private[queries] val kmDistStructs: String =
-    "transform(cents, s -> named_struct(" +
-      "'d', round(aggregate(zip_with(embedding, s.cvec, " +
+  private[queries] def kmDistStructsOn(vec: String, cents: String): String =
+    s"transform($cents, s -> named_struct(" +
+      s"'d', round(aggregate(zip_with($vec, s.cvec, " +
       "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
       "0D, (a, v) -> a + v), 6), " +
       "'c', s.cluster))"
+
+  private[queries] val kmDistStructs: String =
+    kmDistStructsOn("embedding", "cents")
 
   private val kmAssignExpr: String = s"array_min($kmDistStructs)"
 
@@ -531,17 +534,26 @@ object VectorOps {
     * reproduce them bit-for-bit. */
   private def kmConvergedCentroids(s: SparkSession, dir: String): DataFrame =
     memoRows(s, memoKeyOf(s, dir, "v7cents")) {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      var cents = e.filter(col("vec_id") < KmeansK)
-        .select(col("vec_id").as("cluster"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-      var assigned = kmAssign(e, cents)
-      for (_ <- 0 until KmeansIters) {
-        cents = kmRecompute(assigned)
-        assigned = kmAssign(e, cents)
-      }
-      cents
+      lloydCentroids(emb(s, dir).select(col("vec_id"), col("embedding")),
+        KmeansK)
     }
+
+  /** The deterministic Lloyd cascade on any (vec_id, embedding)
+    * relation: seeds = the first `k` vectors by id, `iters` fixed
+    * assign/recompute rounds, returning the converged centroids.
+    * Shared by v7's corpus chain and v10's per-subspace codebooks. */
+  private def lloydCentroids(e: DataFrame, k: Int,
+      iters: Int = KmeansIters): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    var assigned = kmAssign(e, cents)
+    for (_ <- 0 until iters) {
+      cents = kmRecompute(assigned)
+      assigned = kmAssign(e, cents)
+    }
+    cents
+  }
 
   /** The final per-vector assignment after the fixed Lloyd rounds —
     * shared by v7's per-cluster report, v8's outlier pruning and v9's
@@ -602,37 +614,48 @@ object VectorOps {
     * comma when non-empty; `seedWhere` filters the seed vectors). */
   private[queries] def kmeansCteChain(extraCtes: String, seedWhere: String,
       iters: Int = KmeansIters,
+      eCte: String = "SELECT vec_id, embedding FROM embeddings"): String =
+    s"WITH $extraCtes" + kmeansCtesBody("", seedWhere, iters, eCte)
+
+  /** The chain's CTE list without the `WITH`, every generated name
+    * prefixed with `p` — so several independent chains (v10 runs one
+    * per PQ subspace) compose inside ONE statement. With `p = ""` the
+    * text differs from the historical single-chain form only by a
+    * no-op self-alias (`FROM e e`), so the v7/v8/v9/t9 oracles'
+    * VALUES are unchanged — re-verified by the full gate. */
+  private[queries] def kmeansCtesBody(p: String, seedWhere: String,
+      iters: Int = KmeansIters,
       eCte: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assignCte(idx: Int, centCte: String): String =
-      s"""a${idx}raw AS (
+      s"""${p}a${idx}raw AS (
          | SELECT e.vec_id, e.embedding, c.cluster,
          |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
          |   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
          |        (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d
-         | FROM e, $centCte c),
-         |a$idx AS (
+         | FROM ${p}e e, $centCte c),
+         |${p}a$idx AS (
          | SELECT vec_id, embedding, cluster, d FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY d, cluster) AS rn
-         |  FROM a${idx}raw) WHERE rn = 1)""".stripMargin
+         |  FROM ${p}a${idx}raw) WHERE rn = 1)""".stripMargin
     def recomputeCte(idx: Int, fromCte: String): String =
-      s"""c${idx}dims AS (
+      s"""${p}c${idx}dims AS (
          | SELECT cluster, i - 1 AS pos,
          |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cx
          | FROM $fromCte, unnest(generate_series(1, len(embedding))) AS u(i)
          | GROUP BY 1, 2),
-         |c$idx AS (
+         |${p}c$idx AS (
          | SELECT cluster, array_agg(cx ORDER BY pos) AS cvec
-         | FROM c${idx}dims GROUP BY 1)""".stripMargin
+         | FROM ${p}c${idx}dims GROUP BY 1)""".stripMargin
     val rounds = (0 until iters).map { r =>
-      recomputeCte(r + 1, s"a$r") + ",\n" + assignCte(r + 1, s"c${r + 1}")
+      recomputeCte(r + 1, s"${p}a$r") + ",\n" + assignCte(r + 1, s"${p}c${r + 1}")
     }.mkString(",\n")
-    s"""WITH ${extraCtes}e AS ($eCte),
-       |c0 AS (
+    s"""${p}e AS ($eCte),
+       |${p}c0 AS (
        | SELECT vec_id AS cluster,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       | FROM e WHERE $seedWhere),
-       |${assignCte(0, "c0")},
+       | FROM ${p}e WHERE $seedWhere),
+       |${assignCte(0, s"${p}c0")},
        |$rounds""".stripMargin
   }
 
@@ -658,6 +681,76 @@ object VectorOps {
        |   <= count(*) OVER (PARTITION BY cluster) * 9) AS keep
        |FROM a$KmeansIters ORDER BY vec_id""".stripMargin
 
+  private[queries] val PqM = 4
+  private[queries] val PqK = 16
+  private[queries] val PqSubDim = 16
+
+  /** v10: product quantization — the compression that makes
+    * billion-vector ANN serving feasible: split each 64-dim embedding
+    * into [[PqM]] = 4 sub-vectors of [[PqSubDim]] = 16 dims, learn a
+    * [[PqK]] = 16-entry codebook per subspace (the same deterministic
+    * Lloyd cascade as v7, run on the slice), and encode every vector
+    * as 4 code ids — 256 B of floats → 4 B, with the per-vector
+    * reconstruction error (sum of subspace residuals) reported so the
+    * rate/distortion trade is measurable. v5's int8 scalar
+    * quantization is the 4× point on the same curve; PQ is the 64×
+    * point, and its codes are what an IVF-PQ index (v9's cells +
+    * these codes) scans instead of raw vectors.
+    *
+    * Scale shape: codebook training runs [[KmeansIters]]+1 scans over
+    * the 16-dim SLICES (memoized per (session, input, subspace); at
+    * 100 TB you train on a t16-style hash-sample — v7's documented
+    * mitigation — since 4×16 centroids are corpus-statistics, not
+    * per-row state). ENCODING — the part that touches every row — is
+    * ONE map-only pass: all four codebooks ride in as broadcast
+    * one-row array columns and each row computes its four argmins
+    * inside codegen. No corpus shuffle anywhere; the final orderBy is
+    * presentation. */
+  def pqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    def slice(m: Int) = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+    val books = (0 until PqM).map { m =>
+      memoRows(s, memoKeyOf(s, dir, s"v10cents$m")) {
+        lloydCentroids(
+          e.select(col("vec_id"), expr(slice(m)).as("embedding")), PqK)
+      }
+    }
+    val withBooks = books.zipWithIndex.foldLeft(e) { case (d, (b, m)) =>
+      d.crossJoin(broadcast(b.agg(
+        collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
+    }
+    val coded = (0 until PqM).foldLeft(withBooks) { (d, m) =>
+      d.withColumn(s"m$m",
+        expr(s"array_min(${kmDistStructsOn(slice(m), s"cents$m")})"))
+    }
+    coded.select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")) :+
+        round((0 until PqM).map(m => col(s"m$m.d")).reduce(_ + _), 6)
+          .as("recon_err"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** v10 oracle: four independent prefixed Lloyd chains (one per
+    * subspace slice) composed in one statement, joined on vec_id at
+    * their final assignments. */
+  private lazy val pqOracle: String = {
+    val bodies = (0 until PqM).map { m =>
+      kmeansCtesBody(s"s${m}_", s"vec_id < $PqK", KmeansIters,
+        s"SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]" +
+          " AS embedding FROM embeddings")
+    }.mkString(",\n")
+    val codes = (0 until PqM)
+      .map(m => s"CAST(s$m.cluster AS BIGINT) AS c$m").mkString(", ")
+    val err = (0 until PqM).map(m => s"s$m.d").mkString(" + ")
+    val joins = (1 until PqM)
+      .map(m => s"JOIN s${m}_a$KmeansIters s$m USING (vec_id)")
+      .mkString(" ")
+    s"""WITH $bodies
+       |SELECT vec_id, $codes, round($err, 6) AS recon_err
+       |FROM s0_a$KmeansIters s0 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v8_cluster_prune" -> (clusterPrune _),
     "v7_kmeans" -> (kmeansClusters _),
@@ -667,7 +760,8 @@ object VectorOps {
     "v2_label_norm_stats" -> (labelNormStats _),
     "v3_ann_lsh" -> (annLsh _),
     "v4_ann_ivf" -> (annIvf _),
-    "v9_ann_ivf_learned" -> (annIvfLearned _))
+    "v9_ann_ivf_learned" -> (annIvfLearned _),
+    "v10_pq_codes" -> (pqQuantize _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -749,5 +843,6 @@ object VectorOps {
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "v3_ann_lsh" -> annLshOracle,
     "v4_ann_ivf" -> annIvfOracle,
-    "v9_ann_ivf_learned" -> annIvfLearnedOracle)
+    "v9_ann_ivf_learned" -> annIvfLearnedOracle,
+    "v10_pq_codes" -> pqOracle)
 }

@@ -76,6 +76,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("v10: PQ codes are in-range, deterministic, and actually quantize") {
+    val rows = VectorOps.pqQuantize(spark, dir).collect()
+    assert(rows.length ===
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    rows.foreach { r =>
+      (0 until VectorOps.PqM).foreach { m =>
+        val c = r.getAs[Long](s"c$m")
+        assert(c >= 0 && c < VectorOps.PqK,
+          s"code c$m=$c outside the ${VectorOps.PqK}-entry codebook")
+      }
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+    // codebooks are learned, not degenerate: each subspace uses more
+    // than one code, and quantization is lossy on real vectors
+    (0 until VectorOps.PqM).foreach { m =>
+      assert(rows.map(_.getAs[Long](s"c$m")).distinct.length > 1)
+    }
+    assert(rows.exists(_.getAs[Double]("recon_err") > 0.0))
+    // second invocation serves the memoized codebooks — identical rows
+    val again = VectorOps.pqQuantize(spark, dir).collect()
+    assert(again.map(_.toSeq.toVector).toSeq ===
+      rows.map(_.toSeq.toVector).toSeq)
+  }
+
   test("v6: hamming ANN returns 3 ranked rows per query within the code width") {
     val rows = VectorOps.annBinaryHamming(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
