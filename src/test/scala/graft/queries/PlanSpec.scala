@@ -246,4 +246,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || !p.contains("payload"),
       "payload bytes must not reach a sort-merge join")
   }
+
+  test("t24: the bloom prefilter survives optimization as a map-side filter") {
+    // the whole point of t24 is that corpus grams die in a Filter fed
+    // by the inlined sketch literal BEFORE any exchange; if a rewrite
+    // ever dropped the predicate (result would still be correct — the
+    // confirm join is exact) the operator silently degrades to t15's
+    // shuffle volume, which is exactly what this guard catches
+    val p = plan("t24_bloom_decontaminate")
+    // the expression's prettyName is might_contain; the inlined sketch
+    // renders as the (large) binary literal beside it
+    assert(p.contains("Filter might_contain("),
+      "bloom prefilter missing from the physical plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("v10: PQ encoding is one map-only pass — codebooks broadcast, corpus never hash-shuffles") {
+    val p = plan("v10_pq_codes")
+    // four one-row codebook relations arrive via broadcast; the only
+    // non-broadcast exchange is the presentation sort's range
+    // partitioning. A hashpartitioning exchange would mean the encode
+    // path shuffled the corpus — the regression this pins against.
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PQ encode must not shuffle the corpus")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t23: the audit's exact-intersection joins are keyed — no cartesian anywhere") {
+    val p = plan("t23_sketch_audit")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
