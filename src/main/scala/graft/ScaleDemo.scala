@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleDemo [nLogs] [docCopies] [phase]"`
   * Defaults: 10000 logs (~17 GB of log text), 100 doc copies
   * (500k documents); `phase` = `all` (default) | `fleet` | `docs` |
-  * `ann` | `stream` | `profile` | `t8` restricts which measurement
-  * family runs (the fleet reports take ~45 min over 16 GB — `docs`
-  * re-measures only the document/vector operators against the reused
-  * corpora, EXCLUDING the ANN-recall block; `ann` only the
-  * ANN-recall block against the reused embeddings; `stream` only the
-  * live per-job timeline stream over the 100-log slice; `profile`
-  * only the summaryPerJob parse-vs-aggregation decomposition; `t8`
-  * only the fleet SimHash pair measurement).
+  * `ann` | `stream` | `profile` | `t8` | `audit` restricts which
+  * measurement family runs (the fleet reports take ~45 min over
+  * 16 GB — `docs` re-measures only the document/vector operators
+  * against the reused corpora, EXCLUDING the ANN-recall block; `ann`
+  * only the ANN-recall block against the reused embeddings; `stream`
+  * only the live per-job timeline stream over the 100-log slice;
+  * `profile` only the summaryPerJob parse-vs-aggregation
+  * decomposition; `t8` only the fleet SimHash pair measurement;
+  * `audit` only the t23 exact-vs-sketch audit over every LSH
+  * candidate pair).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -99,10 +101,10 @@ object ScaleDemo {
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
     val baseDocs =
-      if (in("all", "docs", "t8"))
+      if (in("all", "docs", "t8", "audit"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -140,7 +142,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8"))
+      if (in("all", "docs", "t8", "audit"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -169,8 +171,21 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8")) {
+    if (in("all", "docs", "ann", "t8", "audit")) {
     spark.catalog.clearCache()
+    // t23 at fleet scale — separable (`phase=audit`) because the audit
+    // re-derives the EXACT intersection for every one of the ~25 M LSH
+    // candidate pairs (pair → shingles joins, ~50 shingles/doc → ~1 B
+    // intermediate rows): the per-pair cost the docstring promises is
+    // real but the pair count at this corpus makes it the most
+    // expensive document measurement — the price of a full sketch
+    // error profile instead of a sample.
+    if (in("all", "audit")) {
+      time(s"t23 sketch audit ($actualDocs docs)") {
+        noop(queries.DedupOps.sketchAudit(spark, docsDir.toString))
+      }
+      spark.catalog.clearCache()
+    }
     // t8 at fleet scale — separable (`phase=t8`) because its candidate
     // generation is the quadratic one: the 4×8-bit pigeonhole gives a
     // FIXED 1024 blocks, so block size grows O(n) and candidates
@@ -195,6 +210,12 @@ object ScaleDemo {
     }
     time(s"t15 decontaminate ($actualDocs docs)") {
       noop(queries.TextOps.decontaminate(spark, docsDir.toString))
+    }
+    // t24 next to t15: the bloom-prefilter path vs the exact broadcast
+    // path on the same corpus (different gram width — 4 vs 8 — so the
+    // comparison is of shapes, not identical work)
+    time(s"t24 bloom decontaminate ($actualDocs docs)") {
+      noop(queries.TextOps.bloomDecontaminate(spark, docsDir.toString))
     }
     time(s"t22 unigram logprob ($actualDocs docs)") {
       noop(queries.TextOps.unigramLogprob(spark, docsDir.toString))
@@ -319,6 +340,9 @@ object ScaleDemo {
     time(s"v8 cluster prune ($actualVecs vectors)") {
       noop(queries.VectorOps.clusterPrune(spark, docsDir.toString))
     }
+    time(s"v10 PQ codes ($actualVecs vectors)") {
+      noop(queries.VectorOps.pqQuantize(spark, docsDir.toString))
+    }
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
     }
@@ -363,6 +387,34 @@ object ScaleDemo {
           .parquet(docsParquet.toString)
           .select(col("doc_id"), col("text"))
         val q = streaming.IngestDedup.bucketCollisions(stream).toDF()
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
+    // s6 at fleet scale: the stream-stream interval join run as a
+    // REAL stream over the copies× events corpus (fresh user ids per
+    // copy — match density per user unchanged, so output grows
+    // linearly). Both sides watermarked; state evicts per the
+    // horizon+watermark bound, noop-sunk so the measurement is the
+    // join machinery + state stores, not a driver-memory sink.
+    time(s"s6 stream-stream interval join ($actualEvents events)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = docsDir.resolve(s"s6_ckpt_${System.nanoTime()}")
+      try {
+        val schema = spark.read.parquet(evParquet.toString).schema
+        def side(tpe: String) =
+          spark.readStream.schema(schema).parquet(evParquet.toString)
+            .filter(col("event_type") === tpe)
+            .select(col("event_id"), col("user_id"), col("ts"))
+        val q = streaming.EventWindows
+          .clickPurchaseJoin(side("click"), side("purchase"))
           .writeStream.format("noop")
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow()).start()

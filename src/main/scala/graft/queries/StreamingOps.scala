@@ -161,6 +161,36 @@ object StreamingOps {
         col("click_id"), col("purchase_id"))
   }
 
+  /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
+    * contract every real event pipeline needs at the front door. The
+    * fixture is deliberately delivered TWICE (a union of two file
+    * sources over the same data — the duplicate-delivery failure mode
+    * at-least-once transports exhibit), then keyed dedup state
+    * (`dropDuplicatesWithinWatermark` on event_id) restores
+    * exactly-once: the first arrival of each key emits, later
+    * arrivals are dropped, and a key's state is freed once the
+    * watermark passes its event time + the dedup horizon — BOUNDED
+    * state on an unbounded duplicated stream (plain
+    * `dropDuplicates` would hold every key forever). The finished
+    * stream must equal the original table exactly, which is what the
+    * oracle (a plain SELECT of events) hash-gates. */
+  def streamedExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src: DataFrame =
+      Tables.normalizeTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    val deduped = src.unionAll(src)
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    runStream(s, "s7_stream_", deduped, "append")
+      .select(col("event_id"), unix_micros(col("event_time")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** s2: per-user session windows (30-minute gap) via the engine's
     * `session_window` — the same dynamic-window operator the
     * streaming path uses, gated in batch mode against a
@@ -196,7 +226,8 @@ object StreamingOps {
     "s3_stream_ingest_dedup" -> (streamedIngestDedup _),
     "s4_sliding_windows" -> (slidingWindows _),
     "s5_stream_append" -> (streamedTumblingAppend _),
-    "s6_stream_interval_join" -> (streamedIntervalJoin _))
+    "s6_stream_interval_join" -> (streamedIntervalJoin _),
+    "s7_stream_exactly_once" -> (streamedExactlyOnce _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -231,6 +262,11 @@ object StreamingOps {
         | round(sum(value), 2) AS sum_value
         |FROM w, mx WHERE w_start_us + 60000000 <= wm_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the doubled delivery collapses back to exactly the events table
+    "s7_stream_exactly_once" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        | value
+        |FROM events ORDER BY event_id""".stripMargin,
     "s6_stream_interval_join" ->
       """SELECT a.user_id, a.event_id AS click_id,
         | b.event_id AS purchase_id,

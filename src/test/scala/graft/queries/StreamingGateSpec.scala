@@ -59,4 +59,13 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.map(key).toSet === batch.map(key).toSet)
     assert(streamed.length === batch.length)
   }
+
+  test("s7 exactly-once: the doubled delivery collapses to one row per event") {
+    val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
+    val n = Tables(spark, dir, "events").count()
+    // the stream ingested 2n rows; exactly-once means n emerge, each
+    // event id exactly once
+    assert(out.length.toLong === n)
+    assert(out.map(_.getAs[Long]("event_id")).distinct.length.toLong === n)
+  }
 }
