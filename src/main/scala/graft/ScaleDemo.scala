@@ -205,9 +205,6 @@ object ScaleDemo {
     time(s"t7 MinHash LSH ($actualDocs docs)") {
       noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
     }
-    time(s"t13 CC dedup clusters ($actualDocs docs)") {
-      noop(queries.DedupOps.nearDupClusters(spark, docsDir.toString))
-    }
     time(s"t15 decontaminate ($actualDocs docs)") {
       noop(queries.TextOps.decontaminate(spark, docsDir.toString))
     }
@@ -219,6 +216,16 @@ object ScaleDemo {
     }
     time(s"t22 unigram logprob ($actualDocs docs)") {
       noop(queries.TextOps.unigramLogprob(spark, docsDir.toString))
+    }
+    }
+    // t13 separable (`phase=t13`): its wall is dominated by the label
+    // DISCOVERY loop (a fresh session always pays it — the memo is
+    // per-session) over the ~25 M-edge graph, the one docs
+    // measurement sensitive enough to box/cache state to need
+    // re-adjudication runs of its own.
+    if (in("all", "docs", "t13")) {
+    time(s"t13 CC dedup clusters ($actualDocs docs)") {
+      noop(queries.DedupOps.nearDupClusters(spark, docsDir.toString))
     }
     }
     // embeddings at copies x sf0.1 scale: copies are per-copy shifted
@@ -426,7 +433,39 @@ object ScaleDemo {
         rm(ckpt.toFile)
       }
     }
-    // t9 scale property: k-means cells with k ∝ n and a hard cell cap
+    // s7 at fleet scale: exactly-once ingest from a DOUBLED 10 M-event
+    // delivery (2 × 10 M rows through the keyed dedup state, half
+    // dropped), noop-sunk.
+    time(s"s7 exactly-once dedup (2x $actualEvents events)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = docsDir.resolve(s"s7_ckpt_${System.nanoTime()}")
+      try {
+        val schema = spark.read.parquet(evParquet.toString).schema
+        def src =
+          spark.readStream.schema(schema).parquet(evParquet.toString)
+            .select(col("event_id"), col("ts"))
+        val deduped = src.unionAll(src)
+          .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+          .withWatermark("event_time", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
+    }
+    // t9 scale property — separable (`phase=t9sweep`, the two longest
+    // document-side measurements: the pair-growth pair of runs and
+    // the three-point kcap wall sweep; a docs re-run that only needs
+    // the operator band doesn't pay the ~20 min sweep):
+    if (in("all", "t9sweep")) {
+    // k-means cells with k ∝ n and a hard cell cap
     // keep candidate pairs ~LINEAR in corpus size — doubling the
     // corpus must roughly double the pair count, not quadruple it
     // (the old fixed-10-label blocking grew O(n²/10))
