@@ -299,6 +299,32 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  /** SURVEY §2.6 beyond-reference: ARBITRARY grouping sets — the
+    * third member of the rollup/cube family, for set combinations
+    * neither expresses: here the two single-dimension totals
+    * ((l_returnflag), (l_linestatus)) WITHOUT the pair or the grand
+    * total. A rollup can't skip (a,b)→(a)'s hierarchy and a cube
+    * would compute (and then have to discard) the other two sets;
+    * `groupingSets` plans exactly the requested sets through the same
+    * single-scan Expand operator (each input row expands to one row
+    * per set, each set map-side-combines — at 100 TB the scan cost is
+    * paid once, not once per set). `grouping_id` bit convention as in
+    * q23: leftmost grouping column = high bit, so (l_returnflag) →
+    * gid 1 (l_linestatus missing), (l_linestatus) → gid 2. */
+  def q27GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("rflag"), col("lstatus"))
+
   /** SURVEY §2 beyond-reference: correlated-subquery semantics —
     * orders priced above their own customer's average. Spark-first
     * decorrelation: ONE aggregate over orders + a re-join on the
@@ -512,6 +538,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
     "q25_above_avg" -> (q25AboveAvg _),
     "q24_unpivot" -> (q24Unpivot _),
@@ -540,6 +567,14 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    "q27_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q26_range_join" ->
       """WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -191,6 +191,35 @@ object StreamingOps {
       .orderBy(col("event_id"))
   }
 
+  /** s8: STREAM-STATIC enrichment join — the other join shape every
+    * deployment needs beside s6's stream-stream: the event stream
+    * joins a static dimension table (customer) to attach slowly-
+    * changing attributes at ingest. Stateless by construction — the
+    * static side is planned as an ordinary batch relation broadcast
+    * to every task each micro-batch (no watermark, no join state, no
+    * eviction question), so at 100 TB/day the stream side never
+    * shuffles: each executor probes the broadcast dim in place.
+    * Append mode, row-per-event output; the finished bounded stream
+    * equals the batch join exactly, which the plain-SQL oracle
+    * hash-gates. */
+  def streamedStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = Tables.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val enriched = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation_key"),
+        col("event_type"), col("value"))
+    runStream(s, "s8_stream_", enriched, "append")
+      .orderBy(col("event_id"))
+  }
+
   /** s2: per-user session windows (30-minute gap) via the engine's
     * `session_window` — the same dynamic-window operator the
     * streaming path uses, gated in batch mode against a
@@ -227,7 +256,8 @@ object StreamingOps {
     "s4_sliding_windows" -> (slidingWindows _),
     "s5_stream_append" -> (streamedTumblingAppend _),
     "s6_stream_interval_join" -> (streamedIntervalJoin _),
-    "s7_stream_exactly_once" -> (streamedExactlyOnce _))
+    "s7_stream_exactly_once" -> (streamedExactlyOnce _),
+    "s8_stream_static_enrich" -> (streamedStaticEnrich _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -267,6 +297,11 @@ object StreamingOps {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         | value
         |FROM events ORDER BY event_id""".stripMargin,
+    "s8_stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        | c.c_nationkey AS nation_key, e.event_type, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "s6_stream_interval_join" ->
       """SELECT a.user_id, a.event_id AS click_id,
         | b.event_id AS purchase_id,

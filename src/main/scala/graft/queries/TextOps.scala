@@ -519,7 +519,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Passage granularity for t25: non-overlapping [[PassageWords]]-word
+    * windows — coarse enough that a shared passage means real copied
+    * text, fine enough to catch partial-document copying that t2's
+    * whole-document digest misses. */
+  private[queries] val PassageWords = 10
+
+  /** t25: PASSAGE-level exact dedup — the sub-document granularity
+    * between t2 (whole-doc digest) and t6/t7 (similarity): split each
+    * document into consecutive non-overlapping [[PassageWords]]-word
+    * passages and surface every passage that recurs across ≥ 2
+    * distinct documents, with its occurrence count and canonical
+    * (lowest) carrier. This is the curation pass that removes
+    * boilerplate and long verbatim quotations from training corpora —
+    * near-dup pipelines can't see a copied paragraph inside an
+    * otherwise-novel document.
+    *
+    * Scale shape: the split + windowing is ONE map-only pass (rows ≈
+    * tokens / [[PassageWords]]), then one shuffle keyed on the passage
+    * text. Unlike t6's shingle JOIN, a high-df boilerplate passage is
+    * harmless here: count/count-distinct/min are map-side combinable,
+    * so a passage appearing a billion times costs one partial per
+    * input partition, never O(df²) rows. */
+  def passageDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = PassageWords
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("passage", explode(expr(
+        s"transform(filter(sequence(0, size(words) DIV $P), " +
+          s"i -> i < size(words) DIV $P), " +
+          s"i -> array_join(slice(words, i * $P + 1, $P), ' '))")))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canon_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("passage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_passage_dedup" -> (passageDedup _),
     "t22_unigram_logprob" -> (unigramLogprob _),
     "t21_source_overlap" -> (sourceOverlap _),
     "t16_stratified_sample" -> (stratifiedSample _),
@@ -540,6 +579,18 @@ object TextOps {
     "t24_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "t25_passage_dedup" ->
+      s"""WITH w AS (
+         | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |p AS (
+         | SELECT doc_id, array_to_string(
+         |   words[i * $PassageWords + 1 : (i + 1) * $PassageWords], ' ')
+         |   AS passage
+         | FROM w, unnest(range(0, len(words) // $PassageWords)) AS u(i))
+         |SELECT passage, count(*) AS n_total,
+         | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canon_doc
+         |FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY passage""".stripMargin,
     // the oracle is the EXACT 4-gram decontamination with no sketch
     // anywhere — a hash match proves the bloom prefilter changed
     // nothing (no false negatives) and the confirm join killed every

@@ -707,27 +707,100 @@ object VectorOps {
     * inside codegen. No corpus shuffle anywhere; the final orderBy is
     * presentation. */
   def pqQuantize(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    def slice(m: Int) = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-    val books = (0 until PqM).map { m =>
-      memoRows(s, memoKeyOf(s, dir, s"v10cents$m")) {
-        lloydCentroids(
-          e.select(col("vec_id"), expr(slice(m)).as("embedding")), PqK)
-      }
-    }
-    val withBooks = books.zipWithIndex.foldLeft(e) { case (d, (b, m)) =>
-      d.crossJoin(broadcast(b.agg(
-        collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
-    }
-    val coded = (0 until PqM).foldLeft(withBooks) { (d, m) =>
-      d.withColumn(s"m$m",
-        expr(s"array_min(${kmDistStructsOn(slice(m), s"cents$m")})"))
-    }
+    val coded = pqEncoded(s, dir)
     coded.select(col("vec_id") +:
         (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")) :+
         round((0 until PqM).map(m => col(s"m$m.d")).reduce(_ + _), 6)
           .as("recon_err"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** Subspace slice of the 64-dim embedding column (1-based). */
+  private def pqSlice(m: Int) =
+    s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+
+  /** The four per-subspace codebooks (converged Lloyd centroids on
+    * each 16-dim slice), memoized per (session, input, subspace) —
+    * shared by v10's encoder and v11's distance tables. */
+  private def pqCodebooks(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    (0 until PqM).map { m =>
+      memoRows(s, memoKeyOf(s, dir, s"v10cents$m")) {
+        lloydCentroids(
+          e.select(col("vec_id"), expr(pqSlice(m)).as("embedding")), PqK)
+      }
+    }
+  }
+
+  /** One map-only encoding pass: all four codebooks ride in as
+    * broadcast one-row array columns; each row computes its four
+    * argmins (`m0`..`m3` structs of code `c` + residual `d`) inside
+    * codegen. */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(e) {
+      case (d, (b, m)) =>
+        d.crossJoin(broadcast(b.agg(
+          collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
+    }
+    (0 until PqM).foldLeft(withBooks) { (d, m) =>
+      d.withColumn(s"m$m",
+        expr(s"array_min(${kmDistStructsOn(pqSlice(m), s"cents$m")})"))
+    }
+  }
+
+  /** v11: PQ ASYMMETRIC-DISTANCE search (ADC) — the query path v10's
+    * codes exist for, and the scan an IVF-PQ index runs inside each
+    * probed cell: a query precomputes, per subspace, the distance
+    * from its own 16-dim slice to all [[PqK]] codebook entries (a
+    * 4×16 lookup table — 64 doubles per query), and each corpus
+    * vector's approximate distance is then FOUR TABLE LOOKUPS + 3
+    * adds over its 4-byte code, never touching the raw floats.
+    * That asymmetry (exact query side × quantized corpus side) is
+    * what makes billion-vector serving feasible: at 100 TB of raw
+    * vectors the ADC scan reads the ~64×-smaller code column —
+    * map-only over the codes with the 10-row LUT table broadcast,
+    * one tiny top-k window at the end, no corpus shuffle. Top-3 per
+    * query by (adc, c_id); `adc` is the sum of the four rounded
+    * subspace entries (the same rounding the encoder's residuals
+    * carry, so both engines sum identical doubles).
+    *
+    * The codebook struct arrays are `array_sort`ed (natural struct
+    * order = cluster asc; ids 0..15 are distinct) so position i+1 in
+    * each LUT is exactly code i — `element_at` by code is then
+    * positional, no per-row map lookup. */
+  def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val codes = pqEncoded(s, dir).select(col("vec_id").as("c_id") +:
+      (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(q0) {
+      case (d, (b, m)) =>
+        d.crossJoin(broadcast(b.agg(
+          collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
+    }
+    val withLuts = (0 until PqM).foldLeft(withBooks) { (d, m) =>
+      d.withColumn(s"lut$m", expr(
+        s"transform(array_sort(cents$m), s -> " +
+          s"round(aggregate(zip_with(${pqSlice(m)}, s.cvec, " +
+          "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+          "0D, (a, v) -> a + v), 6))"))
+    }
+    val q = withLuts.select(col("q_id") +:
+      (0 until PqM).map(m => col(s"lut$m")): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_raw"), col("c_id"))
+    broadcast(q).crossJoin(codes)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc_raw", (0 until PqM)
+        .map(m => expr(s"element_at(lut$m, CAST(c$m AS INT) + 1)"))
+        .reduce(_ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
+        round(col("adc_raw"), 6).as("adc"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** v10 oracle: four independent prefixed Lloyd chains (one per
@@ -751,6 +824,54 @@ object VectorOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** v11 oracle: the same four prefixed chains give the corpus codes
+    * (final assignments) and the codebooks (final centroids); each
+    * query × codebook-entry pair computes the identical rounded
+    * subspace distance, and the ADC join looks its four entries up by
+    * code. */
+  private lazy val pqAdcOracle: String = {
+    val bodies = (0 until PqM).map { m =>
+      kmeansCtesBody(s"s${m}_", s"vec_id < $PqK", KmeansIters,
+        s"SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]" +
+          " AS embedding FROM embeddings")
+    }.mkString(",\n")
+    val codeCols = (0 until PqM)
+      .map(m => s"CAST(s$m.cluster AS BIGINT) AS c$m").mkString(", ")
+    val codeJoins = (1 until PqM)
+      .map(m => s"JOIN s${m}_a$KmeansIters s$m USING (vec_id)")
+      .mkString(" ")
+    val luts = (0 until PqM).map { m =>
+      s"""lut$m AS (
+         | SELECT q.q_id, c.cluster,
+         |  round(list_sum(list_transform(range(1, $PqSubDim + 1),
+         |   i -> (CAST(q.embedding[${m * PqSubDim} + i] AS DOUBLE) - c.cvec[i]) *
+         |        (CAST(q.embedding[${m * PqSubDim} + i] AS DOUBLE) - c.cvec[i]))), 6) AS d
+         | FROM q, s${m}_c$KmeansIters c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until PqM)
+      .map(m => s"JOIN lut$m l$m ON l$m.q_id = q.q_id AND l$m.cluster = k.c$m")
+      .mkString(" ")
+    val adcSum = (0 until PqM).map(m => s"l$m.d").mkString(" + ")
+    s"""WITH $bodies,
+       |codes AS (
+       | SELECT vec_id AS c_id, $codeCols
+       | FROM s0_a$KmeansIters s0 $codeJoins),
+       |q AS (
+       | SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+       |$luts,
+       |a AS (
+       | SELECT q.q_id, k.c_id, $adcSum AS adc_raw
+       | FROM q CROSS JOIN codes k $lutJoins
+       | WHERE q.q_id <> k.c_id),
+       |r AS (
+       | SELECT q_id, c_id, adc_raw,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc_raw, c_id) AS rnk
+       | FROM a)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id,
+       | round(adc_raw, 6) AS adc
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v8_cluster_prune" -> (clusterPrune _),
     "v7_kmeans" -> (kmeansClusters _),
@@ -761,7 +882,8 @@ object VectorOps {
     "v3_ann_lsh" -> (annLsh _),
     "v4_ann_ivf" -> (annIvf _),
     "v9_ann_ivf_learned" -> (annIvfLearned _),
-    "v10_pq_codes" -> (pqQuantize _))
+    "v10_pq_codes" -> (pqQuantize _),
+    "v11_pq_adc" -> (pqAdcSearch _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -844,5 +966,6 @@ object VectorOps {
     "v3_ann_lsh" -> annLshOracle,
     "v4_ann_ivf" -> annIvfOracle,
     "v9_ann_ivf_learned" -> annIvfLearnedOracle,
-    "v10_pq_codes" -> pqOracle)
+    "v10_pq_codes" -> pqOracle,
+    "v11_pq_adc" -> pqAdcOracle)
 }

@@ -100,6 +100,72 @@ class PipelineOpsSpec extends SparkSpec {
       rows.map(_.toSeq.toVector).toSeq)
   }
 
+  test("t25: reported passages genuinely recur across documents") {
+    val rows = TextOps.passageDedup(spark, dir).collect()
+    assert(rows.nonEmpty, "rotated corpus must share aligned passages")
+    // recompute carriers directly: every reported passage occurs in
+    // >= 2 distinct docs, its canon is the minimum carrier, and the
+    // occurrence count bounds the doc count
+    val P = TextOps.PassageWords
+    val carriers = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("passage", explode(expr(
+        s"transform(filter(sequence(0, size(words) DIV $P), " +
+          s"i -> i < size(words) DIV $P), " +
+          s"i -> array_join(slice(words, i * $P + 1, $P), ' '))")))
+      .select(col("passage"), col("doc_id"))
+      .collect()
+      .groupBy(_.getAs[String]("passage"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id"))).toMap
+    rows.foreach { r =>
+      val ids = carriers(r.getAs[String]("passage"))
+      assert(ids.distinct.length >= 2)
+      assert(r.getAs[Long]("n_docs") === ids.distinct.length.toLong)
+      assert(r.getAs[Long]("n_total") === ids.length.toLong)
+      assert(r.getAs[Long]("canon_doc") === ids.min)
+    }
+    // and completeness: no recurring passage is missing
+    assert(rows.length === carriers.count(_._2.distinct.length >= 2))
+    // every passage is exactly P words (full windows only)
+    rows.foreach(r =>
+      assert(r.getAs[String]("passage").split(" ").length === P))
+  }
+
+  test("v11: ADC ranks are monotone and ADC agrees with codebook reconstruction") {
+    val rows = VectorOps.pqAdcSearch(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+      val ds = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("adc"))
+      assert(ds.toSeq === ds.sorted.toSeq, "ADC must be monotone by rank")
+      assert(ds.forall(_ >= 0.0))
+    }
+    // code-identity property: ADC is a function of the corpus codes
+    // alone, so for any query with a SAME-code twin (another vector
+    // sharing all four codes), ADC(q, twin) = the query's own
+    // reconstruction error — the top-1 can then never exceed it
+    val v10 = VectorOps.pqQuantize(spark, dir).collect()
+    val codeOf = v10.map(r => r.getAs[Long]("vec_id") ->
+      (0 until VectorOps.PqM).map(m => r.getAs[Long](s"c$m"))).toMap
+    val recon = v10.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Double]("recon_err")).toMap
+    byQ.foreach { case (qid, rs) =>
+      val hasTwin = codeOf.exists { case (id, c) =>
+        id != qid && c == codeOf(qid)
+      }
+      if (hasTwin) {
+        val top1 = rs.minBy(_.getAs[Long]("rnk"))
+        assert(top1.getAs[Double]("adc") <= recon(qid) + 1e-6,
+          s"query $qid: a same-code twin exists but top-1 ADC missed it")
+      }
+    }
+    // deterministic: second invocation serves memoized codebooks
+    val again = VectorOps.pqAdcSearch(spark, dir).collect()
+    assert(again.map(_.toSeq.toVector).toSeq ===
+      rows.map(_.toSeq.toVector).toSeq)
+  }
+
   test("v6: hamming ANN returns 3 ranked rows per query within the code width") {
     val rows = VectorOps.annBinaryHamming(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -279,4 +279,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("v11: the ADC scan reads codes against a broadcast LUT — corpus side never sort-merges") {
+    val p = plan("v11_pq_adc")
+    // the 10-row query/LUT side must broadcast against the code scan;
+    // a SortMergeJoin would mean the corpus shuffled to meet the
+    // queries — the opposite of the ADC serving shape
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q27: grouping sets plan exactly the requested sets through one Expand") {
+    val p = plan("q27_grouping_sets")
+    // one scan, one Expand — not one aggregation subtree per set
+    assert(p.contains("Expand"))
+    assert(p.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet") === 1,
+      "grouping sets must share a single scan")
+  }
+
+  test("t25: passage dedup is explode + ONE keyed aggregation — no join anywhere") {
+    val p = plan("t25_passage_dedup")
+    // a join-based formulation would grow O(df²) on boilerplate
+    // passages; the aggregation formulation must survive refactors
+    assert(!p.contains("Join"), "t25 must not join")
+    assert(p.contains("Generate explode"))
+  }
 }

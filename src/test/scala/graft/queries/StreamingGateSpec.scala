@@ -60,6 +60,22 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.length === batch.length)
   }
 
+  test("s8 stream-static enrich equals the batch join, stateless") {
+    val streamed = StreamingOps.streamedStaticEnrich(spark, dir).collect()
+    val batch = Tables(spark, dir, "events")
+      .join(Tables(spark, dir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation_key"),
+        col("event_type"), col("value"))
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq.toVector).toSet ===
+      batch.map(_.toSeq.toVector).toSet)
+    assert(streamed.length === batch.length)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
