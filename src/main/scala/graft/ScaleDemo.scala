@@ -211,6 +211,9 @@ object ScaleDemo {
     // t24 next to t15: the bloom-prefilter path vs the exact broadcast
     // path on the same corpus (different gram width — 4 vs 8 — so the
     // comparison is of shapes, not identical work)
+    time(s"t25 passage dedup ($actualDocs docs)") {
+      noop(queries.TextOps.passageDedup(spark, docsDir.toString))
+    }
     time(s"t24 bloom decontaminate ($actualDocs docs)") {
       noop(queries.TextOps.bloomDecontaminate(spark, docsDir.toString))
     }
@@ -339,6 +342,14 @@ object ScaleDemo {
       // index write above — the oracle-checked deployment shape
       recall3("v9 ivf learned-cells gated query nprobe=1",
         queries.VectorOps.annIvfLearned(spark, docsDir.toString))
+      // v11: the PQ-ADC scan — 4-byte codes + per-query LUTs, raw
+      // floats never touched. The copy-heavy corpus makes this the
+      // friendly case (a query's twins share its codes exactly), so
+      // 6-decimal-optimal recall here measures "ADC finds the twin
+      // family"; the coarse 16-entry codebooks are the honest limit
+      // on corpora without near-identical copies.
+      recall3("v11 pq-adc",
+        queries.VectorOps.pqAdcSearch(spark, docsDir.toString))
     }
     if (in("all", "docs")) {
     time(s"v7 kmeans ($actualVecs vectors)") {
@@ -349,6 +360,9 @@ object ScaleDemo {
     }
     time(s"v10 PQ codes ($actualVecs vectors)") {
       noop(queries.VectorOps.pqQuantize(spark, docsDir.toString))
+    }
+    time(s"v11 PQ ADC search ($actualVecs vectors)") {
+      noop(queries.VectorOps.pqAdcSearch(spark, docsDir.toString))
     }
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
@@ -449,6 +463,38 @@ object ScaleDemo {
           .withWatermark("event_time", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
         val q = deduped.writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
+    // s8 at fleet scale: the stateless stream-static enrichment join
+    // over the copies× events corpus. The gate's customer table only
+    // covers base user ids, so the fleet dim is synthesized to cover
+    // every corpus user (distinct user ids + a derived segment) —
+    // same shape: a batch dim broadcast to every task per micro-batch,
+    // zero stream state, noop-sunk.
+    time(s"s8 stream-static enrich ($actualEvents events)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = docsDir.resolve(s"s8_ckpt_${System.nanoTime()}")
+      try {
+        val schema = spark.read.parquet(evParquet.toString).schema
+        val dim = spark.read.parquet(evParquet.toString)
+          .select(col("user_id").as("d_user")).distinct()
+          .withColumn("segment", (col("d_user") % 5).cast("int"))
+        val stream = spark.readStream.schema(schema)
+          .parquet(evParquet.toString)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val q = stream.join(broadcast(dim),
+            col("user_id") === col("d_user"))
+          .select(col("event_id"), col("user_id"), col("segment"),
+            col("value"))
+          .writeStream.format("noop")
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

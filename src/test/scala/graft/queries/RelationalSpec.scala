@@ -67,6 +67,28 @@ class RelationalSpec extends SparkSpec {
     assert(long.count() === direct.count() * 3)
   }
 
+  test("q27: only the two requested sets appear, each a complete marginal") {
+    val rows = Relational.q27GroupingSets(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    // exactly the requested sets — no pair level (gid 0), no grand
+    // total (gid 3); each marginal partitions the full table
+    assert(rows.map(_.getAs[Long]("gid")).toSet === Set(1L, 2L))
+    Seq(1L, 2L).foreach { g =>
+      assert(rows.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n")).sum === total)
+    }
+    // the gid-1 set (l_linestatus aggregated away) matches a direct
+    // groupBy on l_returnflag
+    val direct = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("count"))
+      .toMap
+    rows.filter(_.getAs[Long]("gid") == 1L).foreach { r =>
+      assert(r.getAs[String]("lstatus") === "ALL")
+      assert(r.getAs[Long]("n") === direct(r.getAs[String]("rflag")))
+    }
+  }
+
   test("q23: cube marginals are consistent across grouping sets") {
     val rows = Relational.q23Cube(spark, dir).collect()
     def level(gid: Long) = rows.filter(_.getAs[Long]("gid") == gid)
