@@ -350,6 +350,12 @@ object ScaleDemo {
       // on corpora without near-identical copies.
       recall3("v11 pq-adc",
         queries.VectorOps.pqAdcSearch(spark, docsDir.toString))
+      // v12: the composed IVF-PQ index — learned cells route the
+      // query, ADC scans only the probed cell's codes. Recall pays
+      // BOTH boundaries (cell routing + codebook resolution); the
+      // scan touches 1/k of the corpus at 64× compression.
+      recall3("v12 ivf-pq nprobe=1",
+        queries.VectorOps.pqIvfSearch(spark, docsDir.toString))
     }
     if (in("all", "docs")) {
     time(s"v7 kmeans ($actualVecs vectors)") {
@@ -363,6 +369,9 @@ object ScaleDemo {
     }
     time(s"v11 PQ ADC search ($actualVecs vectors)") {
       noop(queries.VectorOps.pqAdcSearch(spark, docsDir.toString))
+    }
+    time(s"v12 IVF-PQ search ($actualVecs vectors)") {
+      noop(queries.VectorOps.pqIvfSearch(spark, docsDir.toString))
     }
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))

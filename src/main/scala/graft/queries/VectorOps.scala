@@ -732,13 +732,15 @@ object VectorOps {
     }
   }
 
-  /** One map-only encoding pass: all four codebooks ride in as
-    * broadcast one-row array columns; each row computes its four
-    * argmins (`m0`..`m3` structs of code `c` + residual `d`) inside
-    * codegen. */
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(e) {
+  /** One map-only encoding pass over any relation with an `embedding`
+    * column: all four codebooks ride in as broadcast one-row array
+    * columns; each row computes its four argmins (`m0`..`m3` structs
+    * of code `c` + residual `d`) inside codegen. Applying this to an
+    * ALREADY-derived relation (e.g. the cell assignment) keeps cells
+    * and codes in one scan — no corpus self-join. */
+  private def pqEncodeCols(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(df) {
       case (d, (b, m)) =>
         d.crossJoin(broadcast(b.agg(
           collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
@@ -747,6 +749,31 @@ object VectorOps {
       d.withColumn(s"m$m",
         expr(s"array_min(${kmDistStructsOn(pqSlice(m), s"cents$m")})"))
     }
+  }
+
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    pqEncodeCols(s, dir, emb(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** Per-query ADC lookup tables over any relation with an
+    * `embedding` column: `lut0`..`lut3`, each the [[PqK]] rounded
+    * distances from the row's subspace slice to the `array_sort`ed
+    * codebook (position i+1 = code i — see [[pqAdcSearch]]).
+    * Passthrough columns survive. */
+  private def pqQueryLuts(s: SparkSession, dir: String,
+      q: DataFrame): DataFrame = {
+    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(q) {
+      case (d, (b, m)) =>
+        d.crossJoin(broadcast(b.agg(
+          collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
+    }
+    val withLuts = (0 until PqM).foldLeft(withBooks) { (d, m) =>
+      d.withColumn(s"lut$m", expr(
+        s"transform(array_sort(cents$m), s -> " +
+          s"round(aggregate(zip_with(${pqSlice(m)}, s.cvec, " +
+          "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+          "0D, (a, v) -> a + v), 6))"))
+    }
+    (0 until PqM).foldLeft(withLuts)((d, m) => d.drop(s"cents$m"))
   }
 
   /** v11: PQ ASYMMETRIC-DISTANCE search (ADC) — the query path v10's
@@ -773,25 +800,72 @@ object VectorOps {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val codes = pqEncoded(s, dir).select(col("vec_id").as("c_id") +:
       (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
-    val q0 = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding"))
-    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(q0) {
-      case (d, (b, m)) =>
-        d.crossJoin(broadcast(b.agg(
-          collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
-    }
-    val withLuts = (0 until PqM).foldLeft(withBooks) { (d, m) =>
-      d.withColumn(s"lut$m", expr(
-        s"transform(array_sort(cents$m), s -> " +
-          s"round(aggregate(zip_with(${pqSlice(m)}, s.cvec, " +
-          "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
-          "0D, (a, v) -> a + v), 6))"))
-    }
-    val q = withLuts.select(col("q_id") +:
-      (0 until PqM).map(m => col(s"lut$m")): _*)
+    val q = pqQueryLuts(s, dir, e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .select(col("q_id") +: (0 until PqM).map(m => col(s"lut$m")): _*)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_raw"), col("c_id"))
     broadcast(q).crossJoin(codes)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc_raw", (0 until PqM)
+        .map(m => expr(s"element_at(lut$m, CAST(c$m AS INT) + 1)"))
+        .reduce(_ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
+        round(col("adc_raw"), 6).as("adc"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** v12: the FULL IVF-PQ index — the composition every
+    * billion-vector serving system actually deploys, assembled from
+    * the gated pieces: v7's learned k-means cells partition the
+    * corpus (the inverted file), v10's product-quantization codes
+    * compress each cell's vectors 64×, a query routes to its nearest
+    * cell centroid by cosine (v9's router, nprobe = 1) and then
+    * ADC-scans ONLY that cell's codes with its v11 lookup tables.
+    * Top-3 per query by (adc, c_id) within the probed cell.
+    *
+    * Scale shape — why this is THE serving index: the stored index is
+    * (cluster, 4-byte code) per vector, hash-partitioned by cluster;
+    * a query touches one partition (1/k of the corpus) and reads the
+    * 64×-compressed column, so the scanned bytes per query drop by
+    * k × 64 vs brute force over raw floats. Cells + codes derive in
+    * ONE pass over the corpus (the assignment relation is encoded
+    * directly — no corpus self-join); routing centroids and
+    * codebooks are tiny memoized broadcasts. Recall trades at the
+    * cell boundary (nprobe) and the codebook resolution — both
+    * measured honestly in ScaleDemo's ann phase. */
+  def pqIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    // the stored index: cell + 4 codes per vector, one corpus pass
+    val index = pqEncodeCols(s, dir, kmFinalAssign(s, dir))
+      .select(col("vec_id").as("c_id") +: col("cluster") +:
+        (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
+    // v9's router: one recompute over the final assignment, memoized
+    val cents = memoRows(s, memoKeyOf(s, dir, "v9route")) {
+        kmRecompute(kmFinalAssign(s, dir))
+      }
+      .withColumn("cnorm", expr(
+        "sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
+    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"))
+    val qcos = "aggregate(zip_with(embedding, cvec, " +
+      "(x, c) -> CAST(x AS DOUBLE) * c), 0D, (a, v) -> a + v)"
+    val routeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("cluster"))
+    val routed = broadcast(q0).crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(expr(qcos) / (col("nrm") * col("cnorm")), 6))
+      .withColumn("rc", row_number().over(routeW))
+      .filter(col("rc") <= 1)
+      .select(col("q_id"), col("embedding"), col("cluster"))
+    val q = pqQueryLuts(s, dir, routed)
+      .select(col("q_id") +: col("cluster") +:
+        (0 until PqM).map(m => col(s"lut$m")): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_raw"), col("c_id"))
+    broadcast(q).join(index, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("adc_raw", (0 until PqM)
         .map(m => expr(s"element_at(lut$m, CAST(c$m AS INT) + 1)"))
@@ -872,7 +946,81 @@ object VectorOps {
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** v12 oracle: the v9 routing CTEs (unprefixed v7 chain + recompute
+    * centroids + cosine route) composed with the four prefixed PQ
+    * chains; codes carry their cell from the v7 final assignment, LUT
+    * entries compute from the ROUTED query rows, and the ADC join is
+    * restricted to the routed cell. */
+  private lazy val pqIvfOracle: String = {
+    val pqBodies = (0 until PqM).map { m =>
+      kmeansCtesBody(s"s${m}_", s"vec_id < $PqK", KmeansIters,
+        s"SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]" +
+          " AS embedding FROM embeddings")
+    }.mkString(",\n")
+    val codeCols = (0 until PqM)
+      .map(m => s"CAST(s$m.cluster AS BIGINT) AS c$m").mkString(", ")
+    val codeJoins = (1 until PqM)
+      .map(m => s"JOIN s${m}_a$KmeansIters s$m ON s$m.vec_id = av.vec_id")
+      .mkString(" ")
+    val luts = (0 until PqM).map { m =>
+      s"""lut$m AS (
+         | SELECT r.q_id, c.cluster AS code,
+         |  round(list_sum(list_transform(range(1, $PqSubDim + 1),
+         |   i -> (CAST(r.qv[${m * PqSubDim} + i] AS DOUBLE) - c.cvec[i]) *
+         |        (CAST(r.qv[${m * PqSubDim} + i] AS DOUBLE) - c.cvec[i]))), 6) AS d
+         | FROM routed r, s${m}_c$KmeansIters c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until PqM)
+      .map(m => s"JOIN lut$m l$m ON l$m.q_id = r.q_id AND l$m.code = k.c$m")
+      .mkString(" ")
+    val adcSum = (0 until PqM).map(m => s"l$m.d").mkString(" + ")
+    s"""${kmeansCteChain("", s"vec_id < $KmeansK")},
+       |cfd AS (
+       | SELECT cluster, i - 1 AS pos,
+       |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cx
+       | FROM a$KmeansIters, unnest(generate_series(1, len(embedding))) AS u(i)
+       | GROUP BY 1, 2),
+       |cf AS (
+       | SELECT cluster, array_agg(cx ORDER BY pos) AS cvec,
+       |  sqrt(list_sum(list_transform(array_agg(cx ORDER BY pos),
+       |    x -> x * x))) AS cnorm
+       | FROM cfd GROUP BY 1),
+       |en AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |qq AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM en
+       |  WHERE vec_id < 10),
+       |route AS (
+       | SELECT q_id, qv, qn, cluster,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY
+       |    round(list_sum(list_transform(range(1, len(qv) + 1),
+       |      i -> CAST(qv[i] AS DOUBLE) * cvec[i])) / (qn * cnorm), 6) DESC,
+       |    cluster) AS rc
+       | FROM qq CROSS JOIN cf),
+       |routed AS (SELECT q_id, qv, cluster FROM route WHERE rc = 1),
+       |$pqBodies,
+       |codes AS (
+       | SELECT av.vec_id AS c_id, av.cluster, $codeCols
+       | FROM a$KmeansIters av
+       |  JOIN s0_a$KmeansIters s0 ON s0.vec_id = av.vec_id $codeJoins),
+       |$luts,
+       |aadc AS (
+       | SELECT r.q_id, k.c_id, $adcSum AS adc_raw
+       | FROM routed r JOIN codes k ON k.cluster = r.cluster $lutJoins
+       | WHERE r.q_id <> k.c_id),
+       |rr AS (
+       | SELECT q_id, c_id, adc_raw,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc_raw, c_id) AS rnk
+       | FROM aadc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id,
+       | round(adc_raw, 6) AS adc
+       |FROM rr WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_ann_ivfpq" -> (pqIvfSearch _),
     "v8_cluster_prune" -> (clusterPrune _),
     "v7_kmeans" -> (kmeansClusters _),
     "v6_ann_hamming" -> (annBinaryHamming _),
@@ -967,5 +1115,6 @@ object VectorOps {
     "v4_ann_ivf" -> annIvfOracle,
     "v9_ann_ivf_learned" -> annIvfLearnedOracle,
     "v10_pq_codes" -> pqOracle,
-    "v11_pq_adc" -> pqAdcOracle)
+    "v11_pq_adc" -> pqAdcOracle,
+    "v12_ann_ivfpq" -> pqIvfOracle)
 }

@@ -166,6 +166,36 @@ class PipelineOpsSpec extends SparkSpec {
       rows.map(_.toSeq.toVector).toSeq)
   }
 
+  test("v12: IVF-PQ results come from ONE probed cell and agree with v11's ADC") {
+    val rows = VectorOps.pqIvfSearch(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+      val ds = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("adc"))
+      assert(ds.toSeq === ds.sorted.toSeq)
+    }
+    // inverted-file property: all of a query's results share ONE cell
+    // (the probed one) — the scan never crossed a cell boundary
+    val cellOf = VectorOps.kmFinalAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    byQ.values.foreach { rs =>
+      assert(rs.map(r => cellOf(r.getAs[Long]("c_id"))).distinct.length === 1)
+    }
+    // ADC consistency: any (q, c) pair also surfaced by the
+    // whole-corpus v11 scan must carry the identical ADC distance
+    // (same codes, same LUTs — the cell restriction changes the
+    // candidate set, never the metric)
+    val v11 = VectorOps.pqAdcSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        r.getAs[Double]("adc")).toMap
+    rows.foreach { r =>
+      v11.get((r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).foreach { a =>
+        assert(a === r.getAs[Double]("adc"))
+      }
+    }
+  }
+
   test("v6: hamming ANN returns 3 ranked rows per query within the code width") {
     val rows = VectorOps.annBinaryHamming(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

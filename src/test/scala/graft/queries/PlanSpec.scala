@@ -280,6 +280,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("v12: IVF-PQ probes via broadcast cell join — the index side never shuffles to meet queries") {
+    val p = plan("v12_ann_ivfpq")
+    // the routed-query/LUT side (10 rows) broadcasts onto the
+    // cluster-keyed code scan; SortMergeJoin would mean the stored
+    // index shuffled per query batch
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("v11: the ADC scan reads codes against a broadcast LUT — corpus side never sort-merges") {
     val p = plan("v11_pq_adc")
     // the 10-row query/LUT side must broadcast against the code scan;
