@@ -325,6 +325,51 @@ object Relational {
         col("gid"), col("n"), col("sum_qty"))
       .orderBy(col("gid"), col("rflag"), col("lstatus"))
 
+  /** SURVEY §2 beyond-reference: APPROXIMATE percentiles — the
+    * one-pass mergeable-sketch percentile (`approx_percentile`,
+    * Greenwald-Khanna) that IS the 100 TB path: map-side partial
+    * sketches merge associatively, so the full pass is one scan +
+    * one tiny merge, no per-group sort anywhere (q20's distributed
+    * exact selection is the exact dual). Gated q16-style: the hashed
+    * columns are the EXACT discrete percentiles (the k-th smallest
+    * value at k = ⌈q·n⌉ — a value at a rank is tie-stable, so both
+    * engines read the identical parquet double), plus `apx_ok`, the
+    * engine-side assertion that the sketch's answer lands within its
+    * guaranteed rank window ±(n/accuracy + 1) around k. The oracle
+    * states the same exact values with `apx_ok` = true, so a sketch
+    * regression outside its own error bound fails the hash. */
+  def q28ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val e = t(s, dir, "events").select(col("event_type"), col("value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wn = Window.partitionBy(col("event_type"))
+    val ranked = e
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("tol", expr(s"n DIV $acc") + 1)
+    def rank(q: Double) = expr(s"CAST(ceil($q * n) AS BIGINT)")
+    def at(q: Double, off: Column) =
+      max(when(col("rn") === greatest(lit(1L), rank(q) + off), col("value")))
+    val exact = ranked.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      at(0.5, lit(0L)).as("p50"), at(0.9, lit(0L)).as("p90"),
+      at(0.5, -col("tol")).as("lo50"), at(0.5, col("tol")).as("hi50"),
+      at(0.9, -col("tol")).as("lo90"),
+      // the +tol rank can exceed n in p90's tail — null there, and
+      // the check falls back to the group max
+      at(0.9, col("tol")).as("hi90raw"),
+      max(col("value")).as("vmax"))
+    val apx = e.groupBy(col("event_type")).agg(
+      expr(s"approx_percentile(value, array(0.5D, 0.9D), $acc)").as("ap"))
+    exact.join(apx, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"),
+        (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50") &&
+          col("ap")(1) >= col("lo90") &&
+          col("ap")(1) <= coalesce(col("hi90raw"), col("vmax")))
+          .as("apx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** SURVEY §2 beyond-reference: correlated-subquery semantics —
     * orders priced above their own customer's average. Spark-first
     * decorrelation: ONE aggregate over orders + a re-join on the
@@ -538,6 +583,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
     "q25_above_avg" -> (q25AboveAvg _),
@@ -567,6 +613,22 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle states only the EXACT rank values + the always-true
+    // bound flag; a sketch answer outside its guaranteed rank window
+    // flips apx_ok engine-side and fails the hash (q16's pattern)
+    "q28_approx_percentiles" ->
+      """WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events)
+        |SELECT event_type, count(*) AS n,
+        | max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |   THEN value END) AS p50,
+        | max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |   THEN value END) AS p90,
+        | true AS apx_ok
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         | coalesce(l_linestatus, 'ALL') AS lstatus,

@@ -67,6 +67,26 @@ class RelationalSpec extends SparkSpec {
     assert(long.count() === direct.count() * 3)
   }
 
+  test("q28: sketch lands inside its rank bound and exact ranks match a driver check") {
+    val rows = Relational.q28ApproxPercentiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-group driver-side recomputation of the discrete percentiles
+    val byType = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      def at(q: Double) = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(r.getAs[Double]("p50") === at(0.5))
+      assert(r.getAs[Double]("p90") === at(0.9))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Boolean]("apx_ok"),
+        s"${r.getAs[String]("event_type")}: sketch outside its rank bound")
+    }
+  }
+
   test("q27: only the two requested sets appear, each a complete marginal") {
     val rows = Relational.q27GroupingSets(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
