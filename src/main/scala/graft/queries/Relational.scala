@@ -267,6 +267,38 @@ object Relational {
         round(sum(col("pv")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** q29: skew-resistant SALTED JOIN — the join-side counterpart of
+    * q17's salted aggregation, and the standard rescue when one fact
+    * key is hot enough that a single reducer would receive a whole
+    * key's rows (AQE's skew-join split handles moderate skew
+    * post-hoc; explicit salting is the deterministic pre-planned
+    * form that also works mid-pipeline where AQE cannot re-split).
+    * The fact side (events) gets a deterministic salt in [0, 8); the
+    * dim side (customer) is EXPLODED 8× so every (key, salt) fact
+    * row finds its dim row; the join key becomes (key, salt), so a
+    * hot user's rows fan across 8 reducers instead of one. The
+    * shuffle_hash hint keeps the join a real shuffled join — a
+    * broadcast would make salting moot (and at 100 TB the dim that
+    * needs salting is precisely the one too big to broadcast after
+    * 8× replication). Result is identical to the unsalted join,
+    * which is what the oracle computes. */
+  def q29SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val fact = t(s, dir, "events")
+      .select(col("user_id"), col("value"))
+      .withColumn("salt", pmod(col("user_id") * 31 + col("value").cast("long"),
+        lit(R)).cast("int"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("dsalt", explode(array((0 until R).map(lit): _*)))
+    fact.join(dim.hint("shuffle_hash"),
+        col("user_id") === col("c_custkey") && col("salt") === col("dsalt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** SURVEY §2.6 beyond-reference windows: rollup with grouping ids —
     * subtotal rows materialize map-side-combined partials per grouping
     * set, no extra scans. */
@@ -610,7 +642,8 @@ object Relational {
     "q12_interval_concurrency" -> (q12IntervalConcurrency _),
     "q13_set_except" -> (q13SetExcept _),
     "q14_count_distinct" -> (q14CountDistinct _),
-    "q15_scalar_cross" -> (q15ScalarCross _))
+    "q15_scalar_cross" -> (q15ScalarCross _),
+    "q29_salted_join" -> (q29SaltedJoin _))
 
   val oracle: Map[String, String] = Map(
     // the oracle states only the EXACT rank values + the always-true
@@ -721,6 +754,12 @@ object Relational {
     "q17_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the salt is internal — the oracle is the plain unsalted join
+    "q29_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

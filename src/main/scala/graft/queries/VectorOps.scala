@@ -420,6 +420,105 @@ object VectorOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // --------------------------------------- prefix-dim re-rank (v13)
+
+  /** Leading dims kept by the v13 first pass. On MRL-trained
+    * ("Matryoshka") embeddings the prefix is trained to preserve the
+    * full-vector ordering; the synthetic fixture's dims are iid, so
+    * here the prefix behaves like a random 32-of-64 coordinate
+    * projection — recall measured honestly below, v4-style. */
+  private[queries] val PrefixDims = 32
+
+  /** Candidates the first pass keeps per query for exact re-ranking.
+    * Measured on the fixture (iid dims — the WORST case for
+    * truncation): prefix=32/keep=50 → recall@5 = 0.74-0.76 vs exact
+    * v1; keep=100 → 0.92-0.96; prefix=48/keep=50 → 0.96-0.98. An
+    * MRL corpus sits far above these floors. */
+  private[queries] val PrefilterK = 50
+
+  /** v13: truncated-dimension prefilter + exact re-rank — the
+    * two-stage ANN shape that needs NO index at all (the fourth
+    * family next to LSH/IVF/binary-hash): stage 1 scores every
+    * candidate by cosine over only the leading 32 of 64 dims and
+    * keeps the top-50 per query; stage 2 re-ranks those 50 with the
+    * full-dimension cosine and emits the top-5.
+    *
+    * Scale shape: with the prefix materialized as its own parquet
+    * column (a one-time map-only write), stage 1 reads and multiplies
+    * 2× fewer bytes than brute force over the full vectors — and the
+    * corpus side still never shuffles (v1's broadcast-queries shape).
+    * Stage 2 touches PrefilterK rows per query instead of the corpus,
+    * so its cost is negligible. Both stages rank on the ROUNDED
+    * cosine (6 dp) with the candidate id as tie-break, so the
+    * stage-1 cut is deterministic and engine-independent. */
+  def prefixRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val e = emb(s, dir)
+      .withColumn("pv", expr(s"slice(embedding, 1, $PrefixDims)"))
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("pnrm", expr("sqrt(vec_dot(pv, pv))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("pv").as("qpv"), col("nrm").as("qn"), col("pnrm").as("qpn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("pv").as("cpv"), col("nrm").as("cn"), col("pnrm").as("cpn"))
+    val preW = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("pcos",
+        round(expr("vec_dot(qpv, cpv)") / (col("qpn") * col("cpn")), 6))
+      .withColumn("prnk", row_number().over(preW))
+      .filter(col("prnk") <= PrefilterK)
+      .withColumn("cos",
+        round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private lazy val prefixRerankOracle: String =
+    s"""WITH en AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |  sqrt(list_sum(list_transform(embedding[1:$PrefixDims],
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pnrm
+       | FROM embeddings),
+       |q AS (
+       | SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, pnrm AS qpn
+       | FROM en WHERE vec_id < 10),
+       |c AS (
+       | SELECT vec_id AS c_id, embedding AS cv, nrm AS cn, pnrm AS cpn
+       | FROM en),
+       |s1 AS (
+       | SELECT q_id, c_id, qv, cv, qn, cn,
+       |  round(list_sum(list_transform(range(1, $PrefixDims + 1),
+       |    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+       |   (qpn * cpn), 6) AS pcos
+       | FROM q CROSS JOIN c WHERE q_id <> c_id),
+       |s1r AS (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY pcos DESC, c_id) AS prnk
+       | FROM s1),
+       |s2 AS (
+       | SELECT q_id, c_id,
+       |  round(list_sum(list_transform(range(1, len(qv) + 1),
+       |    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+       |   (qn * cn), 6) AS cos
+       | FROM s1r WHERE prnk <= $PrefilterK),
+       |r AS (
+       | SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS rnk
+       | FROM s2)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------ k-means (v7)
 
   private[queries] val KmeansK = 8
@@ -1031,7 +1130,8 @@ object VectorOps {
     "v4_ann_ivf" -> (annIvf _),
     "v9_ann_ivf_learned" -> (annIvfLearned _),
     "v10_pq_codes" -> (pqQuantize _),
-    "v11_pq_adc" -> (pqAdcSearch _))
+    "v11_pq_adc" -> (pqAdcSearch _),
+    "v13_prefix_rerank" -> (prefixRerank _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1116,5 +1216,6 @@ object VectorOps {
     "v9_ann_ivf_learned" -> annIvfLearnedOracle,
     "v10_pq_codes" -> pqOracle,
     "v11_pq_adc" -> pqAdcOracle,
-    "v12_ann_ivfpq" -> pqIvfOracle)
+    "v12_ann_ivfpq" -> pqIvfOracle,
+    "v13_prefix_rerank" -> prefixRerankOracle)
 }

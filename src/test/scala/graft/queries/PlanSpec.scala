@@ -316,4 +316,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "t25 must not join")
     assert(p.contains("Generate explode"))
   }
+
+  test("q29: the salted join stays a SHUFFLED join — broadcast would defeat the salt") {
+    // the whole point of salting is spreading one hot key across R
+    // reducers of a shuffled join; if the dim auto-broadcasts the
+    // salt is dead weight (and at 100 TB the dim that needs salting
+    // is too big to broadcast after R× replication)
+    val p = plan("q29_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "q29 must plan a shuffled hash join on (key, salt)")
+    assert(!p.contains("BroadcastHashJoin"), "the dim must not broadcast")
+    assert(p.contains("Generate explode"), "the dim must replicate R ways")
+  }
+
+  test("v13: both passes ride ONE broadcast of the query side — corpus never shuffles") {
+    // stage 1 (prefix scores) and stage 2 (re-rank) are windows over
+    // the same broadcast-nested-loop pairing; the corpus side must
+    // stay un-shuffled except the per-query top-k windows
+    val p = plan("v13_prefix_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

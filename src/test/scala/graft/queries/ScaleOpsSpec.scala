@@ -467,4 +467,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(gate.map(_.getAs[Long]("cluster_id")).toSet
       .subsetOf((0L until VectorOps.KmeansK).toSet))
   }
+
+  test("v13: prefix prefilter + re-rank recovers most of exact top-5 (recall floor)") {
+    def top5(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val brute = top5(VectorOps.cosineTopK(spark, dir).collect())
+    val rows = VectorOps.prefixRerank(spark, dir).collect()
+    val got = top5(rows)
+    // every query answers with exactly 5 ranked candidates
+    assert(rows.length === brute.size * 5)
+    // the fixture's dims are iid (worst case for truncation): the
+    // 32-of-64 prefix + keep-50 floor measured 0.74-0.76 — pin 0.6
+    // so a refactor can't silently break the prefilter, while box
+    // variation in ties stays clear of the bound
+    val hits = brute.toSeq
+      .map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+    val recall = hits.toDouble / brute.values.map(_.size).sum
+    assert(recall >= 0.6, s"v13 recall@5 vs exact was $recall")
+    // re-ranked scores descend within each query
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
