@@ -356,6 +356,14 @@ object ScaleDemo {
       // scan touches 1/k of the corpus at 64× compression.
       recall3("v12 ivf-pq nprobe=1",
         queries.VectorOps.pqIvfSearch(spark, docsDir.toString))
+      // v13: the index-free truncated-dim prefilter + exact re-rank.
+      // The copy families tie in the 32-dim prefix exactly as they do
+      // in full dims, so the stage-1 cut keeps them and the re-rank
+      // restores 6-decimal-optimal order — recall measures the
+      // two-stage cut's safety at fleet scale, with NO index build.
+      recall3("v13 prefix re-rank",
+        queries.VectorOps.prefixRerank(spark, docsDir.toString)
+          .filter(col("rnk") <= 3))
     }
     if (in("all", "docs")) {
     time(s"v7 kmeans ($actualVecs vectors)") {
@@ -372,6 +380,9 @@ object ScaleDemo {
     }
     time(s"v12 IVF-PQ search ($actualVecs vectors)") {
       noop(queries.VectorOps.pqIvfSearch(spark, docsDir.toString))
+    }
+    time(s"v13 prefix re-rank ($actualVecs vectors)") {
+      noop(queries.VectorOps.prefixRerank(spark, docsDir.toString))
     }
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))

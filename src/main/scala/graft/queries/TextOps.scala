@@ -353,6 +353,44 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Shard count for [[shardShuffle]]. */
+  private[queries] val NShards = 16L
+
+  /** t26: deterministic GLOBAL SHUFFLE into training shards — the
+    * stage between curation and packing: every document gets a
+    * pseudorandom-but-reproducible 60-bit shuffle key (md5 of
+    * "doc_id:shuffle:42"), its shard is `key % 16`, and within a
+    * shard documents order by the key — a full derangement of the
+    * corpus that any engine, any run, any repartitioning reproduces
+    * bit-for-bit (`rand()`-based shuffles can't be audited or
+    * resumed). The gate emits the SHARD MANIFEST — per shard: doc
+    * count, token sum, the key range, and the first/last documents
+    * in shuffle order — which is exactly what a writer verifies
+    * after laying the shards down.
+    *
+    * Scale shape: key + shard are map-only; the physical layout at
+    * 100 TB is `repartitionByRange(shard, skey)` +
+    * `sortWithinPartitions(skey)` + a partitioned write — a single
+    * range shuffle, NO global sort, no windows (the manifest here is
+    * one map-side-combinable aggregation; min_by/max_by replace any
+    * per-shard ordering pass). 60-bit keys make ties vanishingly
+    * rare (~n²/2⁶¹), so shuffle order is total in practice. */
+  def shardShuffle(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("skey", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':shuffle:42')), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("skey"), lit(NShards)))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("skey")).as("min_key"),
+        max(col("skey")).as("max_key"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy(col("shard"))
+
   /** Token budget per training context window for [[contextPacking]]. */
   private[queries] val PackBudget = 2048L
 
@@ -576,7 +614,8 @@ object TextOps {
     "t12_bpe_tokens" -> (bpeTokenCount _),
     "t14_repetition_stats" -> (repetitionStats _),
     "t15_decontaminate" -> (decontaminate _),
-    "t24_bloom_decontaminate" -> (bloomDecontaminate _))
+    "t24_bloom_decontaminate" -> (bloomDecontaminate _),
+    "t26_shard_shuffle" -> (shardShuffle _))
 
   val oracle: Map[String, String] = Map(
     "t25_passage_dedup" ->
@@ -595,6 +634,19 @@ object TextOps {
     // anywhere — a hash match proves the bloom prefilter changed
     // nothing (no false negatives) and the confirm join killed every
     // false positive
+    "t26_shard_shuffle" ->
+      s"""WITH k AS (
+         | SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle:42'),
+         |    1, 15))::BIGINT AS skey,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT skey % $NShards AS shard, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         | min(skey) AS min_key, max(skey) AS max_key,
+         | min_by(doc_id, skey) AS first_doc,
+         | max_by(doc_id, skey) AS last_doc
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "t24_bloom_decontaminate" ->
       """WITH w AS (
         | SELECT doc_id, source, string_split(text, ' ') AS words

@@ -317,6 +317,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"))
   }
 
+  test("t26: the shard manifest is ONE aggregation — no window, no join, no sort pass") {
+    // the global-shuffle manifest must stay map-side combinable: a
+    // per-shard window/rank formulation would pull whole 6 TB shards
+    // through single tasks at 100 TB
+    val p = plan("t26_shard_shuffle")
+    assert(!p.contains("Window"), "t26 must not window")
+    assert(!p.contains("Join"), "t26 must not join")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("q29: the salted join stays a SHUFFLED join — broadcast would defeat the salt") {
     // the whole point of salting is spreading one hot key across R
     // reducers of a shuffled join; if the dim auto-broadcasts the
