@@ -436,6 +436,11 @@ object VectorOps {
     * MRL corpus sits far above these floors. */
   private[queries] val PrefilterK = 50
 
+  /** Sub-buckets the stage-1 local cut fans across per query (the
+    * two-level top-k: no single reducer ever sees a whole query's
+    * corpus-sized candidate stream). */
+  private[queries] val PrefilterSubs = 64
+
   /** v13: truncated-dimension prefilter + exact re-rank — the
     * two-stage ANN shape that needs NO index at all (the fourth
     * family next to LSH/IVF/binary-hash): stage 1 scores every
@@ -443,35 +448,58 @@ object VectorOps {
     * keeps the top-50 per query; stage 2 re-ranks those 50 with the
     * full-dimension cosine and emits the top-5.
     *
-    * Scale shape: with the prefix materialized as its own parquet
-    * column (a one-time map-only write), stage 1 reads and multiplies
-    * 2× fewer bytes than brute force over the full vectors — and the
-    * corpus side still never shuffles (v1's broadcast-queries shape).
-    * Stage 2 touches PrefilterK rows per query instead of the corpus,
-    * so its cost is negligible. Both stages rank on the ROUNDED
-    * cosine (6 dp) with the candidate id as tie-break, so the
-    * stage-1 cut is deterministic and engine-independent. */
+    * Scale shape, stage by stage: scoring is map-only (queries
+    * broadcast, corpus never moves), and with the prefix stored as
+    * its own parquet column the scan reads and multiplies 2× fewer
+    * bytes than brute force. The stage-1 cut is a TWO-LEVEL top-k
+    * over 24-byte (q_id, c_id, pcos) triples — the vectors are
+    * dropped BEFORE the exchange (8× less shuffle) and the local
+    * pass partitions by (q_id, c_id mod 64), so each of 640 reducers
+    * keeps a 50-row slice and no task ever sorts a whole query's
+    * corpus-sized stream (a single per-query window would — the
+    * 1000-executor killer). The global pass merges 64×50 tiny rows
+    * per query; stage 2 joins the ≤50 surviving ids back to the
+    * corpus (candidate-fetch, a broadcast semi-probe) and re-ranks
+    * with the full-dim cosine. Both cuts rank on the ROUNDED cosine
+    * (6 dp) + candidate id — a total order, so the two-level cut is
+    * exactly the oracle's single-pass cut. */
   def prefixRerank(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)
     val e = emb(s, dir)
       .withColumn("pv", expr(s"slice(embedding, 1, $PrefixDims)"))
-      .withColumn("nrm", expr(normExpr))
       .withColumn("pnrm", expr("sqrt(vec_dot(pv, pv))"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("pv").as("qpv"), col("nrm").as("qn"), col("pnrm").as("qpn"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      col("pv").as("cpv"), col("nrm").as("cn"), col("pnrm").as("cpn"))
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pnrm").as("qpn"))
+    val c = e.select(col("vec_id").as("c_id"), col("pv").as("cpv"),
+      col("pnrm").as("cpn"))
+    val localW = Window
+      .partitionBy(col("q_id"), pmod(col("c_id"), lit(PrefilterSubs)))
+      .orderBy(col("pcos").desc, col("c_id"))
     val preW = Window.partitionBy(col("q_id"))
       .orderBy(col("pcos").desc, col("c_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    broadcast(q).crossJoin(c)
+    // stage 1: map-only scoring, vectors dropped before the exchange
+    val survivors = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("pcos",
         round(expr("vec_dot(qpv, cpv)") / (col("qpn") * col("cpn")), 6))
+      .select(col("q_id"), col("c_id"), col("pcos"))
+      .withColumn("lrnk", row_number().over(localW))
+      .filter(col("lrnk") <= PrefilterK)
       .withColumn("prnk", row_number().over(preW))
       .filter(col("prnk") <= PrefilterK)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: fetch the ≤50 survivors' full vectors, exact re-rank
+    val ef = emb(s, dir).withColumn("nrm", expr(normExpr))
+    val qf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val cf = ef.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    broadcast(survivors).join(cf, Seq("c_id"))
+      .join(broadcast(qf), Seq("q_id"))
       .withColumn("cos",
         round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rnk", row_number().over(w))

@@ -339,13 +339,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "the dim must replicate R ways")
   }
 
-  test("v13: both passes ride ONE broadcast of the query side — corpus never shuffles") {
-    // stage 1 (prefix scores) and stage 2 (re-rank) are windows over
-    // the same broadcast-nested-loop pairing; the corpus side must
-    // stay un-shuffled except the per-query top-k windows
+  test("v13: two-level stage-1 cut over thin triples; survivors fetch via broadcast") {
+    // stage-1 scoring is map-only (queries broadcast against the
+    // corpus scan); the cut must shuffle only (q_id, c_id, pcos)
+    // triples AND fan each query across 64 sub-bucket reducers — a
+    // single per-query window would sort a whole query's corpus-sized
+    // stream in one task at 100 TB. Stage 2 re-joins the ≤50
+    // surviving ids by broadcast, never a corpus shuffle.
     val p = plan("v13_prefix_rerank")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "stage-1 pairing must broadcast")
+    assert(p.contains("pmod"), "the local cut must fan out by (q_id, c_id mod 64)")
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
