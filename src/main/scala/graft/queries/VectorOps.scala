@@ -33,7 +33,12 @@ object VectorOps {
     * before the join), only the dot product is per-pair. */
   private def cosCol = expr(dotExpr) / (col("qn") * col("cn"))
 
-  /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors.
+    * "Brute" refers to scoring every pair — the scan is still
+    * map-only (queries broadcast, corpus never moves) and the cut is
+    * the shared [[twoLevelTopK]] over thin (q_id, c_id, score)
+    * triples, so even the baseline shuffles bytes ∝ corpus rows, not
+    * corpus vectors, and parallelizes its selection. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)
     val e = emb(s, dir).withColumn("nrm", expr(normExpr))
@@ -42,13 +47,11 @@ object VectorOps {
         col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       col("nrm").as("cn"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("c_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_raw", cosCol)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cos_raw"))
+    twoLevelTopK(scored, "cos_raw", 5, asc = false)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
         round(col("cos_raw"), 6).as("cos"))
       .orderBy(col("q_id"), col("rnk"))
@@ -408,13 +411,11 @@ object VectorOps {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("code").as("qc"))
     val c = e.select(col("vec_id").as("c_id"), col("code").as("cc"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming"), col("c_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("hamming", expr("bit_count(qc ^ cc)").cast("long"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("hamming"))
+    twoLevelTopK(scored, "hamming", 3, asc = true)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("c_id"), col("hamming"))
       .orderBy(col("q_id"), col("rnk"))
@@ -440,6 +441,31 @@ object VectorOps {
     * two-level top-k: no single reducer ever sees a whole query's
     * corpus-sized candidate stream). */
   private[queries] val PrefilterSubs = 64
+
+  /** TWO-LEVEL per-query top-k over an already-scored THIN
+    * (q_id, c_id, score) relation — the distributed-selection idiom
+    * all the full-scan ANN variants share: the local cut partitions
+    * by (q_id, c_id mod 64) so each query fans across 64 reducers
+    * (a single per-query window would sort a whole query's
+    * corpus-sized candidate stream in ONE task at 100 TB), then the
+    * global cut merges 64 bounded slices. Caller must project to the
+    * thin triple BEFORE calling, so the only exchange this costs
+    * moves ~24-byte rows, not vectors or LUTs. (score, c_id) is a
+    * total order, so the two-level cut is exactly the single-pass
+    * `row_number` cut the DuckDB oracles state. Emits `rnk`. */
+  private def twoLevelTopK(scored: DataFrame, score: String, k: Int,
+      asc: Boolean): DataFrame = {
+    def ord = if (asc) col(score).asc else col(score).desc
+    val localW = Window
+      .partitionBy(col("q_id"), pmod(col("c_id"), lit(PrefilterSubs)))
+      .orderBy(ord, col("c_id"))
+    val globalW = Window.partitionBy(col("q_id")).orderBy(ord, col("c_id"))
+    scored
+      .withColumn("lrnk", row_number().over(localW))
+      .filter(col("lrnk") <= k).drop("lrnk")
+      .withColumn("rnk", row_number().over(globalW))
+      .filter(col("rnk") <= k)
+  }
 
   /** v13: truncated-dimension prefilter + exact re-rank — the
     * two-stage ANN shape that needs NO index at all (the fourth
@@ -473,21 +499,13 @@ object VectorOps {
         col("pnrm").as("qpn"))
     val c = e.select(col("vec_id").as("c_id"), col("pv").as("cpv"),
       col("pnrm").as("cpn"))
-    val localW = Window
-      .partitionBy(col("q_id"), pmod(col("c_id"), lit(PrefilterSubs)))
-      .orderBy(col("pcos").desc, col("c_id"))
-    val preW = Window.partitionBy(col("q_id"))
-      .orderBy(col("pcos").desc, col("c_id"))
     // stage 1: map-only scoring, vectors dropped before the exchange
-    val survivors = broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("pcos",
         round(expr("vec_dot(qpv, cpv)") / (col("qpn") * col("cpn")), 6))
       .select(col("q_id"), col("c_id"), col("pcos"))
-      .withColumn("lrnk", row_number().over(localW))
-      .filter(col("lrnk") <= PrefilterK)
-      .withColumn("prnk", row_number().over(preW))
-      .filter(col("prnk") <= PrefilterK)
+    val survivors = twoLevelTopK(scored, "pcos", PrefilterK, asc = false)
       .select(col("q_id"), col("c_id"))
     // stage 2: fetch the ≤50 survivors' full vectors, exact re-rank
     val ef = emb(s, dir).withColumn("nrm", expr(normExpr))
@@ -930,15 +948,16 @@ object VectorOps {
     val q = pqQueryLuts(s, dir, e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding")))
       .select(col("q_id") +: (0 until PqM).map(m => col(s"lut$m")): _*)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_raw"), col("c_id"))
-    broadcast(q).crossJoin(codes)
+    // score map-side off the broadcast LUTs, then drop them BEFORE the
+    // cut's exchange: the 4×16-double LUT columns (512 B/row) must
+    // never ride the per-pair shuffle
+    val scored = broadcast(q).crossJoin(codes)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("adc_raw", (0 until PqM)
         .map(m => expr(s"element_at(lut$m, CAST(c$m AS INT) + 1)"))
         .reduce(_ + _))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("adc_raw"))
+    twoLevelTopK(scored, "adc_raw", 3, asc = true)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
         round(col("adc_raw"), 6).as("adc"))
       .orderBy(col("q_id"), col("rnk"))
@@ -990,15 +1009,14 @@ object VectorOps {
     val q = pqQueryLuts(s, dir, routed)
       .select(col("q_id") +: col("cluster") +:
         (0 until PqM).map(m => col(s"lut$m")): _*)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_raw"), col("c_id"))
-    broadcast(q).join(index, Seq("cluster"))
+    // in-cell ADC scoring stays map-side; the LUTs drop before the cut
+    val scored = broadcast(q).join(index, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("adc_raw", (0 until PqM)
         .map(m => expr(s"element_at(lut$m, CAST(c$m AS INT) + 1)"))
         .reduce(_ + _))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("adc_raw"))
+    twoLevelTopK(scored, "adc_raw", 3, asc = true)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
         round(col("adc_raw"), 6).as("adc"))
       .orderBy(col("q_id"), col("rnk"))
