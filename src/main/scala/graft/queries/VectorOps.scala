@@ -113,13 +113,11 @@ object VectorOps {
         col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       col("nrm").as("cn"), col("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    broadcast(q).join(c, Seq("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosCol, 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("cos"))
+    twoLevelTopK(scored, "cos", 3, asc = false)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rnk"))
@@ -209,16 +207,15 @@ object VectorOps {
       .withColumn("rc", row_number().over(routeW))
       .filter(col("rc") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("label"))
-    // probe: exact cosine within the routed cell only
+    // probe: exact cosine within the routed cell only (map-side off
+    // the broadcast routed queries), vectors dropped before the cut
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       col("nrm").as("cn"), col("label"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    broadcast(routed).join(c, Seq("label"))
+    val scored = broadcast(routed).join(c, Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosCol, 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("cos"))
+    twoLevelTopK(scored, "cos", 3, asc = false)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rnk"))
@@ -303,13 +300,11 @@ object VectorOps {
     val c = assigned.select(col("vec_id").as("c_id"),
       col("embedding").as("cv"),
       expr("sqrt(vec_dot(embedding, embedding))").as("cn"), col("cluster"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    broadcast(routed).join(c, Seq("cluster"))
+    val scored = broadcast(routed).join(c, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosCol, 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("cos"))
+    twoLevelTopK(scored, "cos", 3, asc = false)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rnk"))
