@@ -391,6 +391,60 @@ object TextOps {
         max_by(col("doc_id"), col("skey")).as("last_doc"))
       .orderBy(col("shard"))
 
+  /** t27: quality-weighted IMPORTANCE RESAMPLING — the soft filter
+    * between t4's hard keep/drop and t16's uniform sample: each
+    * document is accepted with probability `q²` where q is its
+    * lexical-diversity score (squaring = temperature 2, downweighting
+    * low-quality mass harder than linear), but the coin flip is a
+    * DETERMINISTIC md5 threshold, not `rand()` — the same doc gets
+    * the same verdict on every engine, run, and repartitioning, so
+    * the sampled corpus is auditable and resumable (the property
+    * production pipelines need when a 100 TB pass dies halfway).
+    * Map-only: score, threshold, and verdict are all per-row
+    * expressions; nothing shuffles until the output sort. */
+  def importanceSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("q_score", round(
+        expr("size(array_distinct(words))").cast("double") /
+          size(col("words")).cast("double"), 6))
+      .withColumn("accept_u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':is:42')), 1, 8), 16, 10) AS BIGINT) % 1000").cast("double") / 1000d)
+      .filter(col("accept_u") < col("q_score") * col("q_score"))
+      .select(col("doc_id"), col("source"), col("q_score"),
+        round(col("accept_u"), 3).as("accept_u"))
+      .orderBy(col("doc_id"))
+
+  /** t28: the DATASET CARD — the per-source statistics bundle every
+    * published training corpus ships (counts, token mass, length
+    * shape, language spread, duplication rate, lexical diversity),
+    * computed in ONE grouped pass over the corpus plus the two
+    * distinct counts (docs are digested and langs counted inside the
+    * same aggregation — `count(DISTINCT ...)` plans as one partial
+    * expand, not extra scans). Every statistic is map-side
+    * combinable or a distinct over a fixed-width digest, so the card
+    * costs one corpus scan at any scale. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("uniq_ratio",
+        expr("size(array_distinct(words))").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("fp", md5(lower(col("text"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(when(col("n_tokens") < 15, 1d).otherwise(0d)), 6)
+          .as("short_share"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(lit(1d) - countDistinct(col("fp")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_rate"),
+        round(avg(col("uniq_ratio")), 6).as("avg_uniq"))
+      .orderBy(col("source"))
+
   /** Token budget per training context window for [[contextPacking]]. */
   private[queries] val PackBudget = 2048L
 
@@ -615,7 +669,9 @@ object TextOps {
     "t14_repetition_stats" -> (repetitionStats _),
     "t15_decontaminate" -> (decontaminate _),
     "t24_bloom_decontaminate" -> (bloomDecontaminate _),
-    "t26_shard_shuffle" -> (shardShuffle _))
+    "t26_shard_shuffle" -> (shardShuffle _),
+    "t27_importance_sample" -> (importanceSample _),
+    "t28_dataset_card" -> (datasetCard _))
 
   val oracle: Map[String, String] = Map(
     "t25_passage_dedup" ->
@@ -634,6 +690,34 @@ object TextOps {
     // anywhere — a hash match proves the bloom prefilter changed
     // nothing (no false negatives) and the confirm join killed every
     // false positive
+    "t27_importance_sample" ->
+      """WITH q AS (
+        | SELECT doc_id, source,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_score,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':is:42'),
+        |    1, 8))::BIGINT % 1000 AS DOUBLE) / 1000 AS accept_u
+        | FROM documents)
+        |SELECT doc_id, source, q_score, round(accept_u, 3) AS accept_u
+        |FROM q WHERE accept_u < q_score * q_score
+        |ORDER BY doc_id""".stripMargin,
+    "t28_dataset_card" ->
+      """WITH d AS (
+        | SELECT source, lang, md5(lower(text)) AS fp,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens), 4) AS avg_tokens,
+        | round(avg(CASE WHEN n_tokens < 15 THEN 1.0 ELSE 0.0 END), 6)
+        |   AS short_share,
+        | count(DISTINCT lang) AS n_langs,
+        | round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        | round(avg(uniq_ratio), 6) AS avg_uniq
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "t26_shard_shuffle" ->
       s"""WITH k AS (
          | SELECT doc_id,

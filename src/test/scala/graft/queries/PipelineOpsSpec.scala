@@ -278,4 +278,49 @@ class PipelineOpsSpec extends SparkSpec {
     val keeps = scored.count(_.getAs[Boolean]("keep"))
     assert(keeps > 0 && keeps < scored.length)
   }
+
+  test("t27: acceptance rate tracks E[q²] and the verdict is repartition-stable") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count().toDouble
+    val kept = TextOps.importanceSample(spark, dir).collect()
+    // every kept doc passed its own coin: u < q²
+    kept.foreach { r =>
+      val q = r.getAs[Double]("q_score")
+      assert(r.getAs[Double]("accept_u") < q * q + 1e-9)
+    }
+    // the md5 threshold is a uniform coin, so the sample rate should
+    // track the corpus mean of q² (binomial noise: ±5σ at sf0.001)
+    val eq2 = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(avg(pow(
+        expr("size(array_distinct(w))").cast("double") /
+          size(col("w")).cast("double"), 2)).as("m"))
+      .head.getDouble(0)
+    val rate = kept.length / n
+    val sigma = math.sqrt(eq2 * (1 - eq2) / n)
+    assert(math.abs(rate - eq2) <= 5 * sigma,
+      s"rate $rate vs E[q^2] $eq2 (sigma $sigma)")
+    // determinism across physical layout: same verdicts from a
+    // repartitioned input (the anti-rand() property the op exists for)
+    val kept2 = TextOps.importanceSample(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept2 === kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("t28: the card is one scan — no join — and conserves doc counts") {
+    val card = TextOps.datasetCard(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(card.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 1)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0d && dup < 1d)
+      assert(r.getAs[Double]("avg_uniq") > 0d)
+    }
+    val plan = TextOps.datasetCard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the card must not join")
+    assert(plan.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet") === 1, "the card must scan once")
+  }
 }
