@@ -747,6 +747,63 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** v14: the k-NN GRAPH — top-3 cosine neighbors for EVERY vector
+    * (not a fixed query set): the all-corpus primitive SemDeDup-style
+    * curation and graph-based ANN indexes are built from. Brute force
+    * is O(n²); here candidate pairs are blocked on v7's learned
+    * cells — the same corpus-partitioning every other cell-based op
+    * shares — so the quadratic is bounded per cell and the per-vector
+    * top-k window keys on the SOURCE vector (cardinality n: full
+    * reducer parallelism, no per-query hotspot). Documented trade:
+    * cross-cell neighbors are not candidates (t9's multi-probe is the
+    * boundary-recall dial); at 100 TB the cell count scales with the
+    * corpus (t9's k ∝ n idiom), keeping cells — and the per-cell
+    * quadratic — constant-sized. Exactly SQL-expressible through the
+    * same unrolled Lloyd CTE chain as v7/v8/v9. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val e = kmFinalAssign(s, dir)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .withColumn("nrm", expr(normExpr))
+    val l = e.select(col("vec_id").as("src"), col("embedding").as("qv"),
+      col("nrm").as("qn"), col("cluster"))
+    val r = e.select(col("vec_id").as("dst"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("cluster"))
+    val scored = l.join(r, Seq("cluster"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos",
+        round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .select(col("src"), col("dst"), col("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  private lazy val knnGraphOracle: String =
+    s"""${kmeansCteChain("", s"vec_id < $KmeansK")},
+       |en AS (
+       | SELECT a.vec_id, a.cluster, a.embedding,
+       |  sqrt(list_sum(list_transform(a.embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM a$KmeansIters a),
+       |pairs AS (
+       | SELECT l.vec_id AS src, r.vec_id AS dst,
+       |  round(list_sum(list_transform(range(1, len(l.embedding) + 1),
+       |    i -> CAST(l.embedding[i] AS DOUBLE) *
+       |         CAST(r.embedding[i] AS DOUBLE))) /
+       |   (l.nrm * r.nrm), 6) AS cos
+       | FROM en l JOIN en r
+       |  ON l.cluster = r.cluster AND l.vec_id <> r.vec_id),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM pairs)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
   /** v7/v8/t9 oracle CTE chain: the same seeds/rounds unrolled —
     * row_number argmin instead of array_min, identical rounded
     * values. Parameterized so t9 can prepend a CTE computing a
@@ -1172,7 +1229,8 @@ object VectorOps {
     "v9_ann_ivf_learned" -> (annIvfLearned _),
     "v10_pq_codes" -> (pqQuantize _),
     "v11_pq_adc" -> (pqAdcSearch _),
-    "v13_prefix_rerank" -> (prefixRerank _))
+    "v13_prefix_rerank" -> (prefixRerank _),
+    "v14_knn_graph" -> (knnGraph _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1258,5 +1316,6 @@ object VectorOps {
     "v10_pq_codes" -> pqOracle,
     "v11_pq_adc" -> pqAdcOracle,
     "v12_ann_ivfpq" -> pqIvfOracle,
-    "v13_prefix_rerank" -> prefixRerankOracle)
+    "v13_prefix_rerank" -> prefixRerankOracle,
+    "v14_knn_graph" -> knnGraphOracle)
 }

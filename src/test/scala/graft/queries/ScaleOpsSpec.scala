@@ -468,6 +468,23 @@ class ScaleOpsSpec extends SparkSpec {
       .subsetOf((0L until VectorOps.KmeansK).toSet))
   }
 
+  test("v14: every kNN edge stays inside its source's learned cell, ranked by cosine") {
+    val cellOf = VectorOps.kmFinalAssign(spark, dir)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = VectorOps.knnGraph(spark, dir).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(cellOf(r.getAs[Long]("src")) === cellOf(r.getAs[Long]("dst")),
+        "an edge crossed a cell — the blocking contract broke")
+    }
+    edges.groupBy(_.getAs[Long]("src")).values.foreach { rs =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("v13: prefix prefilter + re-rank recovers most of exact top-5 (recall floor)") {
     def top5(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getAs[Long]("q_id"))
