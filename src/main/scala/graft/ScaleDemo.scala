@@ -101,10 +101,10 @@ object ScaleDemo {
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
     val baseDocs =
-      if (in("all", "docs", "t8", "audit"))
+      if (in("all", "docs", "t8", "audit", "t13"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8", "audit") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit", "t13") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -142,7 +142,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8", "audit"))
+      if (in("all", "docs", "t8", "audit", "t13"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -171,7 +171,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -569,6 +569,20 @@ object ScaleDemo {
       }
     }
     spark.conf.unset("graft.neardup.kcap")
+    }
+    // v15 at fleet scale — separable (`phase=knn`): the all-corpus
+    // kNN graph over the SAME corpus-scaled capped cells t9 blocks
+    // on. Wall ≈ t9's pair join + one thin (src, dst, cos) exchange
+    // for the per-source top-3 window; edge count ≈ 3n bounds the
+    // output. The GATED v15_knn_graph_scaled path, end-to-end.
+    if (in("all", "knn")) {
+      graft.functions.VectorDotProduct.register(spark)
+      var edges = 0L
+      time(s"v15 scaled kNN graph ($actualVecs vectors)") {
+        edges = queries.VectorOps
+          .knnGraphScaled(spark, docsDir.toString).count()
+      }
+      println(s"SCALE v15 kNN edges: $edges ($actualVecs vectors)")
     }
     }
 

@@ -1045,9 +1045,14 @@ object DedupOps {
        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
   }
 
-  /** t9 oracle: v7's unrolled Lloyd rounds seeded on a corpus-scaled
-    * k, then the identical sub-bucketed within-cell cosine pairs. */
-  private lazy val nearDupOracle: String = {
+  /** Shared oracle CTE prefix for the corpus-scaled cell-blocked pair
+    * family: v7's unrolled Lloyd rounds seeded on a corpus-scaled k
+    * over the L2-normalized vectors, the [[NearDupProbes]]-probe
+    * assignment, capped sub-buckets, and the deduped within-cell
+    * cosine pairs — ends at `p(vec_a, vec_b, cell, cos)`. The t9
+    * oracle takes the global top-20 off it; the v15 kNN-graph oracle
+    * directs the same pairs and windows per source. */
+  private[queries] lazy val nearDupPairsCtes: String = {
     val kp =
       s"""kp AS (
          | SELECT least($NearDupKCap, greatest(8,
@@ -1089,10 +1094,14 @@ object DedupOps {
        |   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id),
        |p AS (
        | SELECT vec_a, vec_b, min(cell) AS cell, max(cos) AS cos
-       | FROM praw GROUP BY 1, 2)
+       | FROM praw GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** t9 oracle: the shared pair chain, global top-20 by cosine. */
+  private lazy val nearDupOracle: String =
+    s"""$nearDupPairsCtes
        |SELECT cell, vec_a, vec_b, cos FROM p
        |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
-  }
 
   private val cleanCorpusOracle: String = {
     val mins = hashParams.zipWithIndex

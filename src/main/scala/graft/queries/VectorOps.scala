@@ -782,6 +782,48 @@ object VectorOps {
       .orderBy(col("src"), col("rnk"))
   }
 
+  /** v15: the kNN graph over CORPUS-SCALED cells — the same blocking
+    * t9 deploys (k = ⌈n/50⌉ capped at 512, 2-probe assignment, hard
+    * 100-row sub-buckets), so the per-cell quadratic stays bounded at
+    * ANY corpus size — v14's fixed-[[KmeansK]] cells are exactly
+    * SQL-expressible but leave cells O(n/8); this is the shape that
+    * survives 100 TB. The pair join emits each undirected pair once;
+    * directing it both ways and windowing on the SOURCE keeps reducer
+    * parallelism at cardinality n. Oracle: the shared t9 pair chain
+    * ([[DedupOps.nearDupPairsCtes]]) + the directed per-source cut. */
+  def knnGraphScaled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val pairs = DedupOps.cellBlockedPairs(
+      DedupOps.nearDupAssign(e, memoKey =
+        s"$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}"),
+      DedupOps.NearDupCellCap)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val directed = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    directed
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  private lazy val knnGraphScaledOracle: String =
+    s"""${DedupOps.nearDupPairsCtes},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
   private lazy val knnGraphOracle: String =
     s"""${kmeansCteChain("", s"vec_id < $KmeansK")},
        |en AS (
@@ -1230,7 +1272,8 @@ object VectorOps {
     "v10_pq_codes" -> (pqQuantize _),
     "v11_pq_adc" -> (pqAdcSearch _),
     "v13_prefix_rerank" -> (prefixRerank _),
-    "v14_knn_graph" -> (knnGraph _))
+    "v14_knn_graph" -> (knnGraph _),
+    "v15_knn_graph_scaled" -> (knnGraphScaled _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1317,5 +1360,6 @@ object VectorOps {
     "v11_pq_adc" -> pqAdcOracle,
     "v12_ann_ivfpq" -> pqIvfOracle,
     "v13_prefix_rerank" -> prefixRerankOracle,
-    "v14_knn_graph" -> knnGraphOracle)
+    "v14_knn_graph" -> knnGraphOracle,
+    "v15_knn_graph_scaled" -> knnGraphScaledOracle)
 }

@@ -485,6 +485,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("v15: scaled kNN graph ranks per source and agrees with t9's top pair") {
+    val edges = VectorOps.knnGraphScaled(spark, dir).collect()
+    assert(edges.nonEmpty)
+    edges.groupBy(_.getAs[Long]("src")).values.foreach { rs =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // the t9 global-best pair's endpoints can have no better neighbor:
+    // each one's rank-1 edge carries exactly that cosine
+    val top = DedupOps.embeddingNearDup(spark, dir).limit(1).collect()(0)
+    val topCos = top.getAs[Double]("cos")
+    Seq(top.getAs[Long]("vec_a"), top.getAs[Long]("vec_b")).foreach { v =>
+      val r1 = edges.filter(e =>
+        e.getAs[Long]("src") == v && e.getAs[Long]("rnk") == 1L)
+      assert(r1.length == 1 && r1.head.getAs[Double]("cos") === topCos)
+    }
+  }
+
   test("v13: prefix prefilter + re-rank recovers most of exact top-5 (recall floor)") {
     def top5(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getAs[Long]("q_id"))
