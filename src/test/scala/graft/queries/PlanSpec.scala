@@ -339,6 +339,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "the dim must replicate R ways")
   }
 
+  test("v15: both directions of the kNN edge union reuse ONE pair materialization") {
+    // the directed union reads the deduped pair aggregate twice (once
+    // per direction); the pair join + its map side must materialize
+    // once and both branches consume the reused exchange — a refactor
+    // that de-canonicalizes the branches re-runs the whole cell-pair
+    // join (the expensive subtree) per direction
+    val p = finalPlan("v15_knn_graph_scaled")
+    assert(p.contains("ReusedExchange"),
+      "the two union directions must share one pair-aggregate exchange")
+    assert(!p.contains("CartesianProduct"), "pairs must stay cell-keyed")
+  }
+
   test("v13: two-level stage-1 cut over thin triples; survivors fetch via broadcast") {
     // stage-1 scoring is map-only (queries broadcast against the
     // corpus scan); the cut must shuffle only (q_id, c_id, pcos)
