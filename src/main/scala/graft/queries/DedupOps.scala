@@ -547,6 +547,32 @@ object DedupOps {
       memoKey =
         s"t13:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
+  /** t29: leakage-safe train/eval split — the assignment rule a
+    * decontaminated pipeline needs: near-duplicate docs must NEVER
+    * straddle the split (a t13 cluster member in train with its twin
+    * in eval leaks training text into evaluation, and a per-doc
+    * hash split does exactly that). Docs are assigned by GROUP — the
+    * t13 component id for clustered docs, the doc's own id for
+    * singletons — through the same deterministic md5-threshold idiom
+    * as t16 (no `rand()`: reruns and retried tasks agree), 80/20.
+    * Scale shape: one keyed equi-join against the (memoized) cluster
+    * labels plus a map-only hash — nothing beyond what t13 already
+    * paid; the straddle-free property is pinned in
+    * DedupClustersSpec. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(expr("CAST(conv(substr(md5(concat(CAST(group_id AS STRING), " +
+          "':split:42')), 1, 8), 16, 10) AS BIGINT) % 10") < 8, lit("train"))
+          .otherwise(lit("eval")))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit term-frequency SimHash fingerprints per doc, via the fused
     * native kernel — entirely MAP-ONLY: the per-token ±1 bit sums fold
     * inside one compiled loop per document, replacing the old explode
@@ -932,7 +958,8 @@ object DedupOps {
     "t9_embedding_neardup" -> (embeddingNearDup _),
     "t10_clean_corpus" -> (cleanCorpus _),
     "t13_dedup_clusters" -> (nearDupClusters _),
-    "t23_sketch_audit" -> (sketchAudit _))
+    "t23_sketch_audit" -> (sketchAudit _),
+    "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1153,12 +1180,13 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** t13 oracle: the t7 pair derivation verbatim, then a recursive CTE
-    * computing each node's reachable set — `min(v)` over it is the
-    * component id. Transitive closure is O(component²) rows, fine at
-    * oracle scale; the Spark side's label propagation is the
-    * linear-space formulation of the same fixpoint. */
-  private val clusterOracle: String = {
+  /** Shared oracle prefix for the t13 family: the t7 pair derivation
+    * verbatim, then a recursive CTE computing each node's reachable
+    * set — `min(v)` over it is the component id, ending at
+    * `cc(doc_id, cluster_id)`. Transitive closure is O(component²)
+    * rows, fine at oracle scale; the Spark side's label propagation
+    * is the linear-space formulation of the same fixpoint. */
+  private lazy val clusterCcCtes: String = {
     val mins = hashParams.zipWithIndex
       .map { case ((a, b), k) => s"min(($a * ${h32d("shingle")} + $b) % $HashPrime) AS mh$k" }
       .mkString(",\n   ")
@@ -1193,7 +1221,11 @@ object DedupOps {
        | SELECT u, u FROM sym
        | UNION
        | SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
-       |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+  }
+
+  private lazy val clusterOracle: String =
+    s"""$clusterCcCtes,
        |sizes AS (
        | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        | FROM cc GROUP BY cluster_id)
@@ -1201,7 +1233,19 @@ object DedupOps {
        | cc.doc_id = cc.cluster_id AS keep
        |FROM cc JOIN sizes USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
-  }
+
+  /** t29 oracle: the shared component chain, singletons defaulted to
+    * their own id, the t16-style md5 hex threshold as the 80/20. */
+  private lazy val leakageSplitOracle: String =
+    s"""$clusterCcCtes,
+       |g AS (
+       | SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+       | FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+       |SELECT doc_id, group_id,
+       | CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)
+       |    || ':split:42'), 1, 8))::BIGINT % 10 < 8
+       |  THEN 'train' ELSE 'eval' END AS split
+       |FROM g ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t7_minhash_lsh" -> minhashOracle,
@@ -1209,5 +1253,6 @@ object DedupOps {
     "t8_simhash_pairs" -> simhashOracle,
     "t9_embedding_neardup" -> nearDupOracle,
     "t10_clean_corpus" -> cleanCorpusOracle,
-    "t13_dedup_clusters" -> clusterOracle)
+    "t13_dedup_clusters" -> clusterOracle,
+    "t29_leakage_safe_split" -> leakageSplitOracle)
 }

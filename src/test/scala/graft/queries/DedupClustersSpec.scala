@@ -108,6 +108,29 @@ class DedupClustersSpec extends SparkSpec {
     // leak check is CacheLifecycleSpec's job: t13 is part of its sweep
   }
 
+  test("t29: no near-dup edge straddles the split; every doc assigned exactly once") {
+    val rows = DedupOps.leakageSafeSplit(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length.toLong === total, "one split row per document")
+    val split = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.values.toSet.subsetOf(Set("train", "eval")))
+    // the leakage property: both endpoints of every near-dup edge get
+    // the SAME split — a per-doc hash split fails this on any corpus
+    // with near-duplicates
+    DedupOps.minhashPairsOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(col("est_jaccard") >= 0.5)
+      .collect()
+      .foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        assert(split(a) === split(b),
+          s"near-dup pair ($a, $b) straddles the split")
+      }
+    // the hash threshold actually splits (not all-train / all-eval)
+    assert(split.values.toSet.size === 2)
+  }
+
   test("t13: the label memo is action-stable and isolated per input dir") {
     val first = DedupOps.nearDupClusters(spark, dir).collect()
     // second invocation hits the (session, dir) memo: identical rows
