@@ -230,6 +230,12 @@ object ScaleDemo {
     time(s"t13 CC dedup clusters ($actualDocs docs)") {
       noop(queries.DedupOps.nearDupClusters(spark, docsDir.toString))
     }
+    // t29 right after t13 in the same session: the split reuses t13's
+    // memoized labels, so its own cost is the corpus join + map-only
+    // hash — the t13-amortized price a pipeline actually pays
+    time(s"t29 leakage-safe split ($actualDocs docs)") {
+      noop(queries.DedupOps.leakageSafeSplit(spark, docsDir.toString))
+    }
     }
     // embeddings at copies x sf0.1 scale: copies are per-copy shifted
     // in one component (deterministic, not bit-identical) — k-means
