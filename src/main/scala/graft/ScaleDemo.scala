@@ -393,6 +393,12 @@ object ScaleDemo {
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
     }
+    // m6 next to m5: the hamming-ball cluster pass — 4×65536 possible
+    // blocks keep buckets tiny at this corpus (vs t8's fixed 1024),
+    // so the wall is ahash + block join + the CC rounds on the edges
+    time(s"m6 media dup clusters ($actualDocs docs)") {
+      noop(queries.MultimodalOps.mediaDupClusters(spark, docsDir.toString))
+    }
     // q26 at fleet scale: the bucketed range self-join over a
     // copies× events corpus. Copies get FRESH user ids (density per
     // user unchanged — the 100 TB shape is more users, not denser

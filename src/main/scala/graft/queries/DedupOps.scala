@@ -157,7 +157,7 @@ object DedupOps {
     * (the adversarial spec lowers it to exercise the split at toy
     * scale). */
   private[graft] val LshBucketCap = 1000
-  private def bucketCap(s: SparkSession): Int =
+  private[queries] def bucketCap(s: SparkSession): Int =
     s.conf.get("graft.lsh.bucketCap", LshBucketCap.toString).toInt
 
   private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {

@@ -151,9 +151,12 @@ object MultimodalOps {
     * near-dup (rotated/re-encoded images) composes by feeding these
     * hashes through t8's pigeonhole block join instead of the
     * equi-join. */
-  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit average-hash stage shared by m5 (equi-join dedup) and
+    * m6 (hamming-ball clusters) — map-only in m2's batched decode
+    * shape. */
+  private def mediaAhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = mediaTable(s, dir)
+    mediaTable(s, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, p) =>
@@ -165,6 +168,10 @@ object MultimodalOps {
         (id, hash)
       }))
       .toDF("doc_id", "ahash")
+  }
+
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = mediaAhash(s, dir)
     val g = h.groupBy(col("ahash"))
       .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("keeper"))
     h.join(g, Seq("ahash"))
@@ -173,12 +180,68 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** m6: media near-duplicate CLUSTERS — m5 only groups bit-identical
+    * hashes; a re-encoded/slightly-edited image lands a few bits away,
+    * so the deployment pass is a hamming-ball (≤ 3) over the 64-bit
+    * average-hash, clustered transitively. Candidate generation is
+    * t8's pigeonhole idiom widened to 64 bits: 4×16-bit blocks (≤ 3
+    * differing bits leave ≥ 1 block identical), the shared
+    * [[DedupOps.bucketCap]] sub-bucket split bounding degenerate
+    * blocks, hamming filter BEFORE the pair-dedup exchange; the
+    * surviving edges feed t13's connected-components machinery
+    * (memoized converged labels). Output shape = t13's: one row per
+    * clustered medium, component id = min member, `keep` on the
+    * canonical. */
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val cap = DedupOps.bucketCap(s)
+    val rawBlocks = mediaAhash(s, dir)
+      .select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "k -> struct(k AS k, shiftright(ahash, 16 * k) & 65535 AS blk))"))
+          .as("b"))
+      .select(col("doc_id"), col("ahash"), col("b.k"), col("b.blk"))
+    val sizes = rawBlocks.groupBy(col("k"), col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+    val blocks = rawBlocks.join(sizes, Seq("k", "blk"))
+      .withColumn("sub", col("doc_id") % ceil(col("cnt") / lit(cap.toDouble)))
+      .select(col("doc_id"), col("ahash"), col("k"), col("blk"), col("sub"))
+    val edges = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.ahash ^ b.ahash)") <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    DedupOps.connectedComponentsOf(s, edges, memoKey =
+      s"m6:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_phash_dedup" -> (phashDedup _),
+    "m6_media_dup_clusters" -> (mediaDupClusters _),
     "m1_media_schema" -> (mediaSchema _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_media_resize" -> (mediaResize _),
     "m4_frame_sample" -> (frameSample _))
+
+  /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
+    * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
+    * bit (v6's formulation). */
+  private lazy val ahashCtes: String =
+    s"""h AS (
+       | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+       |px AS (
+       | SELECT doc_id, i, ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT AS v
+       | FROM h, unnest(generate_series(0, 63)) AS u(i)),
+       |t AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+       |a AS (
+       | SELECT px.doc_id,
+       |  CAST(sum(CASE WHEN v * 64 > total
+       |    THEN CASE WHEN i = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << i) END
+       |    ELSE 0 END) AS BIGINT) AS ahash
+       | FROM px JOIN t USING (doc_id) GROUP BY px.doc_id)""".stripMargin
 
   /** All four carry exact DuckDB oracles over the payload's hex
     * encoding (byte i = hex chars 2i+1..2i+2). m2's `byte_mean` is
@@ -189,25 +252,39 @@ object MultimodalOps {
     * same single IEEE division `(S * 15625) / 1e6`. */
   val oracle: Map[String, String] = Map(
     "m5_phash_dedup" -> {
-      // bit 63 of the BIGINT hash is the sign bit (v6's formulation)
-      s"""WITH h AS (
-         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
-         |px AS (
-         | SELECT doc_id, i, ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT AS v
-         | FROM h, unnest(generate_series(0, 63)) AS u(i)),
-         |t AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
-         |a AS (
-         | SELECT px.doc_id,
-         |  CAST(sum(CASE WHEN v * 64 > total
-         |    THEN CASE WHEN i = 63 THEN -9223372036854775808
-         |      ELSE (CAST(1 AS BIGINT) << i) END
-         |    ELSE 0 END) AS BIGINT) AS ahash
-         | FROM px JOIN t USING (doc_id) GROUP BY px.doc_id),
+      s"""WITH $ahashCtes,
          |g AS (
          | SELECT ahash, count(*) AS group_n, min(doc_id) AS keeper
          | FROM a GROUP BY 1)
          |SELECT a.doc_id, a.ahash, g.group_n, (a.doc_id = g.keeper) AS keep
          |FROM a JOIN g USING (ahash) ORDER BY a.doc_id""".stripMargin
+    },
+    "m6_media_dup_clusters" -> {
+      // t8's pigeonhole at 64 bits + the t13 recursive-CC idiom; the
+      // arithmetic >> sign-extension is masked off by & 65535 in both
+      // engines, so blocks agree bit-for-bit
+      s"""WITH RECURSIVE $ahashCtes,
+         |blocks AS (
+         | SELECT doc_id, ahash, k, (ahash >> (16 * k)) & 65535 AS blk
+         | FROM a, unnest(generate_series(0, 3)) AS u(k)),
+         |edges AS (
+         | SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+         | FROM blocks x JOIN blocks y
+         |   ON x.k = y.k AND x.blk = y.blk AND x.doc_id < y.doc_id
+         | WHERE bit_count(xor(x.ahash, y.ahash)) <= 3),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(u, v) AS (
+         | SELECT u, u FROM sym
+         | UNION
+         | SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+         |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sizes AS (
+         | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         | FROM cc GROUP BY cluster_id)
+         |SELECT cc.cluster_id, cc.doc_id, sizes.cluster_size,
+         | cc.doc_id = cc.cluster_id AS keep
+         |FROM cc JOIN sizes USING (cluster_id)
+         |ORDER BY cluster_id, doc_id""".stripMargin
     },
     "m2_media_features" -> {
       // byte sum over hex chars [first, first + 2*n) as one list fold

@@ -363,6 +363,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("m6: hamming-ball clusters subsume m5's exact-hash groups; t13 invariants hold") {
+    val m5 = MultimodalOps.phashDedup(spark, dir).collect()
+    val rows = MultimodalOps.mediaDupClusters(spark, dir).collect()
+    val cluster = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every m5 exact-equal group (hamming 0) is inside ONE m6 cluster
+    m5.groupBy(_.getAs[Long]("ahash")).values
+      .filter(_.length > 1).foreach { g =>
+        val cs = g.map(r => cluster(r.getAs[Long]("doc_id"))).toSet
+        assert(cs.size === 1, "an exact-hash group split across clusters")
+      }
+    // component invariants (t13's shape)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === cid)
+      assert(members.count(_.getAs[Boolean]("keep")) === 1)
+      members.foreach(m =>
+        assert(m.getAs[Long]("cluster_size") === members.length))
+      assert(members.length >= 2)
+    }
+  }
+
   test("v7: kmAssign picks the true nearest centroid (brute force) and is map-only") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
