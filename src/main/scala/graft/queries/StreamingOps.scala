@@ -249,6 +249,25 @@ object StreamingOps {
         col("n"), col("sum_value"))
       .orderBy(col("w_start_us"), col("event_type"))
 
+  /** s9: per-window top-k event types kept LIVE in keyed state
+    * (`flatMapGroupsWithState`, per-window type histogram, Update
+    * mode) — the "trending now" stream a dashboard consumes, run to
+    * completion as a real stream and hash-gated against the batch
+    * rank. Ranking is on integer counts with the type tiebreak (a
+    * total order; no float accumulates in state). Same one-file →
+    * one-micro-batch convergence note as s3: bounded input makes the
+    * final Update emission equal the batch rank exactly. */
+  def streamedTopK(s: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val schema = s.read.parquet(src).schema
+    val stream = Tables.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("ts"), col("event_type"))
+    runStream(s, "s9_stream_",
+        graft.streaming.WindowTopK.topKPerWindow(stream).toDF(), "update")
+      .orderBy(col("w_start_us"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_tumbling" -> (streamedTumbling _),
     "s2_session_windows" -> (sessionWindows _),
@@ -257,7 +276,8 @@ object StreamingOps {
     "s5_stream_append" -> (streamedTumblingAppend _),
     "s6_stream_interval_join" -> (streamedIntervalJoin _),
     "s7_stream_exactly_once" -> (streamedExactlyOnce _),
-    "s8_stream_static_enrich" -> (streamedStaticEnrich _))
+    "s8_stream_static_enrich" -> (streamedStaticEnrich _),
+    "s9_stream_topk" -> (streamedTopK _))
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -312,6 +332,19 @@ object StreamingOps {
         | AND epoch_us(b.ts) >= epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000
         |ORDER BY click_us, purchase_us, click_id, purchase_id""".stripMargin,
+    "s9_stream_topk" ->
+      """WITH w AS (
+        | SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
+        |   event_type
+        | FROM events),
+        |c AS (
+        | SELECT w_start_us, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY w_start_us
+        |   ORDER BY n DESC, event_type) AS rnk
+        | FROM c)
+        |SELECT w_start_us, CAST(rnk AS BIGINT) AS rnk, event_type, n
+        |FROM r WHERE rnk <= 2 ORDER BY w_start_us, rnk""".stripMargin,
     "s2_session_windows" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -196,6 +196,37 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 
+  /** t30: shingle CONTAINMENT near-dup pairs — the asymmetric overlap
+    * Jaccard under-scores: a short doc quoted wholesale inside a long
+    * one has |∩|/|∪| ≈ |A|/|B| (small, invisible to t6's top-k) while
+    * |∩|/min(|A|,|B|) ≈ 1 — the standard containment measure for
+    * doc-inside-doc duplication. Identical inverted-index dataflow to
+    * t6 (ONE `sh`-keyed exchange reused by the df filter, the size
+    * aggregate and both join sides — same plan-reuse guarantees), only
+    * the final scalar changes; top-20 by containment. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(docs(s, dir))
+
+  private[queries] def containmentPairsOf(d: DataFrame): DataFrame = {
+    val sh = rareShinglesOf(d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("cont_raw",
+        col("n_inter").cast("double") /
+          least(col("sa.n_sh"), col("sb.n_sh")).cast("double"))
+      .orderBy(col("cont_raw").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("cont_raw"), 6).as("containment"))
+  }
+
   /** t11: TF-IDF scoring — term frequencies per doc joined with
     * document frequencies, smoothed idf, top-20 (doc, term) pairs.
     * Two keyed aggregations + one broadcastable join on the term; the
@@ -665,6 +696,7 @@ object TextOps {
     "t4_quality_score" -> (qualityScore _),
     "t5_fingerprint_stats" -> (fingerprintStats _),
     "t6_ngram_jaccard" -> (ngramJaccard _),
+    "t30_containment" -> (containmentPairs _),
     "t12_bpe_tokens" -> (bpeTokenCount _),
     "t14_repetition_stats" -> (repetitionStats _),
     "t15_decontaminate" -> (decontaminate _),
@@ -944,5 +976,32 @@ object TextOps {
         | JOIN sizes sb ON doc_b = sb.doc_id
         |ORDER BY CAST(n_inter AS DOUBLE) /
         |   CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin,
+    "t30_containment" ->
+      s"""WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        | SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, unnest(generate_series(1, len(words) - 2)) AS u(i)),
+        |sh AS (
+        | SELECT doc_id, shingle FROM (
+        |  SELECT doc_id, shingle,
+        |   count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+        | WHERE df <= $MaxShingleDf),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        | FROM sh a JOIN sh b
+        |   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        | round(CAST(n_inter AS DOUBLE) /
+        |   CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+        |FROM inter
+        | JOIN sizes sa ON doc_a = sa.doc_id
+        | JOIN sizes sb ON doc_b = sb.doc_id
+        |ORDER BY CAST(n_inter AS DOUBLE) /
+        |   CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) DESC, doc_a, doc_b
         |LIMIT 20""".stripMargin)
 }

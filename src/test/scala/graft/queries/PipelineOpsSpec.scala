@@ -279,6 +279,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keeps > 0 && keeps < scored.length)
   }
 
+  test("t30: a doc quoted inside another scores containment 1.0 where Jaccard stays low") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (11 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, long), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val rows = TextOps.containmentPairsOf(d).collect()
+    val pair = rows.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    assert(pair.isDefined, "the quoted excerpt must surface as a pair")
+    assert(pair.get.getAs[Double]("containment") === 1.0)
+    // the same pair under t6's symmetric measure: |∩|=8 shingles of
+    // the excerpt, |∪|=38 — Jaccard ~0.21, invisible at a 0.5-style
+    // near-dup threshold; containment is the measure that catches it
+    val jac = TextOps.ngramJaccardOf(d).collect()
+      .find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(jac.isDefined && jac.get.getAs[Double]("jaccard") < 0.3)
+    // the unrelated doc shares nothing
+    assert(!rows.exists(r => r.getAs[Long]("doc_b") == 3L ||
+      r.getAs[Long]("doc_a") == 3L))
+  }
+
   test("t27: acceptance rate tracks E[q²] and the verdict is repartition-stable") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count().toDouble

@@ -37,6 +37,31 @@ class StreamingGateSpec extends SparkSpec {
         "this gate exists to pin were not exercised")
   }
 
+  test("s9 streamed top-k equals the batch per-window rank") {
+    val got = StreamingOps.streamedTopK(spark, dir).collect()
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables(spark, dir, "events")
+        .select(expr("(ts DIV 1000) DIV 60000000 * 60000000")
+          .as("w_start_us"), col("event_type"))
+        .groupBy(col("w_start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("w_start_us"))
+        .orderBy(col("n").desc, col("event_type"))
+      c.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2).collect()
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("w_start_us"), r.getAs[Long]("rnk"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))
+    assert(got.map(key).toSet === batch.map(key).toSet)
+    // per-window shape: ranks are 1..k with no gaps
+    got.groupBy(_.getAs[Long]("w_start_us")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rs.length.toLong))
+    }
+  }
+
   test("s6 stream-stream interval join converges to the batch join") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
