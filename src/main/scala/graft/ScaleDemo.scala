@@ -220,6 +220,13 @@ object ScaleDemo {
     time(s"t22 unigram logprob ($actualDocs docs)") {
       noop(queries.TextOps.unigramLogprob(spark, docsDir.toString))
     }
+    // t31 on the rotation corpus: every copy family shares its
+    // circular 8-grams, so corpus-wide novelty collapses toward 0 —
+    // the measurement exercises the two-shuffle shape (gram-keyed df
+    // + per-doc rollup) at 25 M gram rows, not the statistic
+    time(s"t31 novelty rate ($actualDocs docs)") {
+      noop(queries.TextOps.noveltyRate(spark, docsDir.toString))
+    }
     }
     // t13 separable (`phase=t13`): its wall is dominated by the label
     // DISCOVERY loop (a fresh session always pays it — the memo is

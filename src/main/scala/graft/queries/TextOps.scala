@@ -285,6 +285,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t31: per-doc n-gram NOVELTY — the fraction of a doc's distinct
+    * 8-grams that occur in NO other document, the standard
+    * diversity/boilerplate dial (novelty ~1 = unique prose, ~0 =
+    * assembled from corpus-common spans) a mixture designer reads
+    * next to t14's within-doc repetition. One fused map-only gram
+    * pass ([[graft.functions.TextHashes]] `xx_ngrams` — distinct keys
+    * per doc, no string materialization), ONE gram-keyed exchange the
+    * df aggregate and the join both reuse (t6's rareShinglesOf
+    * idiom), then a map-side-combinable per-doc count — two shuffles
+    * total at any corpus size. The oracle joins on the 8-gram
+    * STRINGS, so a gate match again proves hashing didn't bend the
+    * result. */
+  def noveltyRate(s: SparkSession, dir: String): DataFrame =
+    noveltyRateOf(docs(s, dir))
+
+  private[queries] def noveltyRateOf(d: DataFrame): DataFrame = {
+    graft.functions.TextHashes.register(d.sparkSession)
+    val g = d
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), explode(expr("xx_ngrams(words, 8)")).as("g"))
+      .repartition(col("g"))
+    val gramDf = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(gramDf, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** t15: benchmark decontamination — remove from the training corpus
     * any document sharing an 8-gram with the held-out set (the
     * GPT-3/Gopher n-gram-overlap rule; here the holdout is the
@@ -697,6 +729,7 @@ object TextOps {
     "t5_fingerprint_stats" -> (fingerprintStats _),
     "t6_ngram_jaccard" -> (ngramJaccard _),
     "t30_containment" -> (containmentPairs _),
+    "t31_novelty" -> (noveltyRate _),
     "t12_bpe_tokens" -> (bpeTokenCount _),
     "t14_repetition_stats" -> (repetitionStats _),
     "t15_decontaminate" -> (decontaminate _),
@@ -1003,5 +1036,19 @@ object TextOps {
         | JOIN sizes sb ON doc_b = sb.doc_id
         |ORDER BY CAST(n_inter AS DOUBLE) /
         |   CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) DESC, doc_a, doc_b
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    "t31_novelty" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS g
+        | FROM w, unnest(generate_series(1, len(words) - 7)) AS u(i)),
+        |d AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unique,
+        | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   count(*), 6) AS novelty
+        |FROM g JOIN d USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

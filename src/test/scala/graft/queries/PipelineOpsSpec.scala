@@ -302,6 +302,31 @@ class PipelineOpsSpec extends SparkSpec {
       r.getAs[Long]("doc_a") == 3L))
   }
 
+  test("t31: exact-duplicate docs score novelty 0; rates are well-formed") {
+    val rows = TextOps.noveltyRate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u, nov) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+        r.getAs[Double]("novelty"))
+      assert(n > 0 && u >= 0 && u <= n)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Double]("novelty") > 0.5),
+      "some doc should be mostly unique")
+    // crafted twins: a doc with an exact copy shares EVERY 8-gram
+    // with it (df ≥ 2 throughout) → novelty exactly 0; the unrelated
+    // doc keeps novelty 1
+    import spark.implicits._
+    val twin = (1 to 12).map(i => s"w$i").mkString(" ")
+    val lone = (50 to 61).map(i => s"y$i").mkString(" ")
+    val crafted = TextOps.noveltyRateOf(
+        Seq((1L, twin), (2L, twin), (3L, lone)).toDF("doc_id", "text"))
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(crafted(1L) === 0.0 && crafted(2L) === 0.0)
+    assert(crafted(3L) === 1.0)
+  }
+
   test("t27: acceptance rate tracks E[q²] and the verdict is repartition-stable") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count().toDouble
