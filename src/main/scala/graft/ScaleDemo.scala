@@ -486,6 +486,31 @@ object ScaleDemo {
         rm(ckpt.toFile)
       }
     }
+    // s9 at fleet scale: the live per-window top-k stream over the
+    // copies× events corpus — per-window type-histogram state
+    // (cardinality = windows × types, independent of event volume),
+    // Update mode, noop-sunk.
+    time(s"s9 stream top-k ($actualEvents events)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = docsDir.resolve(s"s9_ckpt_${System.nanoTime()}")
+      try {
+        val schema = spark.read.parquet(evParquet.toString).schema
+        val stream = spark.readStream.schema(schema)
+          .parquet(evParquet.toString)
+          .select(col("ts"), col("event_type"))
+        val q = streaming.WindowTopK.topKPerWindow(stream).toDF()
+          .writeStream.format("noop")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
     // s7 at fleet scale: exactly-once ingest from a DOUBLED 10 M-event
     // delivery (2 × 10 M rows through the keyed dedup state, half
     // dropped), noop-sunk.
