@@ -179,7 +179,11 @@ class PlanSpec extends SparkSpec {
     // reuse fires. Either shape means "no persist needed"; a plan
     // with NEITHER a reused exchange NOR a broadcast would be the
     // recompute-per-branch regression this test exists to catch.
-    for (q <- Seq("t6_ngram_jaccard", "t7_minhash_lsh", "t10_clean_corpus")) {
+    // t30 rides the same rareShinglesOf exchange-reuse contract as t6;
+    // t31's gram relation likewise feeds its df aggregate and join
+    // from one gram-keyed materialization
+    for (q <- Seq("t6_ngram_jaccard", "t7_minhash_lsh", "t10_clean_corpus",
+        "t30_containment", "t31_novelty")) {
       val p = finalPlan(q)
       assert(p.contains("isFinalPlan=true"), s"$q: expected a final adaptive plan")
       assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
