@@ -397,6 +397,9 @@ object ScaleDemo {
     time(s"v13 prefix re-rank ($actualVecs vectors)") {
       noop(queries.VectorOps.prefixRerank(spark, docsDir.toString))
     }
+    time(s"v16 range search ($actualVecs vectors)") {
+      noop(queries.VectorOps.rangeSearch(spark, docsDir.toString))
+    }
     time(s"m5 phash dedup ($actualDocs docs)") {
       noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
     }
@@ -405,6 +408,9 @@ object ScaleDemo {
     // so the wall is ahash + block join + the CC rounds on the edges
     time(s"m6 media dup clusters ($actualDocs docs)") {
       noop(queries.MultimodalOps.mediaDupClusters(spark, docsDir.toString))
+    }
+    time(s"m7 frame dedup ($actualDocs docs)") {
+      noop(queries.MultimodalOps.frameDedup(spark, docsDir.toString))
     }
     // q26 at fleet scale: the bucketed range self-join over a
     // copies× events corpus. Copies get FRESH user ids (density per
@@ -433,6 +439,12 @@ object ScaleDemo {
     spark.catalog.clearCache()
     time(s"q26 bucketed range self-join ($actualEvents events)") {
       noop(queries.Relational.q26RangeJoin(spark, docsDir.toString))
+    }
+    // q30 at fleet scale: the rank window keys on (type, user) —
+    // fresh users per corpus copy, so group count grows with the
+    // corpus and no reducer ever sorts more than one user's events
+    time(s"q30 window ranks ($actualEvents events)") {
+      noop(queries.Relational.q30WindowRanks(spark, docsDir.toString))
     }
     // s3 at fleet scale: the LSH ingest-dedup stream (real
     // AvailableNow run, flatMapGroupsWithState keyed by (band, sig))

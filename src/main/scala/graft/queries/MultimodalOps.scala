@@ -140,6 +140,22 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m7: cross-video FRAME dedup — the frame-level pass video
+    * pipelines run after m4's sampling: intro/outro cards and shared
+    * stock footage recur across files, and per-frame digests group
+    * them exactly (t2's shape on the frame table: one digest-keyed,
+    * map-side-combinable aggregation — no join, no window). Emits
+    * the digests occurring more than once with occurrence/file
+    * counts and the canonical (lowest) doc. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame =
+    frameSample(s, dir)
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_frames") > 1)
+      .orderBy(col("frame_md5"))
+
   /** m5: perceptual-hash media dedup — the image-dedup pass a
     * multimodal pipeline runs before training: a 64-bit average-hash
     * (bit i set iff pixel i is above the image mean, computed
@@ -220,6 +236,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_phash_dedup" -> (phashDedup _),
     "m6_media_dup_clusters" -> (mediaDupClusters _),
+    "m7_frame_dedup" -> (frameDedup _),
     "m1_media_schema" -> (mediaSchema _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_media_resize" -> (mediaResize _),
@@ -321,6 +338,20 @@ object MultimodalOps {
          |       ${b("(2*y+1)*8 + 2*x")} + ${b("(2*y+1)*8 + 2*x + 1")}) // 4
          |   AS BIGINT) AS v
          |FROM px ORDER BY doc_id, y, x""".stripMargin
+    },
+    "m7_frame_dedup" -> {
+      s"""WITH h AS (
+         | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  md5(substr(hx, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes}))
+         |    AS frame_md5
+         | FROM h, unnest([0, 4, 8, 12]) AS u(fi))
+         |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_frames,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | min(doc_id) AS keeper_doc
+         |FROM f GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY frame_md5""".stripMargin
     },
     "m4_frame_sample" -> {
       def b(i: String) = s"('0x' || substr(hx, ($i) * 2 + 1, 2))::BIGINT"

@@ -299,6 +299,26 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q30: rank-family window surfaces — `percent_rank` and `ntile`
+    * quartiles of each event's value WITHIN its (event_type, user)
+    * group. The window keys on (type, user) deliberately: cardinality
+    * ≈ users, so every reducer gets small independent groups — a
+    * per-type-only window would funnel a whole type's corpus through
+    * one task's sort at 100 TB (the distributed alternative for
+    * global ranks is q20's range-cell machinery). Ordering inside the
+    * group is (value, event_id) — a total order, so both engines
+    * agree on ranks at ties. */
+  def q30WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .orderBy(col("event_id"))
+  }
+
   /** SURVEY §2.6 beyond-reference windows: rollup with grouping ids —
     * subtotal rows materialize map-side-combined partials per grouping
     * set, no extra scans. */
@@ -643,7 +663,8 @@ object Relational {
     "q13_set_except" -> (q13SetExcept _),
     "q14_count_distinct" -> (q14CountDistinct _),
     "q15_scalar_cross" -> (q15ScalarCross _),
-    "q29_salted_join" -> (q29SaltedJoin _))
+    "q29_salted_join" -> (q29SaltedJoin _),
+    "q30_window_ranks" -> (q30WindowRanks _))
 
   val oracle: Map[String, String] = Map(
     // the oracle states only the EXACT rank values + the always-true
@@ -754,6 +775,14 @@ object Relational {
     "q17_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_window_ranks" ->
+      """SELECT event_id, event_type, user_id, value,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type, user_id
+        |  ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

@@ -57,6 +57,49 @@ object VectorOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** v16: cosine RANGE search — every corpus vector within a
+    * similarity threshold of each query, the radius/threshold API
+    * beside v1's top-k (dedup-threshold sweeps and "everything ≥ τ
+    * similar" filters consume this shape; there is no k). Map-only
+    * scoring off the broadcast query set; the τ filter prunes before
+    * anything shuffles, so the post-scan volume is ∝ matches, not
+    * corpus — at 100 TB the scan cost equals v1's and the output is
+    * typically tiny. Ordering is on the ROUNDED cosine + ids, a
+    * total order both engines share. */
+  private[queries] val RangeTau = 0.3
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosCol, 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("cos").desc, col("c_id"))
+  }
+
+  private lazy val rangeSearchOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM e
+       |  WHERE vec_id < 10),
+       |sc AS (
+       | SELECT q_id, e.vec_id AS c_id,
+       |  round(
+       |   list_sum(list_transform(range(1, len(qv) + 1),
+       |     i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+       |   (sqrt(list_sum(list_transform(qv,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |    sqrt(list_sum(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       | FROM q, e WHERE q_id <> e.vec_id)
+       |SELECT q_id, c_id, cos FROM sc WHERE cos >= $RangeTau
+       |ORDER BY q_id, cos DESC, c_id""".stripMargin
+
   /** Per-label centroid stats: mean vector norm and count per label —
     * the IVF coarse-quantizer statistics pass (map-side partials). */
   def labelNormStats(s: SparkSession, dir: String): DataFrame =
@@ -1273,7 +1316,8 @@ object VectorOps {
     "v11_pq_adc" -> (pqAdcSearch _),
     "v13_prefix_rerank" -> (prefixRerank _),
     "v14_knn_graph" -> (knnGraph _),
-    "v15_knn_graph_scaled" -> (knnGraphScaled _))
+    "v15_knn_graph_scaled" -> (knnGraphScaled _),
+    "v16_range_search" -> (rangeSearch _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1361,5 +1405,6 @@ object VectorOps {
     "v12_ann_ivfpq" -> pqIvfOracle,
     "v13_prefix_rerank" -> prefixRerankOracle,
     "v14_knn_graph" -> knnGraphOracle,
-    "v15_knn_graph_scaled" -> knnGraphScaledOracle)
+    "v15_knn_graph_scaled" -> knnGraphScaledOracle,
+    "v16_range_search" -> rangeSearchOracle)
 }

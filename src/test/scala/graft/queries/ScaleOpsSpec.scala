@@ -525,6 +525,45 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("v16/m7/q30: range ⊇ thresholded top-k; frame groups recur; ranks well-formed") {
+    // v16 must contain every v1 top-5 hit that clears the threshold
+    // (the two APIs agree where they overlap)
+    val range = VectorOps.rangeSearch(spark, dir).collect()
+    range.foreach(r =>
+      assert(r.getAs[Double]("cos") >= VectorOps.RangeTau))
+    val rset = range.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    VectorOps.cosineTopK(spark, dir).collect()
+      .filter(_.getAs[Double]("cos") >= VectorOps.RangeTau)
+      .foreach(t => assert(rset(
+        (t.getAs[Long]("q_id"), t.getAs[Long]("c_id")))))
+    // m7: every reported frame digest genuinely recurs, keeper = min
+    val frames = MultimodalOps.frameSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("frame_md5"))
+    val m7 = MultimodalOps.frameDedup(spark, dir).collect()
+    assert(m7.nonEmpty)
+    m7.foreach { r =>
+      val fam = frames(r.getAs[String]("frame_md5"))
+      assert(r.getAs[Long]("n_frames") === fam.length && fam.length >= 2)
+      assert(r.getAs[Long]("keeper_doc") ===
+        fam.map(_.getAs[Long]("doc_id")).min)
+    }
+    // q30: percent_rank in [0,1], quartiles 1..4, monotone in value
+    // within each (type, user) group
+    val q30 = Relational.q30WindowRanks(spark, dir).collect()
+    assert(q30.nonEmpty)
+    q30.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+      .values.foreach { g =>
+        val byVal = g.sortBy(r =>
+          (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+        val prs = byVal.map(_.getAs[Double]("pr"))
+        assert(prs.forall(p => p >= 0.0 && p <= 1.0))
+        assert(prs.zip(prs.tail).forall { case (a, b) => a <= b })
+        assert(byVal.forall(r => (1L to 4L)
+          .contains(r.getAs[Long]("quartile"))))
+      }
+  }
+
   test("v13: prefix prefilter + re-rank recovers most of exact top-5 (recall floor)") {
     def top5(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getAs[Long]("q_id"))
