@@ -170,7 +170,7 @@ object MultimodalOps {
   /** The 64-bit average-hash stage shared by m5 (equi-join dedup) and
     * m6 (hamming-ball clusters) — map-only in m2's batched decode
     * shape. */
-  private def mediaAhash(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def mediaAhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .select(col("doc_id"), col("payload"))
@@ -208,9 +208,17 @@ object MultimodalOps {
     * (memoized converged labels). Output shape = t13's: one row per
     * clustered medium, component id = min member, `keep` on the
     * canonical. */
-  def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val cap = DedupOps.bucketCap(s)
-    val rawBlocks = mediaAhash(s, dir)
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponentsOf(s, ahashHammingEdges(mediaAhash(s, dir)),
+      memoKey =
+        s"m6:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** The hamming-ball (≤ 3) candidate edges over a `(doc_id, ahash)`
+    * relation — extracted so the adversarial bucket-cap spec can
+    * drive it with crafted hashes. */
+  private[queries] def ahashHammingEdges(h: DataFrame): DataFrame = {
+    val cap = DedupOps.bucketCap(h.sparkSession)
+    val rawBlocks = h
       .select(col("doc_id"), col("ahash"),
         explode(expr("transform(sequence(0, 3), " +
           "k -> struct(k AS k, shiftright(ahash, 16 * k) & 65535 AS blk))"))
@@ -229,8 +237,7 @@ object MultimodalOps {
       .filter(expr("bit_count(a.ahash ^ b.ahash)") <= 3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    DedupOps.connectedComponentsOf(s, edges, memoKey =
-      s"m6:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+    edges
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

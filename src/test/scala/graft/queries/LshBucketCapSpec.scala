@@ -44,6 +44,15 @@ class LshBucketCapSpec extends SparkSpec {
       assert(nT8 > 0L && nT8 <= pairBound,
         s"t8 pairs $nT8 outside (0, $pairBound]")
       assert(t8.agg(max(col("hamming"))).head.getLong(0) === 0L)
+      // m6's pigeonhole blocks share the cap: 50k IDENTICAL hashes
+      // collapse into one (k, blk) per k — without the sub-split the
+      // edge join would be O(n²)
+      val m6 = MultimodalOps.ahashHammingEdges(
+        spark.range(n).select(col("id").as("doc_id"),
+          lit(0x0123456789abcdefL).as("ahash")))
+      val nM6 = m6.count()
+      assert(nM6 > 0L && nM6 <= pairBound,
+        s"m6 edges $nM6 outside (0, $pairBound]")
     } finally spark.conf.unset("graft.lsh.bucketCap")
   }
 
@@ -66,5 +75,12 @@ class LshBucketCapSpec extends SparkSpec {
       .agg(max(col("count"))).head.getLong(0)
     assert(maxBlk < DedupOps.LshBucketCap,
       s"largest simhash block bucket $maxBlk reaches the default cap")
+    val maxAhashBlk = MultimodalOps.mediaAhash(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), explode(expr("transform(sequence(0, 3), " +
+        "k -> struct(k AS k, shiftright(ahash, 16 * k) & 65535 AS blk))")).as("b"))
+      .groupBy(col("b.k"), col("b.blk")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxAhashBlk < DedupOps.LshBucketCap,
+      s"largest ahash block bucket $maxAhashBlk reaches the default cap")
   }
 }
