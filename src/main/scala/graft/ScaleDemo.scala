@@ -639,6 +639,52 @@ object ScaleDemo {
           .knnGraphScaled(spark, docsDir.toString).count()
       }
       println(s"SCALE v15 kNN edges: $edges ($actualVecs vectors)")
+      // graph recall vs brute force on a 10k id-prefix slice — the
+      // honest number for the documented cross-cell boundary trade:
+      // an edge counts iff its exact cosine reaches that source's
+      // 3rd-best brute cosine (threshold recall@3, the same measure
+      // the ANN harness uses; 1e-6 = the gates' rounding precision)
+      locally {
+        val sliceN = math.min(10000L, actualVecs)
+        val sl = spark.read.parquet(embParquet.toString)
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < sliceN)
+        val g = queries.DedupOps.cellBlockedPairs(
+          queries.DedupOps.nearDupAssign(sl),
+          queries.DedupOps.NearDupCellCap)
+        val dirE = g.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+            col("cos"))
+          .unionAll(g.select(col("vec_b").as("src"),
+            col("vec_a").as("dst"), col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+        val graph = dirE.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("src"), col("cos"))
+        val q = sl.select(col("vec_id").as("src"),
+          col("embedding").as("qv"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("qn"))
+        val c = sl.select(col("vec_id").as("dst"),
+          col("embedding").as("cv"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
+        var recall = 0d
+        time(s"v15 graph recall@3 vs brute ($sliceN-vector slice)") {
+          val brute3 = q.join(c, col("src") =!= col("dst"))
+            .select(col("src"),
+              (expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+                .as("bcos"))
+            .withColumn("brnk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("src")).orderBy(col("bcos").desc)))
+            .filter(col("brnk") === 3)
+            .select(col("src"), col("bcos").as("thr"))
+          val hits = graph.join(brute3, Seq("src"))
+            .filter(col("cos") >= col("thr") - 1e-6).count()
+          recall = hits.toDouble / (3L * sliceN)
+        }
+        println(f"SCALE v15 graph recall@3 vs brute: $recall%.2f " +
+          f"($sliceN-vector slice)")
+      }
     }
     }
 
