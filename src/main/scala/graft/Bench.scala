@@ -1,9 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness. Three JSON lines on stdout — a full detail
-  * line, then a compact all-queries warm line, then the compact
-  * headline line LAST:
+/** Benchmark harness. Stdout is one full detail line, then SHORT
+  * chunked warm-median lines, then the compact headline line LAST:
   *
   * {{{
   * {"metric":"total_warm_median","value":<sum>,"unit":"sec",
@@ -11,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *  "errors":{name: "Class: msg", ...},"reps":R,"sf":dir,
   *  "rep_times":{name: [rep1_sec, rep2_sec, ...], ...},
   *  "queries":{name: warm_median_sec, ...}}
-  * {"metric":"warm_queries","reps":R,"queries":{name: sec3dp, ...}}
+  * {"metric":"warm_q","i":1,"of":K,"q":{shortname: sec3dp, ...}}   × K
   * {"metric":"total_warm_median","value":<sum>,"unit":"sec",
   *  "cold_total":N,"failed":F,"errors":{...},"reps":R,"sf":dir,
   *  "slow":{name: [rep1, rep2, rep3], ...}}
@@ -20,14 +19,18 @@ import org.apache.spark.sql.SparkSession
   * The headline is printed last because the driver keeps only a
   * fixed-size tail of stdout: the ~3 KB detail line alone got its head
   * (including the headline "value") truncated, losing the bench-gate
-  * signal. The small final line always survives the tail capture.
-  * The `warm_queries` line exists for the same reason: round 9's tail
-  * cut the first ~18 warm entries out of the detail line
-  * (alphabetical dict, tail keeps the END of stdout), so the judge
-  * could only read `jh_*`/`m*`/`q10-q15` medians from BASELINE.md.
-  * At 3 decimals the full 70-odd-query dict is ~2 KB and fits the
-  * tail together with the headline; full-precision numbers stay in
-  * the detail line for builder-side analysis.
+  * signal. The `warm_q` chunk lines exist for the same reason: rounds
+  * 9-10's tails cut the LEADING warm entries out of whichever single
+  * big dict carried them (alphabetical; the tail keeps the END of
+  * stdout, so `jh_*`/`m*`/`q1x` medians were lost twice). The chunks
+  * shrink the guaranteed-survival region below the tail budget two
+  * ways: (1) registry names compress to their unambiguous prefix —
+  * everything up to the first `_` (`t29`, `v15`, `q2`, `s6`, `m7`),
+  * except `jh_*` names which stay full — and (2) the dict splits
+  * across ≤`ChunkLen`-char lines, so a mid-line cut costs one chunk,
+  * not every key before the cut point. All ~103 keys at 3 decimals
+  * now fit in ~1.8 KB next to the ~0.4 KB headline. Full names and
+  * full-precision numbers stay in the (expendable) detail line.
   *
   * `slow` (headline) and `rep_times` (detail) carry PER-REP wall
   * times — `slow` for the 3 largest warm medians, in the
@@ -146,7 +149,29 @@ object Bench {
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val warmQ = obj(rows.collect { case (n, _, Some(w), _, _) => n -> w.toString })
-    val warmQ3 = obj(rows.collect { case (n, _, Some(w), _, _) => n -> d3(w) })
+    // tail-survival chunks: shortened keys (prefix to first '_'; jh_*
+    // stay full — every registry family q/t/v/s/m numbers its ops, so
+    // the prefix is unique), greedily packed into short lines
+    def shortKey(n: String): String =
+      if (n.startsWith("jh_")) n else n.takeWhile(_ != '_')
+    val ChunkLen = 360
+    val warmChunks: Seq[String] = {
+      val entries = rows.collect { case (n, _, Some(w), _, _) =>
+        jsonStr(shortKey(n)) + ":" + d3(w) }
+      val acc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]; var len = 0
+      entries.foreach { e =>
+        if (len + e.length + 1 > ChunkLen && cur.nonEmpty) {
+          acc += cur.reverse; cur = Nil; len = 0
+        }
+        cur = e :: cur; len += e.length + 1
+      }
+      if (cur.nonEmpty) acc += cur.reverse
+      acc.toSeq.zipWithIndex.map { case (es, i) =>
+        s"""{"metric":"warm_q","i":${i + 1},"of":${acc.length},""" +
+          s""""q":${es.mkString("{", ",", "}")}}"""
+      }
+    }
     val coldQ = obj(rows.map(r => r._1 -> r._2.toString))
     val errQ = obj(rows.collect { case (n, _, _, Some(e), _) => n -> jsonStr(e) })
     val repQ = obj(rows.map(r =>
@@ -166,18 +191,18 @@ object Bench {
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":$coldTotal,"failed":$failed,"errors":$errQ,""" +
       s""""reps":$reps,"sf":${jsonStr(sfDir)},"slow":$slowQ}"""
-    // Detail first, then the compact all-queries warm line, compact
+    // Detail first (expendable), then the short warm_q chunks, compact
     // headline LAST: the driver stores a fixed-size stdout tail, so
     // only the small final lines are guaranteed to reach its parser
     // intact (BENCH_r05 recorded parsed:null when the single 3 KB
-    // line's head was cut; BENCH_r09's tail truncated the leading ~18
-    // warm entries of the detail dict).
+    // line's head was cut; BENCH_r09/r10's tails truncated the leading
+    // warm entries of whichever single big dict carried them).
     println(
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
       s""""cold":$coldQ,"cold_total":$coldTotal,""" +
       s""""failed":$failed,"errors":$errQ,"reps":$reps,"sf":${jsonStr(sfDir)},""" +
       s""""rep_times":$repQ,"queries":$warmQ}""")
-    println(s"""{"metric":"warm_queries","reps":$reps,"queries":$warmQ3}""")
+    warmChunks.foreach(println)
     println(headline)
     spark.stop()
   }

@@ -281,13 +281,17 @@ object Relational {
     * broadcast would make salting moot (and at 100 TB the dim that
     * needs salting is precisely the one too big to broadcast after
     * 8× replication). Result is identical to the unsalted join,
-    * which is what the oracle computes. */
+    * which is what the oracle computes. The salt hashes (user_id,
+    * value) through `hash()` — NULL-safe by construction (hash of a
+    * null input is a defined non-null int), so a null fact column can
+    * never null the salt and silently drop a row the unsalted join
+    * would keep; folding `value` in keeps a single hot key fanning
+    * across all R shards. */
   def q29SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val R = 8
     val fact = t(s, dir, "events")
       .select(col("user_id"), col("value"))
-      .withColumn("salt", pmod(col("user_id") * 31 + col("value").cast("long"),
-        lit(R)).cast("int"))
+      .withColumn("salt", pmod(hash(col("user_id"), col("value")), lit(R)))
     val dim = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
       .withColumn("dsalt", explode(array((0 until R).map(lit): _*)))

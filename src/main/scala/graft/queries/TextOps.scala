@@ -486,14 +486,24 @@ object TextOps {
     * same aggregation — `count(DISTINCT ...)` plans as one partial
     * expand, not extra scans). Every statistic is map-side
     * combinable or a distinct over a fixed-width digest, so the card
-    * costs one corpus scan at any scale. */
+    * costs one corpus scan at any scale.
+    *
+    * avg_uniq sums exact integer NANO-units per doc and divides once
+    * (v7's d_micro idiom): a plain `avg` over per-doc double ratios
+    * is summation-order-dependent, so Spark's partial aggregation vs
+    * DuckDB's sequential scan could flip a 6th decimal when the mean
+    * lands on a rounding boundary. Long sums are order-free (headroom
+    * 1e9/doc → ~9e9 docs per source before overflow); the ≤ 5e-10
+    * per-doc quantization is invisible at the 6-decimal gate. The
+    * other averages are already order-safe: avg_tokens/short_share
+    * sum small integers (exact in double far past this corpus). */
   def datasetCard(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
-      .withColumn("uniq_ratio",
+      .withColumn("uniq_nano", round(
         expr("size(array_distinct(words))").cast("double") /
-          col("n_tokens").cast("double"))
+          col("n_tokens").cast("double") * 1e9).cast("long"))
       .withColumn("fp", md5(lower(col("text"))))
       .groupBy(col("source"))
       .agg(
@@ -505,7 +515,8 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"),
         round(lit(1d) - countDistinct(col("fp")).cast("double") /
           count(lit(1)).cast("double"), 6).as("dup_rate"),
-        round(avg(col("uniq_ratio")), 6).as("avg_uniq"))
+        round(sum(col("uniq_nano")).cast("double") /
+          count(lit(1)).cast("double") / 1e9, 6).as("avg_uniq"))
       .orderBy(col("source"))
 
   /** Token budget per training context window for [[contextPacking]]. */
@@ -770,8 +781,9 @@ object TextOps {
       """WITH d AS (
         | SELECT source, lang, md5(lower(text)) AS fp,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+        |  CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e9) AS BIGINT)
+        |   AS uniq_nano
         | FROM documents)
         |SELECT source, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -781,7 +793,8 @@ object TextOps {
         | count(DISTINCT lang) AS n_langs,
         | round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) /
         |   CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-        | round(avg(uniq_ratio), 6) AS avg_uniq
+        | round(CAST(sum(uniq_nano) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE) / 1e9, 6) AS avg_uniq
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "t26_shard_shuffle" ->
       s"""WITH k AS (
