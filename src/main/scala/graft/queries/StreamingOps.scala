@@ -1,10 +1,11 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Tables
 import graft.streaming.EventWindows
@@ -62,6 +63,132 @@ object StreamingOps {
       query.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** Checkpointed variant of [[runStream]], returning the finished
+    * [[StreamingQuery]] alongside the table so restart callers can
+    * assert checkpoint lineage (`query.id` persists across restarts
+    * from one checkpoint; `runId` is fresh per start). */
+  private def runStreamCk(s: SparkSession, prefix: String, q: DataFrame,
+      mode: String, checkpoint: String): (DataFrame, StreamingQuery) = {
+    val name = prefix + runSerial.incrementAndGet()
+    val old = lastSink.getAndSet(name)
+    if (old != null) s.catalog.dropTempView(old)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("graft.stream.statePartitions", "8"))
+        val qh = q.writeStream.format("memory").queryName(name)
+          .outputMode(mode).option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        qh.awaitTermination()
+        qh
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    (s.table(name), query)
+  }
+
+  /** The restart fixture: the events table split into an early and a
+    * late tranche BY TIME (`a-0.parquet` / `b-0.parquet` in one flat
+    * directory) — run 1 streams only the `a` file, run 2 un-hides `b`
+    * via a wider glob against the same directory, the way a live
+    * directory acquires new files between two process lifetimes.
+    * Staged once per (input fingerprint); the fingerprint rides in the
+    * directory name so a regenerated events table re-stages instead of
+    * serving stale tranches. The time split (not id parity) keeps the
+    * second run's data entirely later than the first's, so the gate
+    * never leans on complete-mode's keep-late-data behavior. */
+  private def stageRestartFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val fp = DedupOps.pathFingerprint(s, s"$dir/events.parquet")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir@$fp".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val out = Paths.get("target", s"s10_events_$hex").toAbsolutePath
+      if (!Files.exists(out.resolve("_STAGED"))) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
+        Files.createDirectories(out)
+        val ev = Tables(s, dir, "events")
+        val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = lo + (hi - lo) / 2
+        Seq("a" -> ev.filter(col("ts") <= cut),
+            "b" -> ev.filter(col("ts") > cut)).foreach { case (tag, half) =>
+          val tmp = out.resolve(s"tmp_$tag")
+          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          Files.move(part.toPath, out.resolve(s"$tag-0.parquet"))
+          rm(tmp.toFile)
+        }
+        Files.write(out.resolve("_STAGED"), Array.emptyByteArray)
+      }
+      out.toString
+    }
+
+  /** s10: STREAMING RESTART RECOVERY — the production exactly-once
+    * property none of s1-s9 exercises: a checkpointed query is run
+    * over the FIRST tranche of the data to completion, the process's
+    * query object is discarded (the "crash"), and a SECOND query is
+    * started from the same `checkpointLocation` over a directory that
+    * now also exposes the remaining tranche. The restarted run
+    * restores the aggregation state and the source's committed file
+    * log from the checkpoint — the already-processed tranche is NOT
+    * re-read, the new one is — and the finished table must equal the
+    * uninterrupted run exactly, which is what s1's oracle hashes.
+    * The spec additionally pins that the two runs are genuinely two
+    * query starts sharing one checkpoint lineage (equal `query.id`,
+    * distinct `runId`s). Each invocation pays the full two-start
+    * machinery on a fresh checkpoint — restart recovery is the thing
+    * being measured, not amortized away. */
+  def streamedRestart(s: SparkSession, dir: String): DataFrame =
+    streamedRestartWithIds(s, dir)._1
+
+  /** s10 internals: (final table, run-1 (id, runId), run-2 (id,
+    * runId)) — the ids surface so the spec can prove the execution
+    * spanned two separate [[StreamingQuery]] starts. */
+  private[graft] def streamedRestartWithIds(s: SparkSession, dir: String)
+      : (DataFrame, (java.util.UUID, java.util.UUID),
+          (java.util.UUID, java.util.UUID)) = {
+    val staged = stageRestartFixture(s, dir)
+    // the staging pass already normalized ts to BIGINT nanos (it wrote
+    // through Tables), so the stream reads the staged schema as-is
+    val schema = s.read.parquet(staged).schema
+    def tranche(glob: String): DataFrame =
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(staged)
+        .select(col("ts"), col("event_type"), col("value"))
+    val cp = Files.createTempDirectory("s10_ckpt_")
+    // the checkpoint must outlive run 1 and die with the invocation:
+    // a reused checkpoint would make run 2 a no-op replay
+    try {
+      val (_, q1) = runStreamCk(s, "s10_stream_",
+        EventWindows.windowedCounts(tranche("a-*.parquet")), "complete",
+        cp.toString)
+      val (tbl, q2) = runStreamCk(s, "s10_stream_",
+        EventWindows.windowedCounts(tranche("*.parquet")), "complete",
+        cp.toString)
+      val out = tbl
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start_us"), col("event_type"))
+        // materialize before the checkpoint dir is deleted: the memory
+        // sink holds the rows, but the recovered plan must never be
+        // re-planned against a vanished checkpoint
+        .localCheckpoint(true)
+      (out, (q1.id, q1.runId), (q2.id, q2.runId))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(cp.toFile)
+    }
   }
 
   /** s1: the tumbling-window aggregation executed as a real stream
@@ -277,7 +404,16 @@ object StreamingOps {
     "s6_stream_interval_join" -> (streamedIntervalJoin _),
     "s7_stream_exactly_once" -> (streamedExactlyOnce _),
     "s8_stream_static_enrich" -> (streamedStaticEnrich _),
-    "s9_stream_topk" -> (streamedTopK _))
+    "s9_stream_topk" -> (streamedTopK _),
+    "s10_stream_restart" -> (streamedRestart _))
+
+  /** Shared by s1 and s10: both finish at the full tumbling
+    * aggregation — s1 in one uninterrupted run, s10 across a
+    * checkpoint-recovered restart. */
+  private val tumblingOracle: String =
+    """SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
+      | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" ->
@@ -290,10 +426,9 @@ object StreamingOps {
          | WHERE b.doc_id > c.canon)
          |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-    "s1_stream_tumbling" ->
-      """SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,
-        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s1_stream_tumbling" -> tumblingOracle,
+    // restart recovery must land on the uninterrupted run's table
+    "s10_stream_restart" -> tumblingOracle,
     "s4_sliding_windows" ->
       """WITH w AS (
         | SELECT ((epoch_us(ts) // 60000000) - k) * 60000000 AS w_start_us,

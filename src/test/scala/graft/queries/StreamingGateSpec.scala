@@ -101,6 +101,28 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.length === batch.length)
   }
 
+  test("s10 restart recovery: two query starts, one checkpoint, table equals the uninterrupted run") {
+    val (df, (id1, run1), (id2, run2)) =
+      StreamingOps.streamedRestartWithIds(spark, dir)
+    // the execution provably spanned two separate StreamingQuery
+    // starts: distinct runIds...
+    assert(run1 !== run2, "both tranches ran under one query start — " +
+      "no restart was exercised")
+    // ...sharing ONE checkpoint lineage: the restarted query read its
+    // persistent id back from the checkpoint instead of minting one
+    assert(id1 === id2, "run 2 did not recover from run 1's checkpoint")
+    // and the recovered run's finished table equals the uninterrupted
+    // stream (s1) — state restored, first tranche not re-read (a
+    // re-read would double every early window's counts)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("w_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+    val uninterrupted = StreamingOps.streamedTumbling(spark, dir).collect()
+    val restarted = df.collect()
+    assert(restarted.map(key).toSet === uninterrupted.map(key).toSet)
+    assert(restarted.length === uninterrupted.length)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
