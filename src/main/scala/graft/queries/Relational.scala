@@ -638,7 +638,97 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------- table-layout ops
+  // The two STORAGE-LAYOUT levers a 100 TB deployment pulls before any
+  // query-side optimization — partition pruning (skip directories at
+  // planning time) and bucketing (pre-shuffled join sides) — staged as
+  // real physical layouts under target/ and gated like every other
+  // operator. The layouts were previously proven only in
+  // PartitionPruningSpec/BucketingSpec; these entries put a green
+  // driver-gate row on them (plan shapes pinned in PlanSpec).
+
+  /** One staged layout per input fingerprint: the hex rides in the
+    * dir/table name, so a regenerated source table re-stages instead
+    * of serving a stale layout (the s10/ann-index idiom). */
+  private def layoutHex(s: SparkSession, dir: String, table: String): String = {
+    val fp = DedupOps.pathFingerprint(s, s"$dir/$table.parquet")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir/$table@$fp".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** q31: PARTITION-PRUNED scan — documents staged once as a
+    * `PARTITIONED BY (source)` directory layout, then a
+    * source-filtered aggregation over it. The filter lands in the
+    * scan's PartitionFilters (directory skip at PLANNING time, pinned
+    * in PlanSpec), not PushedFilters (row-group skip after listing):
+    * at 100 TB with hundreds of sources this is the difference
+    * between reading 1/Nth of the corpus and listing-then-discarding
+    * all of it. The oracle computes the same aggregation from the
+    * unpartitioned table — layout must never change results. */
+  def q31PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get("target",
+      s"q31_docs_${layoutHex(s, dir, "documents")}").toAbsolutePath
+    synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+        Tables(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("source").parquet(out.toString)
+    }
+    s.read.parquet(out.toString)
+      .filter(col("source") === "src3")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** q32: BUCKETED co-located join — orders and customer staged once
+    * as tables bucketed 8 ways on the join key (sorted within
+    * buckets), then joined with NO shuffle exchange: the bucket
+    * layout already satisfies both sides' hash-distribution
+    * requirement, so the sort-merge join reads co-located buckets in
+    * place (zero-exchange plan pinned in PlanSpec). The repeated
+    * large-large join on a stable key is THE case for paying one
+    * bucketed write: at 100 TB every subsequent join of the pair
+    * skips two corpus-wide shuffles. The `merge` hint keeps the join
+    * a real SMJ at gate scale, where the dim would otherwise
+    * broadcast and hide the property being gated; the oracle is the
+    * plain unbucketed join. */
+  def q32BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val hex = layoutHex(s, dir, "orders")
+    val ot = s"graft_q32_orders_$hex"
+    val ct = s"graft_q32_customer_$hex"
+    synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+        // clear stale on-disk leftovers from an earlier session: a
+        // managed CREATE refuses a non-empty pre-existing location
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        Seq(ot, ct).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Tables(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(ot)
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(ct)
+      }
+    }
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_partition_prune" -> (q31PartitionPrune _),
+    "q32_bucketed_join" -> (q32BucketedJoin _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -787,6 +877,18 @@ object Relational {
         |WINDOW w AS (PARTITION BY event_type, user_id
         |  ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+    // the layout is internal — the oracle aggregates the flat table
+    "q31_partition_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents WHERE source = 'src3'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketing is internal — the oracle is the plain join
+    "q32_bucketed_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        | round(sum(o.o_totalprice), 2) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

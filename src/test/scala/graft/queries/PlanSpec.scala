@@ -343,6 +343,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "the dim must replicate R ways")
   }
 
+  test("q31: the source filter prunes partitions at planning time") {
+    // the filter must land in PartitionFilters (directory skip), not
+    // merely PushedFilters (row-group skip after listing every file):
+    // source is a partition column of the staged layout
+    val p = plan("q31_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(source"),
+      s"expected a planning-time partition filter on source:\n$p")
+    assert(p.contains("(source"), "the source predicate must prune")
+  }
+
+  test("q32: the bucketed join runs with NO shuffle exchange on either side") {
+    // both sides are bucketed 8 ways on the join key, so the SMJ's
+    // distribution requirement is satisfied by layout — an Exchange
+    // BELOW the join means the bucket metadata was lost. (The tiny
+    // post-join aggregation exchange is expected; scope the assert to
+    // the join's subtree, which tree-printing places last in the
+    // final-plan section.)
+    val p = finalPlan("q32_bucketed_join")
+    val finStart = p.indexOf("== Final Plan ==")
+    val finEnd = p.indexOf("== Initial Plan ==")
+    val fin = p.substring(math.max(finStart, 0),
+      if (finEnd >= 0) finEnd else p.length)
+    val smj = fin.indexOf("SortMergeJoin")
+    assert(smj >= 0, s"q32 must plan a sort-merge join:\n$p")
+    val joinSub = fin.substring(smj)
+    assert(!joinSub.contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$joinSub")
+    assert(joinSub.contains("Bucketed: true"),
+      "both scans must read the bucketed layout")
+  }
+
   test("v15: both directions of the kNN edge union reuse ONE pair materialization") {
     // the directed union reads the deduped pair aggregate twice (once
     // per direction); the pair join + its map side must materialize
