@@ -1021,8 +1021,15 @@ object VectorOps {
     * ALREADY-derived relation (e.g. the cell assignment) keeps cells
     * and codes in one scan — no corpus self-join. */
   private def pqEncodeCols(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    pqEncodeColsWith(pqCodebooks(s, dir), df)
+
+  /** [[pqEncodeCols]] over EXPLICIT codebook relations — v17 passes
+    * codebooks loaded from the written index artifact instead of the
+    * in-session Lloyd memo. */
+  private def pqEncodeColsWith(books: Seq[DataFrame],
       df: DataFrame): DataFrame = {
-    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(df) {
+    val withBooks = books.zipWithIndex.foldLeft(df) {
       case (d, (b, m)) =>
         d.crossJoin(broadcast(b.agg(
           collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
@@ -1042,8 +1049,16 @@ object VectorOps {
     * codebook (position i+1 = code i — see [[pqAdcSearch]]).
     * Passthrough columns survive. */
   private def pqQueryLuts(s: SparkSession, dir: String,
+      q: DataFrame): DataFrame =
+    pqQueryLutsWith(pqCodebooks(s, dir), q)
+
+  /** [[pqQueryLuts]] over explicit codebook relations (v17's loaded
+    * artifact). The LUT position ↔ code mapping is order-independent
+    * of the input relation: the struct array is `array_sort`ed before
+    * the transform. */
+  private def pqQueryLutsWith(books: Seq[DataFrame],
       q: DataFrame): DataFrame = {
-    val withBooks = pqCodebooks(s, dir).zipWithIndex.foldLeft(q) {
+    val withBooks = books.zipWithIndex.foldLeft(q) {
       case (d, (b, m)) =>
         d.crossJoin(broadcast(b.agg(
           collect_list(struct(col("cluster"), col("cvec"))).as(s"cents$m"))))
@@ -1129,11 +1144,27 @@ object VectorOps {
     val cents = memoRows(s, memoKeyOf(s, dir, "v9route")) {
         kmRecompute(kmFinalAssign(s, dir))
       }
-      .withColumn("cnorm", expr(
-        "sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
-    val e = emb(s, dir).withColumn("nrm", expr(normExpr))
-    val q0 = e.filter(col("vec_id") < 10)
+    ivfPqServeWith(index, cents, pqCodebooks(s, dir), ivfPqQueries(s, dir))
+  }
+
+  /** The gate's fixed query rows (first 10 corpus vectors) with their
+    * precomputed norms — the query side of every IVF-PQ serve. */
+  private def ivfPqQueries(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).withColumn("nrm", expr(normExpr))
+      .filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"))
+
+  /** The IVF-PQ SERVING dataflow over explicit index relations —
+    * `index` (c_id, cluster, c0..c3), `cents` (cluster, cvec) and the
+    * four per-subspace codebooks. Shared verbatim by v12 (in-session
+    * index) and v17 (index loaded from the written artifact): route
+    * each query to its nearest cell centroid by cosine, build its
+    * 4×[[PqK]] ADC lookup tables, scan ONLY that cell's codes
+    * map-side, cut top-3 over thin triples. */
+  private def ivfPqServeWith(index: DataFrame, cents0: DataFrame,
+      books: Seq[DataFrame], q0: DataFrame): DataFrame = {
+    val cents = cents0.withColumn("cnorm", expr(
+      "sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
     val qcos = "aggregate(zip_with(embedding, cvec, " +
       "(x, c) -> CAST(x AS DOUBLE) * c), 0D, (a, v) -> a + v)"
     val routeW = Window.partitionBy(col("q_id"))
@@ -1143,7 +1174,7 @@ object VectorOps {
       .withColumn("rc", row_number().over(routeW))
       .filter(col("rc") <= 1)
       .select(col("q_id"), col("embedding"), col("cluster"))
-    val q = pqQueryLuts(s, dir, routed)
+    val q = pqQueryLutsWith(books, routed)
       .select(col("q_id") +: col("cluster") +:
         (0 until PqM).map(m => col(s"lut$m")): _*)
     // in-cell ADC scoring stays map-side; the LUTs drop before the cut
@@ -1157,6 +1188,81 @@ object VectorOps {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"),
         round(col("adc_raw"), 6).as("adc"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Where the persisted ANN index for `dir` lives. The input
+    * fingerprint rides in the directory name (the s10/q31 idiom), so
+    * a regenerated embeddings table re-builds instead of serving a
+    * stale index — and a FRESH SESSION (or process) finds a current
+    * artifact by recomputing the same name, which is the whole point:
+    * build once, serve many. */
+  private[graft] def annIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(memoKeyOf(s, dir, "v17").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", s"ann_index_$hex").toAbsolutePath
+  }
+
+  /** BUILD the IVF-PQ index ARTIFACT — the expensive one-time pass a
+    * deployment runs offline: learns cells (v7's Lloyd cascade),
+    * routing centroids (v9) and the four PQ codebooks (v10), encodes
+    * every vector, and WRITES the index as three parquet relations —
+    * `cells` (c_id, cluster, c0..c3 — the inverted file at 64×
+    * compression, the only corpus-sized piece), `centroids` (cluster,
+    * cvec) and `codebooks` (m, cluster, cvec). Idempotent: a present
+    * `_INDEX_READY` marker short-circuits, including across sessions.
+    * At 100 TB the cells relation is additionally written partitioned
+    * by cluster so a serve touches one partition; at gate scale the
+    * cluster column + parquet row-group stats carry the same prune. */
+  private[graft] def buildAnnIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val out = annIndexPath(s, dir)
+      if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
+        graft.functions.VectorDotProduct.register(s)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
+        pqEncodeCols(s, dir, kmFinalAssign(s, dir))
+          .select(col("vec_id").as("c_id") +: col("cluster") +:
+            (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
+          .write.mode("overwrite").parquet(out.resolve("cells").toString)
+        memoRows(s, memoKeyOf(s, dir, "v9route")) {
+            kmRecompute(kmFinalAssign(s, dir))
+          }
+          .write.mode("overwrite").parquet(out.resolve("centroids").toString)
+        pqCodebooks(s, dir).zipWithIndex
+          .map { case (b, m) => b.withColumn("m", lit(m)) }
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(out.resolve("codebooks").toString)
+        java.nio.file.Files.write(out.resolve("_INDEX_READY"),
+          Array.emptyByteArray)
+      }
+      out.toString
+    }
+
+  /** v17: SERVE from the WRITTEN index — the other half of the
+    * build/serve split every production vector deployment runs: no
+    * Lloyd iteration, no codebook learning, no in-session memo — the
+    * serving plan reads `cells`/`centroids`/`codebooks` parquet and
+    * answers queries through the identical v12 dataflow, so the
+    * result is bit-equal to v12 and the SAME oracle hashes it. A
+    * fresh session pays only the artifact read (measured in
+    * BASELINE.md next to the cold in-query build), which is what
+    * makes build-once / serve-many real rather than a memo artifact
+    * of one long-lived session. The first call per (input
+    * fingerprint) builds the artifact if absent — the cost the
+    * offline index build pays once. */
+  def annIndexServe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val idx = buildAnnIndex(s, dir)
+    val index = s.read.parquet(s"$idx/cells")
+    val cents = s.read.parquet(s"$idx/centroids")
+    val cb = s.read.parquet(s"$idx/codebooks")
+    val books = (0 until PqM).map(m =>
+      cb.filter(col("m") === m).select(col("cluster"), col("cvec")))
+    ivfPqServeWith(index, cents, books, ivfPqQueries(s, dir))
   }
 
   /** v10 oracle: four independent prefixed Lloyd chains (one per
@@ -1317,7 +1423,8 @@ object VectorOps {
     "v13_prefix_rerank" -> (prefixRerank _),
     "v14_knn_graph" -> (knnGraph _),
     "v15_knn_graph_scaled" -> (knnGraphScaled _),
-    "v16_range_search" -> (rangeSearch _))
+    "v16_range_search" -> (rangeSearch _),
+    "v17_ann_index_load" -> (annIndexServe _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1403,6 +1510,9 @@ object VectorOps {
     "v10_pq_codes" -> pqOracle,
     "v11_pq_adc" -> pqAdcOracle,
     "v12_ann_ivfpq" -> pqIvfOracle,
+    // serving from the written artifact must equal the in-session
+    // index exactly — same oracle
+    "v17_ann_index_load" -> pqIvfOracle,
     "v13_prefix_rerank" -> prefixRerankOracle,
     "v14_knn_graph" -> knnGraphOracle,
     "v15_knn_graph_scaled" -> knnGraphScaledOracle,
