@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * `profile` only the summaryPerJob parse-vs-aggregation
   * decomposition; `t8` only the fleet SimHash pair measurement;
   * `audit` only the t23 exact-vs-sketch audit over every LSH
-  * candidate pair).
+  * candidate pair; `knn` the v15 graph + its recall and cross-cell
+  * boundary audit; `curation` the composed t28+t27+t19 publish
+  * pass).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -101,10 +103,10 @@ object ScaleDemo {
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
     val baseDocs =
-      if (in("all", "docs", "t8", "audit", "t13"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8", "audit", "t13") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit", "t13", "curation") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -142,7 +144,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8", "audit", "t13"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -171,7 +173,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -243,6 +245,22 @@ object ScaleDemo {
     time(s"t29 leakage-safe split ($actualDocs docs)") {
       noop(queries.DedupOps.leakageSafeSplit(spark, docsDir.toString))
     }
+    }
+    // the composed "publish a corpus" curation pass — dataset card
+    // (t28) + importance resampling (t27) + length bucketing (t19)
+    // run back-to-back over the same corpus, ONE recorded wall: the
+    // end-to-end cost of turning a cleaned corpus into a shippable
+    // dataset. All three are one-scan shapes (map-only or map-side
+    // combinable aggregates), so the composed pass is ~3 corpus scans
+    // with no joins anywhere.
+    if (in("all", "curation")) {
+      spark.catalog.clearCache()
+      time(s"curation pass t28 card + t27 resample + t19 buckets " +
+          s"($actualDocs docs, composed)") {
+        noop(queries.TextOps.datasetCard(spark, docsDir.toString))
+        noop(queries.TextOps.importanceSample(spark, docsDir.toString))
+        noop(queries.TextOps.lengthBuckets(spark, docsDir.toString))
+      }
     }
     // embeddings at copies x sf0.1 scale: copies are per-copy shifted
     // in one component (deterministic, not bit-identical) — k-means
@@ -377,6 +395,28 @@ object ScaleDemo {
       recall3("v13 prefix re-rank",
         queries.VectorOps.prefixRerank(spark, docsDir.toString)
           .filter(col("rnk") <= 3))
+      // v17: the build/serve split — the index WRITTEN to parquet,
+      // then served from a FRESH session that owns no memo and learns
+      // nothing: the steady-state cost a deployment pays per query
+      // batch, vs the cold in-query builds above (v12's wall includes
+      // its Lloyd/codebook learning; v15's 177 s cold is mostly the
+      // Lloyd cascade). The build row here runs after v11/v12 in this
+      // session, so its wall = encode + write with the codebooks
+      // already memoized — the true cold build ≈ the v12 cold wall +
+      // this write.
+      locally {
+        val idxPath = queries.VectorOps.annIndexPath(spark, docsDir.toString)
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(idxPath.toFile)
+        time(s"v17 index build -> parquet artifact ($actualVecs vectors)") {
+          queries.VectorOps.buildAnnIndex(spark, docsDir.toString)
+        }
+        val fresh = spark.newSession()
+        recall3("v17 serve from written index (fresh session)",
+          queries.VectorOps.annIndexServe(fresh, docsDir.toString))
+      }
     }
     if (in("all", "docs")) {
     time(s"v7 kmeans ($actualVecs vectors)") {
@@ -668,14 +708,17 @@ object ScaleDemo {
           col("embedding").as("cv"),
           expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
         var recall = 0d
+        val bruteAll = q.join(c, col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+              .as("bcos"))
+          .withColumn("brnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("bcos").desc, col("dst"))))
+          .filter(col("brnk") <= 3)
+          .persist()
         time(s"v15 graph recall@3 vs brute ($sliceN-vector slice)") {
-          val brute3 = q.join(c, col("src") =!= col("dst"))
-            .select(col("src"),
-              (expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
-                .as("bcos"))
-            .withColumn("brnk", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("src")).orderBy(col("bcos").desc)))
+          val brute3 = bruteAll
             .filter(col("brnk") === 3)
             .select(col("src"), col("bcos").as("thr"))
           val hits = graph.join(brute3, Seq("src"))
@@ -684,6 +727,28 @@ object ScaleDemo {
         }
         println(f"SCALE v15 graph recall@3 vs brute: $recall%.2f " +
           f"($sliceN-vector slice)")
+        // cross-cell boundary audit — the measured number for the
+        // documented probe=1-per-pair trade: how many TRUE (brute)
+        // top-3 edges have endpoints sharing NO probed cell? Those
+        // are the edges the cell blocking cannot see; the recall
+        // above shows how many of them the 2-probe assignment still
+        // recovers via a shared second cell. One small join of the
+        // 3n brute edges against the ≤2n probe rows.
+        locally {
+          val asg = queries.DedupOps.nearDupAssign(sl)
+            .select(col("vec_id"), col("cluster"))
+          val co = bruteAll.select(col("src"), col("dst"))
+            .join(asg.toDF("src", "cluster"), Seq("src"))
+            .join(asg.toDF("dst", "cluster"), Seq("dst", "cluster"),
+              "left_semi")
+            .select(col("src"), col("dst")).distinct()
+          val total = 3L * sliceN
+          val crossing = total - co.count()
+          println(f"SCALE v15 boundary audit: ${crossing.toDouble / total}%.3f " +
+            f"of brute top-3 edges cross all probed cells " +
+            f"($crossing of $total, $sliceN-vector slice)")
+        }
+        bruteAll.unpersist()
       }
     }
     }

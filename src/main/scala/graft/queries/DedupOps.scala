@@ -634,15 +634,21 @@ object DedupOps {
     * (min 8) GROWS with the corpus — the property the fixed 10-value
     * label blocking lacked (pairs were O(n²/10)). */
   private[graft] val NearDupCellTarget = 50
-  /** Centroid-count ceiling: brute nearest-centroid assignment is
-    * O(n·k·dims), so an uncapped k ∝ n makes ASSIGNMENT quadratic
-    * (measured: 229 s for 100k vectors at k=2000 vs linear under the
-    * cap). Above the cap the hard sub-bucket split below carries the
-    * block-count scaling instead — the pair bound never depends on k
-    * growing. A cluster deployment can raise the cap together with a
-    * hierarchical assignment (route through v4's coarse IVF cells,
-    * then argmin within) to keep the split semantic at any scale. */
-  private[graft] val NearDupKCap = 512L
+  /** Centroid-count ceiling. The cap exists because BRUTE
+    * nearest-centroid assignment is O(n·k·dims) — uncapped k ∝ n made
+    * assignment quadratic (measured: 229 s for 100k vectors at k=2000
+    * vs linear under a 512 cap). Since round 10 the HIERARCHICAL
+    * route past [[NearDupBruteKMax]] removed that wall — O(n·√k)
+    * distances, measured on 200k vectors with hash seeds: k=2048
+    * routed 55.9 s BEATS k=512 brute 106.1 s — so the default cap
+    * rose 512 → 4096: cells stay ≈ [[NearDupCellTarget]]-sized up to
+    * ~200k vectors (finer cells = more recall headroom before the
+    * sub-bucket split engages) at equal-or-better wall. Past the cap
+    * the hard sub-bucket split still carries the block-count scaling,
+    * so the pair bound never depends on k growing. Gate corpora
+    * (≤ 5k vectors → k ≤ 100) sit far below both caps, which keeps
+    * the brute-argmin oracle exact. */
+  private[graft] val NearDupKCap = 4096L
   /** Hard cap on any one cell: cells the clustering leaves bigger than
     * this split into ⌈cnt/cap⌉ sub-buckets, bounding the worst-case
     * per-block pair count even under total centroid collapse — and,
@@ -673,8 +679,12 @@ object DedupOps {
     * what lets a cluster deployment raise the cap (finer cells, same
     * per-cell pair bound) without the O(n·k) brute assignment wall.
     * Overridable via `graft.neardup.bruteKMax` (tests force the
-    * hierarchical path at toy scale with it). */
-  private[graft] val NearDupBruteKMax = 512L
+    * hierarchical path at toy scale with it). Lowered 512 → 256 with
+    * the cap raise: the routed path beats brute from k ≈ 2048 down
+    * (the hash-seed sweep in BASELINE.md), so routing engages as soon
+    * as k outgrows the gate corpora (whose k ≤ 100 must stay on the
+    * brute path — it is the oracle-replicable argmin). */
+  private[graft] val NearDupBruteKMax = 256L
   /** Coarse groups scanned per vector on the hierarchical path — the
     * same boundary-recovery dial as [[NearDupProbes]], one level up. */
   private[graft] val NearDupCoarseProbes = 2
