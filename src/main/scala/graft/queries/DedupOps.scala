@@ -143,9 +143,11 @@ object DedupOps {
     * pair count at O(cap²) even under total bucket collapse (a
     * degenerate corpus of mass-identical documents previously made
     * one (band, sig) bucket O(B²) with B unbounded). The split is
-    * deterministic, and it cannot trigger at correctness-gate scale:
-    * the driver's DuckDB hash compare runs at sf0.01 (500 docs), so
-    * no bucket can reach the cap and the uncapped oracles stay exact.
+    * deterministic, and — since round 11 — modeled IN THE ORACLES
+    * too (`bsz`/`bsub` CTEs interpolating this default cap across
+    * the t7/t8/m6/t10/t13/t23/t29 statements), so the gates stay
+    * exact at any corpus size; at the driver's sf0.01 (500 docs) no
+    * bucket reaches the cap and the split is the identity anyway.
     *
     * Documented trade (same as t9's cell cap): pairs CROSSING two
     * sub-buckets of one oversized bucket are not emitted from that
@@ -1025,10 +1027,16 @@ object DedupOps {
       .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""$bandsCtes,
+       |bsz AS (SELECT band, sig, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |bsub AS (
+       | SELECT bands.doc_id, bands.band, bands.sig,
+       |  bands.doc_id % CAST(ceil(cnt / $LshBucketCap.0) AS BIGINT) AS sub
+       | FROM bands JOIN bsz USING (band, sig)),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       | FROM bsub a JOIN bsub b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+       |      AND a.doc_id < b.doc_id),
        |est AS (
        | SELECT doc_a, doc_b,
        |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
@@ -1060,10 +1068,16 @@ object DedupOps {
       .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""$bandsCtes,
+       |bsz AS (SELECT band, sig, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |bsub AS (
+       | SELECT bands.doc_id, bands.band, bands.sig,
+       |  bands.doc_id % CAST(ceil(cnt / $LshBucketCap.0) AS BIGINT) AS sub
+       | FROM bands JOIN bsz USING (band, sig)),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       | FROM bsub a JOIN bsub b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+       |      AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
        | round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
        |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
@@ -1088,11 +1102,17 @@ object DedupOps {
        |blocks AS (
        | SELECT doc_id, fp, k, (fp >> (8 * k)) & 255 AS blk
        | FROM fp, unnest(generate_series(0, 3)) AS u(k)),
+       |ksz AS (SELECT k, blk, count(*) AS cnt FROM blocks GROUP BY 1, 2),
+       |ksub AS (
+       | SELECT blocks.doc_id, blocks.fp, blocks.k, blocks.blk,
+       |  blocks.doc_id % CAST(ceil(cnt / $LshBucketCap.0) AS BIGINT) AS sub
+       | FROM blocks JOIN ksz USING (k, blk)),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-       | FROM blocks a JOIN blocks b
-       |   ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+       | FROM ksub a JOIN ksub b
+       |   ON a.k = b.k AND a.blk = b.blk AND a.sub = b.sub
+       |      AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
   }
@@ -1192,10 +1212,16 @@ object DedupOps {
        | FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSel),
+       |bsz AS (SELECT band, sig, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |bsub AS (
+       | SELECT bands.doc_id, bands.band, bands.sig,
+       |  bands.doc_id % CAST(ceil(cnt / $LshBucketCap.0) AS BIGINT) AS sub
+       | FROM bands JOIN bsz USING (band, sig)),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       | FROM bsub a JOIN bsub b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+       |      AND a.doc_id < b.doc_id),
        |est AS (
        | SELECT doc_a, doc_b,
        |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
@@ -1233,10 +1259,16 @@ object DedupOps {
        | FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSel),
+       |bsz AS (SELECT band, sig, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |bsub AS (
+       | SELECT bands.doc_id, bands.band, bands.sig,
+       |  bands.doc_id % CAST(ceil(cnt / $LshBucketCap.0) AS BIGINT) AS sub
+       | FROM bands JOIN bsz USING (band, sig)),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       | FROM bsub a JOIN bsub b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+       |      AND a.doc_id < b.doc_id),
        |est AS (
        | SELECT doc_a, doc_b,
        |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard

@@ -291,10 +291,16 @@ object MultimodalOps {
          |blocks AS (
          | SELECT doc_id, ahash, k, (ahash >> (16 * k)) & 65535 AS blk
          | FROM a, unnest(generate_series(0, 3)) AS u(k)),
+         |ksz AS (SELECT k, blk, count(*) AS cnt FROM blocks GROUP BY 1, 2),
+         |ksub AS (
+         | SELECT blocks.doc_id, blocks.ahash, blocks.k, blocks.blk,
+         |  blocks.doc_id % CAST(ceil(cnt / ${DedupOps.LshBucketCap}.0) AS BIGINT) AS sub
+         | FROM blocks JOIN ksz USING (k, blk)),
          |edges AS (
          | SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
-         | FROM blocks x JOIN blocks y
-         |   ON x.k = y.k AND x.blk = y.blk AND x.doc_id < y.doc_id
+         | FROM ksub x JOIN ksub y
+         |   ON x.k = y.k AND x.blk = y.blk AND x.sub = y.sub
+         |      AND x.doc_id < y.doc_id
          | WHERE bit_count(xor(x.ahash, y.ahash)) <= 3),
          |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
          |reach(u, v) AS (
