@@ -191,6 +191,113 @@ object StreamingOps {
     }
   }
 
+  /** s11 staging: the documents table split into a low-id and a
+    * high-id tranche (`a-0.parquet` / `b-0.parquet`, cut at
+    * ⌊(min+max)/2⌋ of doc_id) — same one-directory/wider-glob restart
+    * idiom as [[stageRestartFixture]]. The id split (not time — docs
+    * have no event time) is what makes the restarted run's output
+    * exactly SQL-expressible: every id in tranche A is smaller than
+    * every id in tranche B, so a bucket's restored canonical is the
+    * bucket's GLOBAL min id. */
+  private def stageDocRestartFixture(s: SparkSession, dir: String)
+      : (String, Long) = synchronized {
+    val fp = DedupOps.pathFingerprint(s, s"$dir/documents.parquet")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@$fp".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val out = Paths.get("target", s"s11_docs_$hex").toAbsolutePath
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = (lo + hi) / 2
+    if (!Files.exists(out.resolve("_STAGED"))) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+      Files.createDirectories(out)
+      Seq("a" -> d.filter(col("doc_id") <= cut),
+          "b" -> d.filter(col("doc_id") > cut)).foreach { case (tag, half) =>
+        val tmp = out.resolve(s"tmp_$tag")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, out.resolve(s"$tag-0.parquet"))
+        rm(tmp.toFile)
+      }
+      Files.write(out.resolve("_STAGED"), Array.emptyByteArray)
+    }
+    (out.toString, cut)
+  }
+
+  /** s11: restart recovery of CUSTOM KEYED STATE — s10 proves the
+    * built-in aggregation state survives a restart; this gates the
+    * harder production property: `flatMapGroupsWithState` state (the
+    * LSH ingest-dedup bucket canonicals, one long per bucket) written
+    * by run 1 and READ BACK by run 2. Run 1 ingests the low-id
+    * tranche under a checkpoint into a FILE sink (the fault-tolerant
+    * sink a production ingest writes — memory sinks refuse append-mode
+    * recovery); run 2 restarts from the same checkpoint over the
+    * directory exposing the high-id tranche and appends to the same
+    * sink, whose metadata log keeps the two runs' output exactly-once.
+    * Every collision run 2 emits against a bucket first seen in run 1
+    * carries run 1's canonical — state that only exists if the restore
+    * worked — and because tranche A holds the low ids, the two runs'
+    * union is EXACTLY the uninterrupted batch bucket rule over the
+    * whole corpus, which is what the oracle (s3's rule) hashes. The
+    * spec additionally pins a crafted cross-tranche duplicate whose
+    * dup_of lies in tranche A. */
+  def streamedRestartState(s: SparkSession, dir: String): DataFrame =
+    streamedRestartStateWithIds(s, dir)._1
+
+  private[graft] def streamedRestartStateWithIds(s: SparkSession,
+      dir: String): (DataFrame, (java.util.UUID, java.util.UUID),
+        (java.util.UUID, java.util.UUID)) = {
+    val staged = stageDocRestartFixture(s, dir)._1
+    val schema = s.read.parquet(staged).schema
+    def tranche(glob: String): DataFrame =
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(staged)
+        .select(col("doc_id"), col("text"))
+    def collisions(glob: String): DataFrame =
+      graft.streaming.IngestDedup.bucketCollisions(tranche(glob)).toDF()
+    val cp = Files.createTempDirectory("s11_ckpt_")
+    val sink = Files.createTempDirectory("s11_sink_")
+    def runToSink(q: DataFrame): StreamingQuery = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("graft.stream.statePartitions", "8"))
+        val qh = q.writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        qh.awaitTermination()
+        qh
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    try {
+      val q1 = runToSink(collisions("a-*.parquet"))
+      val q2 = runToSink(collisions("*.parquet"))
+      // read through the sink's metadata log with an explicit schema
+      // (run 1 may emit zero collisions → no part files yet)
+      val all = s.read.schema(collisions("*.parquet").schema)
+        .parquet(sink.toString)
+      val out = graft.streaming.IngestDedup.flaggedDocs(all)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      (out, (q1.id, q1.runId), (q2.id, q2.runId))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(cp.toFile); rm(sink.toFile)
+    }
+  }
+
   /** s1: the tumbling-window aggregation executed as a real stream
     * over the fixture (file source → AvailableNow trigger →
     * complete-mode memory sink), final table returned for the gate.
@@ -405,7 +512,8 @@ object StreamingOps {
     "s7_stream_exactly_once" -> (streamedExactlyOnce _),
     "s8_stream_static_enrich" -> (streamedStaticEnrich _),
     "s9_stream_topk" -> (streamedTopK _),
-    "s10_stream_restart" -> (streamedRestart _))
+    "s10_stream_restart" -> (streamedRestart _),
+    "s11_restart_keyed_state" -> (streamedRestartState _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -415,20 +523,31 @@ object StreamingOps {
       | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shared by s3 (one uninterrupted run) and s11 (two runs across a
+    * checkpoint restart): both finish at the batch bucket rule — a
+    * doc is flagged iff some band bucket holds a smaller id, witness
+    * = (min band, min canonical). */
+  private lazy val ingestDedupOracle: String =
+    s"""${DedupOps.bandsCtes},
+       |canon AS (
+       | SELECT band, sig, min(doc_id) AS canon FROM bands GROUP BY 1, 2),
+       |f AS (
+       | SELECT b.doc_id, b.band, c.canon
+       | FROM bands b JOIN canon c ON b.band = c.band AND b.sig = c.sig
+       | WHERE b.doc_id > c.canon)
+       |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "s3_stream_ingest_dedup" ->
-      s"""${DedupOps.bandsCtes},
-         |canon AS (
-         | SELECT band, sig, min(doc_id) AS canon FROM bands GROUP BY 1, 2),
-         |f AS (
-         | SELECT b.doc_id, b.band, c.canon
-         | FROM bands b JOIN canon c ON b.band = c.band AND b.sig = c.sig
-         | WHERE b.doc_id > c.canon)
-         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
-         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s3_stream_ingest_dedup" -> ingestDedupOracle,
     "s1_stream_tumbling" -> tumblingOracle,
     // restart recovery must land on the uninterrupted run's table
     "s10_stream_restart" -> tumblingOracle,
+    // the two runs' exactly-once sink union = the uninterrupted
+    // bucket rule over the whole corpus (tranche A holds the low
+    // ids, so restored canonicals ARE the global minima) — the same
+    // oracle as the single-run s3 stream
+    "s11_restart_keyed_state" -> ingestDedupOracle,
     "s4_sliding_windows" ->
       """WITH w AS (
         | SELECT ((epoch_us(ts) // 60000000) - k) * 60000000 AS w_start_us,

@@ -123,6 +123,32 @@ class StreamingGateSpec extends SparkSpec {
     assert(restarted.length === uninterrupted.length)
   }
 
+  test("s11 keyed-state restart: run 2 flags a duplicate against run 1's restored canonical") {
+    // crafted corpus: doc 1 (tranche A) and doc 100 (tranche B) are
+    // identical, so every band bucket of doc 100 was CREATED in run 1
+    // with canonical 1 — run 2 can only emit dup_of = 1 if the
+    // flatMapGroupsWithState state survived the restart. doc 101 is
+    // unique and must stay unflagged. cut = (1 + 101) / 2 = 51.
+    val tmp = java.nio.file.Files.createTempDirectory("s11_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (df, (id1, run1), (id2, run2)) =
+      StreamingOps.streamedRestartStateWithIds(spark, tmp)
+    assert(run1 !== run2, "no restart was exercised")
+    assert(id1 === id2, "run 2 did not recover run 1's checkpoint")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(100L),
+      s"exactly the cross-tranche duplicate must be flagged: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("dup_of") === 1L,
+      "dup_of must be run 1's canonical — custom state restored across restart")
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
