@@ -395,6 +395,11 @@ object ScaleDemo {
       recall3("v13 prefix re-rank",
         queries.VectorOps.prefixRerank(spark, docsDir.toString)
           .filter(col("rnk") <= 3))
+      // v18: the int8 middle rung of the compression ladder — global
+      // symmetric quantization (no training), integer stage-1 dot,
+      // exact re-rank of the survivors
+      recall3("v18 int8 re-rank",
+        queries.VectorOps.annInt8Rerank(spark, docsDir.toString))
       // v17: the build/serve split — the index WRITTEN to parquet,
       // then served from a FRESH session that owns no memo and learns
       // nothing: the steady-state cost a deployment pays per query

@@ -374,6 +374,17 @@ class PlanSpec extends SparkSpec {
       "both scans must read the bucketed layout")
   }
 
+  test("v18: int8 codes score map-only off broadcasts; no corpus sort-merge or cartesian") {
+    // stage 1 is the broadcast-queries × corpus-codes integer dot
+    // (pure longs — no float in the cut's ordering); the two-level
+    // cut fans each query across sub-bucket reducers; stage 2 fetches
+    // ≤ 10 × Int8Keep survivors by broadcast joins
+    val p = plan("v18_int8_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin"), "stage-1 pairing must broadcast")
+    assert(p.contains("pmod"), "the local cut must fan out by sub-bucket")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("v15: both directions of the kNN edge union reuse ONE pair materialization") {
     // the directed union reads the deduped pair aggregate twice (once
     // per direction); the pair join + its map side must materialize
