@@ -726,9 +726,53 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q33: INCREMENTAL AGGREGATE MAINTENANCE — the don't-rescan-history
+    * batch pattern every 100 TB nightly pipeline runs: yesterday's
+    * per-key aggregate is MATERIALIZED (staged to parquet, like a
+    * production metrics table), and today's query scans ONLY the
+    * delta (ts past the cut — the predicate pushes to the scan) and
+    * merges the two partial-aggregate relations. The merge is exact
+    * because every partial is an integer: counts, and value summed in
+    * CENTS (`round(value·100)` as BIGINT) — a double sum's result
+    * depends on addition order, so history-sum + delta-sum could
+    * differ from the oracle's single-pass sum in the last ulp; cent
+    * integers make partial-merge associativity exact, which is the
+    * property incremental maintenance NEEDS (the t28/v7 micro-unit
+    * idiom applied to maintenance state). The oracle computes the
+    * same statistics over the full table in one pass — maintenance
+    * must be invisible in the result. */
+  def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = (lo + hi) / 2
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+    // "yesterday's" materialized aggregate — written once per input
+    // fingerprint, read back from parquet like the real metrics table
+    val hist = java.nio.file.Paths.get("target",
+      s"q33_hist_${layoutHex(s, dir, "events")}").toAbsolutePath
+    synchronized {
+      if (!java.nio.file.Files.exists(hist.resolve("_SUCCESS")))
+        partial(ev.filter(col("ts") <= cut))
+          .write.mode("overwrite").parquet(hist.toString)
+    }
+    // today: scan the delta only + merge with the stored partials
+    s.read.parquet(hist.toString)
+      .unionAll(partial(ev.filter(col("ts") > cut)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pc")).cast("double") / 100d, 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
+    "q33_incremental_agg" -> (q33IncrementalAgg _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -889,6 +933,13 @@ object Relational {
         | round(sum(o.o_totalprice), 2) AS total_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the maintenance split is internal — the oracle is the one-pass
+    // aggregate over the full table (same cent-exact statistics)
+    "q33_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,
