@@ -86,7 +86,72 @@ object JobHistoryOps {
     Reports.timelineFromPhaseCounts(v(s), converged)
   }
 
+  /** jh_summary through the SQL-TEXT surface — the same report
+    * computed by one `spark.sql(...)` statement over registered temp
+    * views of the parsed entity relations (job / map_tasks /
+    * reduce_tasks / final_attempts / reduce_attempt_times), and gated
+    * against the IDENTICAL oracle as the programmatic jh_summary: an
+    * analytics engine's users write SQL strings, not only DataFrame
+    * code, so the text path earns its own hash gate. The arithmetic
+    * mirrors [[Reports.summary]] exactly (BIGINT subtraction, double
+    * division, truncating cast — the reference's scale-then-truncate
+    * semantics, SURVEY §7.4 P9). */
+  private def summarySqlText(scale: Long): String = {
+    def fin(t: String) = s"$t.attrs['FINISH_TIME'] IS NOT NULL"
+    def elapsed(t: String) =
+      s"CAST((CAST($t.attrs['FINISH_TIME'] AS BIGINT) - " +
+        s"CAST($t.attrs['START_TIME'] AS BIGINT)) / $scale AS BIGINT)"
+    s"""WITH maps AS (
+       |  SELECT count(CASE WHEN ${fin("t")} THEN 1 END) AS num_maps,
+       |    sum(CASE WHEN ${fin("t")} THEN ${elapsed("t")} END)
+       |      AS total_map_time,
+       |    max(CASE WHEN ${fin("t")} THEN
+       |      CAST(t.attrs['FINISH_TIME'] AS BIGINT) DIV $scale END)
+       |      AS all_maps_complete
+       |  FROM jh_map_tasks t
+       |), shuffle_of_final AS (
+       |  SELECT f.task_id, r.shuffle_u
+       |  FROM jh_final_attempts f
+       |  JOIN (SELECT attempt_id, shuffle_u FROM jh_reduce_attempt_times) r
+       |    USING (attempt_id)
+       |), reduces AS (
+       |  SELECT count(CASE WHEN ${fin("t")} THEN 1 END) AS num_reduces,
+       |    sum(CASE WHEN ${fin("t")} THEN ${elapsed("t")} END)
+       |      AS total_reduce_time,
+       |    sum(CASE WHEN ${fin("t")} THEN
+       |      CAST((sf.shuffle_u * $scale -
+       |        CAST(t.attrs['START_TIME'] AS BIGINT)) / $scale AS BIGINT)
+       |      END) AS total_shuffle_time
+       |  FROM jh_reduce_tasks t LEFT JOIN shuffle_of_final sf
+       |    USING (task_id)
+       |)
+       |SELECT j.attrs['JOBID'] AS job_id, j.attrs['JOBNAME'] AS job_name,
+       |  j.attrs['USER'] AS `user`, j.attrs['JOB_STATUS'] AS job_status,
+       |  CAST((CAST(j.attrs['FINISH_TIME'] AS BIGINT) -
+       |    CAST(j.attrs['LAUNCH_TIME'] AS BIGINT)) / $scale AS BIGINT)
+       |    AS total_time,
+       |  m.num_maps, m.total_map_time, m.all_maps_complete,
+       |  r.num_reduces, r.total_reduce_time, r.total_shuffle_time,
+       |  CAST(m.total_map_time AS DOUBLE) / m.num_maps AS avg_map_time,
+       |  CAST(r.total_shuffle_time AS DOUBLE) / r.num_reduces
+       |    AS avg_shuffle_time,
+       |  CAST(r.total_reduce_time AS DOUBLE) / r.num_reduces
+       |    AS avg_reduce_time
+       |FROM jh_job j CROSS JOIN maps m CROSS JOIN reduces r""".stripMargin
+  }
+
+  private def summarySql(s: SparkSession): DataFrame = {
+    val vs = v(s)
+    vs.job.createOrReplaceTempView("jh_job")
+    vs.mapTasks.createOrReplaceTempView("jh_map_tasks")
+    vs.reduceTasks.createOrReplaceTempView("jh_reduce_tasks")
+    vs.finalAttempts.createOrReplaceTempView("jh_final_attempts")
+    vs.reduceAttemptTimes.createOrReplaceTempView("jh_reduce_attempt_times")
+    s.sql(summarySqlText(vs.scale))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jh_summary_sql" -> ((s, _) => summarySql(s)),
     "jh_task_counters" -> ((s, _) =>
       v(s).taskCounters.orderBy("task_id", "counter_group", "counter_name")),
     "jh_map_details" -> ((s, _) => Reports.mapDetails(v(s))),
@@ -335,6 +400,9 @@ object JobHistoryOps {
        |FROM spine LEFT JOIN counts USING (time) ORDER BY time""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the SQL-text surface must land on the same bytes as the
+    // programmatic report — one oracle serves both
+    "jh_summary_sql" -> summaryOracle,
     "jh_summary" -> summaryOracle,
     "jh_summary_per_job" -> summaryPerJobOracle,
     "jh_timeline" -> timelineOracle,
