@@ -37,6 +37,25 @@ class StreamingGateSpec extends SparkSpec {
         "this gate exists to pin were not exercised")
   }
 
+  test("s12 runs under the RocksDB state store and equals the default-store run") {
+    val (df, progress) =
+      StreamingOps.streamedTumblingRocksDbWithProgress(spark, dir)
+    val rocks = df.collect()
+    // the provider actually engaged: RocksDB custom metrics surface in
+    // the state operator's progress (a silently-ignored conf would
+    // leave the default provider's metrics here)
+    assert(progress.contains("rocksdb"),
+      s"expected RocksDB state-store metrics in progress:\n$progress")
+    // and the conf was restored for the rest of the session
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(
+        !_.contains("RocksDB")))
+    // a state backend may never change results
+    val dflt = StreamingOps.streamedTumbling(spark, dir).collect()
+    assert(rocks.map(_.toSeq.toVector).toSeq ===
+      dflt.map(_.toSeq.toVector).toSeq)
+  }
+
   test("s9 streamed top-k equals the batch per-window rank") {
     val got = StreamingOps.streamedTopK(spark, dir).collect()
     val batch = {
