@@ -695,7 +695,10 @@ object Relational {
     * broadcast and hide the property being gated; the oracle is the
     * plain unbucketed join. */
   def q32BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val hex = layoutHex(s, dir, "orders")
+    // BOTH sides' fingerprints ride in the hex: a regenerated customer
+    // table with an unchanged orders table must re-stage too, or the
+    // existing-tables short-circuit would serve a stale customer layout
+    val hex = layoutHex(s, dir, "orders") + layoutHex(s, dir, "customer")
     val ot = s"graft_q32_orders_$hex"
     val ct = s"graft_q32_customer_$hex"
     synchronized {
@@ -742,27 +745,64 @@ object Relational {
     * same statistics over the full table in one pass — maintenance
     * must be invisible in the result. */
   def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("event_type"), col("ts"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val cut = (lo + hi) / 2
+    // the cut predicate compares in the parquet column's NATIVE type
+    // (BIGINT nanos or TIMESTAMP) — a predicate over the normalized
+    // (converted) ts is an expression over the column and can never
+    // reach PushedFilters; the native-typed literal folds and pushes.
+    // cut is stored in nanos; micros files compare at cut DIV 1000,
+    // exact because every micros value m satisfies m*1000 > cut ⟺
+    // m > cut DIV 1000 (and the ≤ complement likewise).
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def cutLit(cutNanos: Long): Column =
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(cutNanos)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          expr(s"timestampadd(MICROSECOND, ${cutNanos / 1000}, " +
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))")
+        case _ => expr(s"timestamp_micros(${cutNanos / 1000})")
+      }
     def partial(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"))
+      df.select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
     // "yesterday's" materialized aggregate — written once per input
-    // fingerprint, read back from parquet like the real metrics table
+    // fingerprint, read back from parquet like the real metrics table.
+    // The CUT POINT (the high-watermark ts the history covers) is
+    // persisted WITH the partials: the incremental query's only
+    // corpus-side work must be the pushed-down delta scan — reading
+    // the cut by re-aggregating min/max over the full table (the old
+    // formulation) is itself a full-column scan at 100 TB. In
+    // production the cut is known maintenance state; here the
+    // artifact IS that state.
     val hist = java.nio.file.Paths.get("target",
       s"q33_hist_${layoutHex(s, dir, "events")}").toAbsolutePath
+    val cutFile = hist.resolve("_CUT")
+    val partsDir = hist.resolve("partials")
     synchronized {
-      if (!java.nio.file.Files.exists(hist.resolve("_SUCCESS")))
-        partial(ev.filter(col("ts") <= cut))
-          .write.mode("overwrite").parquet(hist.toString)
+      if (!java.nio.file.Files.exists(cutFile) ||
+          !java.nio.file.Files.exists(partsDir.resolve("_SUCCESS"))) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(hist.toFile)
+        // the one-time BUILD pays the bounds scan (offline, like the
+        // index builds); every later invocation reads the cut back
+        val Array(lo, hi) = t(s, dir, "events")
+          .agg(min(col("ts")), max(col("ts")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = (lo + hi) / 2
+        partial(raw.filter(col("ts") <= cutLit(cut)))
+          .write.mode("overwrite").parquet(partsDir.toString)
+        java.nio.file.Files.write(cutFile, cut.toString.getBytes("UTF-8"))
+      }
     }
-    // today: scan the delta only + merge with the stored partials
-    s.read.parquet(hist.toString)
-      .unionAll(partial(ev.filter(col("ts") > cut)))
+    val cut = new String(java.nio.file.Files.readAllBytes(cutFile),
+      "UTF-8").trim.toLong
+    // today: scan the delta only (ts > cut pushes to the parquet scan —
+    // plan-pinned in PlanSpec) + merge with the stored partials
+    s.read.parquet(partsDir.toString)
+      .unionAll(partial(raw.filter(col("ts") > cutLit(cut))))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n_events"),
         round(sum(col("pc")).cast("double") / 100d, 2).as("sum_value"))

@@ -374,6 +374,18 @@ class PlanSpec extends SparkSpec {
       "both scans must read the bucketed layout")
   }
 
+  test("q33: the incremental query scans ONLY the delta — cut pushed down, no bounds re-scan") {
+    // the cut point is maintenance state read from the history
+    // artifact, so the events scan must carry the pushed ts > cut
+    // filter and the plan must NOT contain a second full-table min/max
+    // aggregate deriving the cut (a full-column scan at 100 TB)
+    val p = plan("q33_incremental_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"the delta cut must push to the events scan:\n$p")
+    assert(!p.contains("min(ts)") && !p.contains("max(ts)"),
+      s"the cut must come from the artifact, not a bounds re-scan:\n$p")
+  }
+
   test("v18: int8 codes score map-only off broadcasts; no corpus sort-merge or cartesian") {
     // stage 1 is the broadcast-queries × corpus-codes integer dot
     // (pure longs — no float in the cut's ordering); the two-level
