@@ -162,6 +162,21 @@ object DedupOps {
   private[queries] def bucketCap(s: SparkSession): Int =
     s.conf.get("graft.lsh.bucketCap", LshBucketCap.toString).toInt
 
+  /** The DuckDB oracles interpolate the COMPILE-TIME [[LshBucketCap]]
+    * into their `bsz`/`bsub`/`ksz`/`ksub` CTEs; a gate run with
+    * `graft.lsh.bucketCap` overridden and any bucket above the
+    * effective cap would silently diverge from the oracle. Every
+    * oracle-gated entry point that sub-buckets asserts the two agree —
+    * a mismatch fails loudly instead of hash-mismatching downstream.
+    * (The adversarial cap spec exercises overrides through the
+    * non-gated helpers, which stay conf-driven.) */
+  private[queries] def requireOracleCap(s: SparkSession): Unit = {
+    val eff = bucketCap(s)
+    require(eff == LshBucketCap,
+      s"graft.lsh.bucketCap=$eff differs from the oracle's compile-time " +
+        s"$LshBucketCap: the gated result could diverge from its oracle")
+  }
+
   private[queries] def minhashPairsOf(d: DataFrame): DataFrame = {
     // The explicit repartition is load-bearing: the signature subtree
     // is map-only all the way from the scan, so without an exchange of
@@ -198,10 +213,12 @@ object DedupOps {
 
   /** t7: MinHash signatures → LSH banding → candidate pairs → estimated
     * Jaccard (signature agreement fraction). Top-20. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    requireOracleCap(s)
     minhashPairsOf(docs(s, dir))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
 
   /** t23: sketch-accuracy AUDIT — for every LSH candidate pair, the
     * MinHash-ESTIMATED Jaccard (signature agreement, what t7 ships)
@@ -221,6 +238,7 @@ object DedupOps {
     * min-hash agreement implies a shared shingle, so such a row also
     * witnesses a hash collision. */
   def sketchAudit(s: SparkSession, dir: String): DataFrame = {
+    requireOracleCap(s)
     val d = docs(s, dir)
     val cand = minhashPairsOf(d)
     val sh = TextOps.hashedShinglesOf(d)
@@ -251,6 +269,7 @@ object DedupOps {
     * three keyed shuffles, no driver-side loops — the shape scales
     * linearly with corpus size. */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    requireOracleCap(s)
     val d = docs(s, dir)
     val quality = d
       .withColumn("words", split(col("text"), " "))
@@ -541,13 +560,15 @@ object DedupOps {
     * component id (min member), component size, and whether it is the
     * kept canonical. Docs with no near-duplicate are not emitted
     * (singleton clusters are the uninteresting common case). */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    requireOracleCap(s)
     connectedComponentsOf(s,
       minhashPairsOf(docs(s, dir))
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b")),
       memoKey =
         s"t13:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+  }
 
   /** t29: leakage-safe train/eval split — the assignment rule a
     * decontaminated pipeline needs: near-duplicate docs must NEVER
@@ -627,10 +648,12 @@ object DedupOps {
       .distinct()
   }
 
-  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    requireOracleCap(s)
     simhashCandidates(docs(s, dir))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
+  }
 
   /** t9 cell-count scaling: target within-cell size, so k = ⌈n/50⌉
     * (min 8) GROWS with the corpus — the property the fixed 10-value
@@ -968,6 +991,58 @@ object DedupOps {
       .agg(min(col("cell")).as("cell"), max(col("cos")).as("cos"))
       .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Where the persisted near-dup CELL index for `dir` lives — the
+    * t9/v15 learned blocking cells under the v17 artifact idiom: the
+    * input fingerprint rides in the directory name, so a regenerated
+    * embeddings table re-builds instead of serving a stale index, and
+    * a FRESH SESSION finds a current artifact by recomputing the same
+    * name. */
+  private[graft] def nearDupIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val key = s"neardup:$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", s"neardup_cells_$hex").toAbsolutePath
+  }
+
+  /** BUILD the cell-index artifact — the expensive one-time pass: the
+    * corpus-scaled Lloyd cascade (k ∝ n hash-seeded cells, the 162 s
+    * cold wall at fleet scale) runs ONCE and the per-vector probe
+    * assignment persists as one parquet relation `assign`
+    * (cluster, vec_id, embedding — the inverted file: each vector
+    * listed under its [[NearDupProbes]] probed cells). Serving the kNN
+    * graph / t9 pair join then starts at [[cellBlockedPairs]] with no
+    * Lloyd iteration and no in-session memo. Idempotent: a present
+    * non-empty `_INDEX_READY` marker (carrying a per-build nonce, the
+    * v17 contract) short-circuits, including across sessions. At
+    * 100 TB the relation is additionally written partitioned by a
+    * cluster prefix so a cell-local serve touches one partition; at
+    * gate scale the cluster column + row-group stats carry the same
+    * prune. */
+  private[graft] def buildNearDupIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val out = nearDupIndexPath(s, dir)
+      val marker = out.resolve("_INDEX_READY")
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.size(marker) == 0) {
+        graft.functions.VectorDotProduct.register(s)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
+        val e = graft.Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        nearDupAssign(e, memoKey =
+          s"$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}")
+          .select(col("cluster"), col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(out.resolve("assign").toString)
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
+      }
+      out.toString
+    }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)

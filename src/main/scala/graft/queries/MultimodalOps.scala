@@ -208,10 +208,12 @@ object MultimodalOps {
     * (memoized converged labels). Output shape = t13's: one row per
     * clustered medium, component id = min member, `keep` on the
     * canonical. */
-  def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
+    DedupOps.requireOracleCap(s)
     DedupOps.connectedComponentsOf(s, ahashHammingEdges(mediaAhash(s, dir)),
       memoKey =
         s"m6:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+  }
 
   /** The hamming-ball (≤ 3) candidate edges over a `(doc_id, ahash)`
     * relation — extracted so the adversarial bucket-cap spec can

@@ -837,11 +837,17 @@ object VectorOps {
   def knnGraphScaled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val pairs = DedupOps.cellBlockedPairs(
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
       DedupOps.nearDupAssign(e, memoKey =
         s"$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}"),
-      DedupOps.NearDupCellCap)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      DedupOps.NearDupCellCap))
+  }
+
+  /** The shared v15/v19 tail: direct each undirected within-cell pair
+    * both ways and keep the top-3 per SOURCE vector (cardinality n —
+    * full reducer parallelism, no per-query hotspot). */
+  private def knnDirectedTop3(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("vec_a"), col("vec_b"), col("cos"))
     val directed = pairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
       .unionAll(pairs
@@ -852,6 +858,25 @@ object VectorOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("src"), col("rnk"))
+  }
+
+  /** v19: the v15 kNN graph SERVED from the persisted cell index —
+    * the v17 build/serve split applied to the t9/v15 learned blocking
+    * cells (the OTHER per-session Lloyd cascade, the one the r11
+    * verdict flagged as still rebuilding per session — 162 s cold at
+    * fleet scale). The serve path reads ONLY the artifact's `assign`
+    * relation (cluster, vec_id, embedding — the inverted file written
+    * by [[DedupOps.buildNearDupIndex]]) and runs the identical
+    * within-cell pair join + directed top-3 tail, so the result is
+    * bit-equal to v15 and the SAME oracle hashes it: cell assignment
+    * is the only learned state, and it rides in the artifact. A fresh
+    * session pays only the artifact read (measured in BASELINE.md
+    * next to the cold in-query cascade). */
+  def knnGraphServe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val idx = DedupOps.buildNearDupIndex(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      s.read.parquet(s"$idx/assign"), DedupOps.NearDupCellCap))
   }
 
   private lazy val knnGraphScaledOracle: String =
@@ -1347,7 +1372,11 @@ object VectorOps {
   private[graft] def buildAnnIndex(s: SparkSession, dir: String): String =
     synchronized {
       val out = annIndexPath(s, dir)
-      if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
+      val marker = out.resolve("_INDEX_READY")
+      // a nonce-less (empty) marker is a pre-nonce artifact: rebuild
+      // once so the idempotency contract becomes content-checkable
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.size(marker) == 0) {
         graft.functions.VectorDotProduct.register(s)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -1365,8 +1394,11 @@ object VectorOps {
           .map { case (b, m) => b.withColumn("m", lit(m)) }
           .reduce(_ unionAll _)
           .write.mode("overwrite").parquet(out.resolve("codebooks").toString)
+        // the marker carries a per-build nonce so an accidental rebuild
+        // is detectable by content regardless of filesystem timestamp
+        // granularity (AnnIndexSpec compares bytes, not mtimes)
         java.nio.file.Files.write(out.resolve("_INDEX_READY"),
-          Array.emptyByteArray)
+          System.nanoTime().toString.getBytes("UTF-8"))
       }
       out.toString
     }
@@ -1554,7 +1586,8 @@ object VectorOps {
     "v15_knn_graph_scaled" -> (knnGraphScaled _),
     "v16_range_search" -> (rangeSearch _),
     "v17_ann_index_load" -> (annIndexServe _),
-    "v18_int8_rerank" -> (annInt8Rerank _))
+    "v18_int8_rerank" -> (annInt8Rerank _),
+    "v19_knn_index_load" -> (knnGraphServe _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1647,5 +1680,8 @@ object VectorOps {
     "v13_prefix_rerank" -> prefixRerankOracle,
     "v14_knn_graph" -> knnGraphOracle,
     "v15_knn_graph_scaled" -> knnGraphScaledOracle,
+    // serving from the written cell index must be bit-equal to the
+    // in-session v15 build — one oracle serves both
+    "v19_knn_index_load" -> knnGraphScaledOracle,
     "v16_range_search" -> rangeSearchOracle)
 }

@@ -32,12 +32,44 @@ class AnnIndexSpec extends SparkSpec {
       v12.map(_.toSeq.toVector).toSeq)
   }
 
+  test("v19 cell-index serve equals the in-session v15 graph exactly") {
+    val served = VectorOps.knnGraphServe(spark, dir).collect()
+    val idx = DedupOps.nearDupIndexPath(spark, dir)
+    Seq("assign", "_INDEX_READY").foreach(p =>
+      assert(Files.exists(idx.resolve(p)), s"missing artifact piece $p"))
+    // the inverted file lists each vector under its NearDupProbes cells
+    val assign = spark.read.parquet(idx.resolve("assign").toString)
+    assert(assign.columns.sorted.toSeq ===
+      Seq("cluster", "embedding", "vec_id"))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(assign.count() === n * DedupOps.NearDupProbes)
+    // serving from the written artifact = the in-session cascade (v15)
+    val v15 = VectorOps.knnGraphScaled(spark, dir).collect()
+    assert(served.map(_.toSeq.toVector).toSeq ===
+      v15.map(_.toSeq.toVector).toSeq)
+  }
+
+  test("v19 build is idempotent: a second serve reuses the artifact unmodified") {
+    VectorOps.knnGraphServe(spark, dir).collect()
+    val marker = DedupOps.nearDupIndexPath(spark, dir).resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(nonce0.nonEmpty, "the marker must carry a build nonce")
+    val again = VectorOps.knnGraphServe(spark, dir).collect()
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0,
+      "the artifact must not rebuild when the input is unchanged")
+    assert(again.nonEmpty)
+  }
+
   test("v17 build is idempotent: a second serve reuses the artifact unmodified") {
     VectorOps.annIndexServe(spark, dir).collect()
     val marker = VectorOps.annIndexPath(spark, dir).resolve("_INDEX_READY")
-    val t0 = Files.getLastModifiedTime(marker)
+    // the marker carries a per-build nonce: content equality detects an
+    // accidental rebuild even on filesystems with coarse (1 s) mtimes,
+    // where a same-second rebuild would falsely pass an mtime compare
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(nonce0.nonEmpty, "the marker must carry a build nonce")
     val again = VectorOps.annIndexServe(spark, dir).collect()
-    assert(Files.getLastModifiedTime(marker) === t0,
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0,
       "the artifact must not rebuild when the input is unchanged")
     assert(again.nonEmpty)
   }
