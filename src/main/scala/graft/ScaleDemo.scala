@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * decomposition; `t8` only the fleet SimHash pair measurement;
   * `audit` only the t23 exact-vs-sketch audit over every LSH
   * candidate pair; `knn` the v15 graph + its recall and cross-cell
-  * boundary audit; `curation` the composed t28+t27+t19 publish
-  * pass).
+  * boundary audit + the v19 cell-index build/serve split;
+  * `curation` the composed t28+t27+t19 publish
+  * pass; `restart` the s10 checkpointed stop/resume over the 10 M
+  * event corpus — run-1/run-2/uninterrupted walls + restored state
+  * size).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -102,6 +105,30 @@ object ScaleDemo {
     val docsParquet = docsDir.resolve("documents.parquet")
     def corpusStale(path: java.nio.file.Path, need: Long): Boolean =
       Files.exists(path) && spark.read.parquet(path.toString).count() != need
+    // the copies× events corpus (fresh user ids per copy), shared by
+    // the docs-phase stream/join measurements and the restart phase;
+    // generated once, reused — returns the actual on-disk row count
+    val evParquet = docsDir.resolve("events.parquet")
+    def ensureEventsCorpus(): Long = {
+      val baseEvents = Tables(spark, "/root/testdata/sf0.1", "events").count()
+      if (!Files.exists(evParquet) ||
+          corpusStale(evParquet, baseEvents * copies)) {
+        time(s"generate ${copies}x events") {
+          val base = Tables(spark, "/root/testdata/sf0.1", "events")
+          val maxUser = base.agg(max(col("user_id"))).head().getLong(0) + 1
+          base
+            .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
+            .withColumn("event_id",
+              col("event_id") * copies + col("k"))
+            .withColumn("user_id",
+              col("user_id") + col("k") * maxUser)
+            .drop("k")
+            .repartition(cpus.toInt)
+            .write.mode(SaveMode.Overwrite).parquet(evParquet.toString)
+        }
+      }
+      spark.read.parquet(evParquet.toString).count()
+    }
     val baseDocs =
       if (in("all", "docs", "t8", "audit", "t13", "curation"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
@@ -462,25 +489,7 @@ object ScaleDemo {
     // user unchanged — the 100 TB shape is more users, not denser
     // timelines), so qualifying pairs grow linearly with the corpus
     // and the join stays a keyed hash equi-join on (user, bucket).
-    val evParquet = docsDir.resolve("events.parquet")
-    val baseEvents = Tables(spark, "/root/testdata/sf0.1", "events").count()
-    if (!Files.exists(evParquet) ||
-        corpusStale(evParquet, baseEvents * copies)) {
-      time(s"generate ${copies}x events") {
-        val base = Tables(spark, "/root/testdata/sf0.1", "events")
-        val maxUser = base.agg(max(col("user_id"))).head().getLong(0) + 1
-        base
-          .withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
-          .withColumn("event_id",
-            col("event_id") * copies + col("k"))
-          .withColumn("user_id",
-            col("user_id") + col("k") * maxUser)
-          .drop("k")
-          .repartition(cpus.toInt)
-          .write.mode(SaveMode.Overwrite).parquet(evParquet.toString)
-      }
-    }
-    val actualEvents = spark.read.parquet(evParquet.toString).count()
+    val actualEvents = ensureEventsCorpus()
     spark.catalog.clearCache()
     time(s"q26 bucketed range self-join ($actualEvents events)") {
       noop(queries.Relational.q26RangeJoin(spark, docsDir.toString))
@@ -755,6 +764,33 @@ object ScaleDemo {
         }
         bruteAll.unpersist()
       }
+      // v19: the build/serve split applied to the learned kNN cells —
+      // the v17 idiom over the OTHER Lloyd cascade. The build here
+      // rides the session memo the cold v15 above just populated (the
+      // true cold build IS that 160 s cascade), so its wall isolates
+      // the artifact write; the serve runs in a FRESH session (no
+      // memo) and pays only the artifact read + the within-cell pair
+      // join + top-3 tail — the steady-state cost every later session
+      // pays instead of relearning the cells.
+      locally {
+        val idx = queries.DedupOps.nearDupIndexPath(spark, docsDir.toString)
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(idx.toFile)
+        time(s"v19 cell-index build -> parquet artifact ($actualVecs vectors)") {
+          queries.DedupOps.buildNearDupIndex(spark, docsDir.toString)
+        }
+        val fresh = spark.newSession()
+        graft.functions.VectorDotProduct.register(fresh)
+        spark.catalog.clearCache()
+        var servedEdges = 0L
+        time(s"v19 kNN graph SERVE from written cell index (fresh session)") {
+          servedEdges = queries.VectorOps
+            .knnGraphServe(fresh, docsDir.toString).count()
+        }
+        println(s"SCALE v19 served edges: $servedEdges (expect $edges)")
+      }
     }
     }
 
@@ -777,28 +813,151 @@ object ScaleDemo {
           .readRaw(spark, s"$fleetDir/log-000*.txt")
           .write.mode(SaveMode.Overwrite).parquet(recDir.toString)
       }
-      val ckpt = Paths.get("target",
-        s"scale_stream_ckpt_${System.nanoTime()}").toAbsolutePath
+      def runTimelineStream(tag: String): Unit = {
+        val ckpt = Paths.get("target",
+          s"scale_stream_ckpt_${System.nanoTime()}").toAbsolutePath
+        try {
+          time(s"fleet timelineStreamPerJob (100-log slice, $tag)") {
+            val stream = spark.readStream
+              .schema(spark.read.parquet(recDir.toString).schema)
+              .parquet(recDir.toString)
+            val q = jobhistory.Streaming
+              .timelineStreamPerJob(jobhistory.Streaming.parseRecords(stream))
+              .writeStream.format("noop")
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode("update").trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            Option(q.lastProgress).foreach(_.stateOperators.foreach { so =>
+              println(s"SCALE   state op ${so.operatorName}: " +
+                s"rows=${so.numRowsTotal} mem=${so.memoryUsedBytes}B")
+              // the provider's own telemetry (for RocksDB: pinned
+              // block-cache memory vs SST bytes on disk — the split
+              // that keeps 10× this state out of executor heap)
+              val cm = so.customMetrics
+              if (!cm.isEmpty) {
+                val keep = Seq("rocksdbTotalMemoryUsageBytes",
+                  "rocksdbSstFileSize", "rocksdbTotalSSTFilesBytes",
+                  "loadedMapCacheHitCount", "stateOnCurrentVersionSizeBytes")
+                val picked = keep.flatMap(k =>
+                  Option(cm.get(k)).map(v => s"$k=$v"))
+                if (picked.nonEmpty)
+                  println(s"SCALE     provider metrics: " +
+                    picked.mkString(" "))
+              }
+            })
+          }
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(ckpt.toFile)
+        }
+      }
+      runTimelineStream("default state store")
+      // the same stream under the DEPLOYMENT state backend: RocksDB
+      // keeps per-partition state on local disk with bounded
+      // block-cache memory — the config once aggregation state
+      // outgrows executor heap (this stream measured ~1.35 GB on the
+      // in-memory store). Results are provider-invariant (s12 gates
+      // that at sf0.01); this row records the provider's cost and
+      // memory/disk split at fleet scale.
+      locally {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev =
+          try Some(spark.conf.get(key)) catch { case _: Exception => None }
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try runTimelineStream("RocksDB state store")
+        finally prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
+    // ---------------------------------------------- restart at scale
+    // s10 restart recovery at FLEET scale (`phase=restart`): the gate
+    // (StreamingOps.streamedRestart) proves the exactly-once property
+    // at sf0.01; this measures what production cares about over the
+    // 10 M-event corpus — how long the RESTARTED query takes (state
+    // restore + delta-only processing) and how much durable state it
+    // restores. The corpus splits by time at the midpoint into a flat
+    // directory of `a-*`/`b-*` parquet files (PARTITIONED write, part
+    // files renamed — no single-task coalesce at this size); run 1
+    // checkpoints a tumbling-window aggregation over the a-files to
+    // completion, the query object is discarded (the "crash"), run 2
+    // restarts from the SAME checkpoint over the widened glob. The
+    // committed file log makes run 2 read ONLY the b-files, so its
+    // wall should land near run 1's half-corpus cost — NOT the
+    // uninterrupted full run's (also measured, as the anchor).
+    if (in("all", "restart")) {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.catalog.clearCache()
+      val nEvents = ensureEventsCorpus()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      val trDir = docsDir.resolve("restart_tranches")
+      if (!Files.exists(trDir.resolve("_STAGED")))
+        time("stage restart tranches (time-split events)") {
+          rm(trDir.toFile)
+          Files.createDirectories(trDir)
+          val ev = spark.read.parquet(evParquet.toString)
+          val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          val cut = lo + (hi - lo) / 2
+          Seq("a" -> ev.filter(col("ts") <= cut),
+              "b" -> ev.filter(col("ts") > cut)).foreach { case (tag, half) =>
+            val tmp = trDir.resolve(s"tmp_$tag")
+            half.repartition(8).write
+              .mode(SaveMode.Overwrite).parquet(tmp.toString)
+            tmp.toFile.listFiles()
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+              .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+                Files.move(f.toPath, trDir.resolve(f"$tag-$i%03d.parquet"))
+              }
+            rm(tmp.toFile)
+          }
+          Files.write(trDir.resolve("_STAGED"), Array.emptyByteArray)
+        }
+      val schema = spark.read.parquet(trDir.toString).schema
+      def tranche(glob: String) =
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", glob).parquet(trDir.toString)
+          .select(col("ts"), col("event_type"), col("value"))
+      def runOnce(glob: String, ckpt: java.nio.file.Path)
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = streaming.EventWindows.windowedCounts(tranche(glob))
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+      def du(p: java.io.File): Long =
+        if (p.isFile) p.length
+        else Option(p.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      val ckpt = docsDir.resolve(s"restart_ckpt_${System.nanoTime()}")
+      val ckptFull = docsDir.resolve(s"restart_full_${System.nanoTime()}")
       try {
-        time("fleet timelineStreamPerJob (100-log slice, real stream)") {
-          val stream = spark.readStream
-            .schema(spark.read.parquet(recDir.toString).schema)
-            .parquet(recDir.toString)
-          val q = jobhistory.Streaming
-            .timelineStreamPerJob(jobhistory.Streaming.parseRecords(stream))
-            .writeStream.format("noop")
-            .option("checkpointLocation", ckpt.toString)
-            .outputMode("update").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+        time(s"s10 run 1: tranche A under checkpoint (~${nEvents / 2} events)") {
+          runOnce("a-*.parquet", ckpt)
+        }
+        println(s"SCALE   durable state after run 1 (checkpoint state dir): " +
+          s"${du(ckpt.resolve("state").toFile)} B")
+        time("s10 run 2: RESTART from checkpoint, widened glob (delta-only)") {
+          val q = runOnce("*.parquet", ckpt)
           Option(q.lastProgress).foreach(_.stateOperators.foreach(so =>
-            println(s"SCALE   state op ${so.operatorName}: " +
-              s"rows=${so.numRowsTotal} mem=${so.memoryUsedBytes}B")))
+            println(s"SCALE   restored state op: rows=${so.numRowsTotal} " +
+              s"mem=${so.memoryUsedBytes}B")))
+        }
+        spark.catalog.clearCache()
+        time(s"s10 anchor: uninterrupted full run ($nEvents events)") {
+          runOnce("*.parquet", ckptFull)
         }
       } finally {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(ckpt.toFile)
+        rm(ckpt.toFile); rm(ckptFull.toFile)
       }
     }
 
