@@ -116,20 +116,42 @@ object Bench {
     // Pre-stage every persistent layout/fixture artifact (UNCOUNTED):
     // the one-time staging writes — q31's partitioned directory, q32's
     // bucketed tables, q33's history partials, s10/s11's restart
-    // tranches, the v17 ANN and v19 kNN-cell indexes — are build-time
-    // work, not query time, and when one lands inside a timed rep its
-    // I/O churns the page cache under every neighboring query (the
-    // r11 q16/m7 outliers). Each stager is fingerprint-idempotent, so
-    // on a box where the artifacts already exist this is a no-op.
-    if (only.isEmpty) {
-      graft.queries.Relational.q31PartitionPrune(spark, sfDir)
-      graft.queries.Relational.q32BucketedJoin(spark, sfDir)
-      graft.queries.Relational.q33IncrementalAgg(spark, sfDir)
-      graft.queries.StreamingOps.stageRestartFixtures(spark, sfDir)
-      graft.queries.VectorOps.buildAnnIndex(spark, sfDir)
-      graft.queries.DedupOps.buildNearDupIndex(spark, sfDir)
-      spark.catalog.clearCache()
+    // tranches, the v17 ANN, v19 kNN-cell and t33 CC-label indexes —
+    // are build-time work, not query time, and when one lands inside a
+    // timed rep its I/O churns the page cache under every neighboring
+    // query (the r11 q16/m7 outliers). Each stager is
+    // fingerprint-idempotent, so on a box where the artifacts already
+    // exist this is a no-op. A stager runs when its query is in the
+    // run (any run for `only` empty); a failing stager degrades to the
+    // old containment — its query fails in its own timed rep and lands
+    // in `errors` — instead of aborting the whole bench unmeasured.
+    val stagers: Seq[(Set[String], () => Unit)] = Seq(
+      Set("q31_partition_prune") ->
+        (() => { graft.queries.Relational.q31PartitionPrune(spark, sfDir); () }),
+      Set("q32_bucketed_join") ->
+        (() => { graft.queries.Relational.q32BucketedJoin(spark, sfDir); () }),
+      Set("q33_incremental_agg") ->
+        (() => { graft.queries.Relational.q33IncrementalAgg(spark, sfDir); () }),
+      Set("s10_stream_restart", "s11_restart_keyed_state") ->
+        (() => graft.queries.StreamingOps.stageRestartFixtures(spark, sfDir)),
+      Set("v17_ann_index_load") ->
+        (() => { graft.queries.VectorOps.buildAnnIndex(spark, sfDir); () }),
+      Set("v19_knn_index_load") ->
+        (() => { graft.queries.DedupOps.buildNearDupIndex(spark, sfDir); () }),
+      Set("t33_cc_index_load") ->
+        (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }))
+    var staged = false
+    stagers.foreach { case (names, run) =>
+      if (only.isEmpty || names.exists(only)) {
+        try { run(); staged = true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"pre-stage for ${names.mkString(",")} " +
+              s"failed (query will fail in its own rep): $e")
+        }
+      }
     }
+    if (staged) spark.catalog.clearCache()
     // noop sink: every projection executes (a count() would let
     // Catalyst prune map-only queries down to a parquet row count).
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -898,7 +898,17 @@ object ScaleDemo {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
       }
-      val trDir = docsDir.resolve("restart_tranches")
+      // keyed by the events-corpus fingerprint (the stageRestartFixture
+      // idiom): docsDir is shared across ScaleDemo runs, so a re-run
+      // with a different `copies` regenerates events.parquet — a bare
+      // un-keyed marker would then silently measure the restart walls
+      // over STALE tranches while printing the new corpus's nEvents
+      val trHex = java.security.MessageDigest.getInstance("MD5")
+        .digest((evParquet.toString + "@" +
+          queries.DedupOps.pathFingerprint(spark, evParquet.toString))
+          .getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val trDir = docsDir.resolve(s"restart_tranches_$trHex")
       if (!Files.exists(trDir.resolve("_STAGED")))
         time("stage restart tranches (time-split events)") {
           rm(trDir.toFile)

@@ -326,16 +326,22 @@ object DedupOps {
     * O(log² n) rounds — not needed for this workload and kept simple
     * here. */
   private[queries] def connectedComponentsOf(s: SparkSession,
-      edges: DataFrame, memoKey: String = null): DataFrame = {
-    // the converged-labels relation is the expensive part (an EAGER
-    // discovery loop of joins + min-aggregate actions); like t9's
-    // centroid memo, registry callers key it by the immutable table
-    // directory so repeated actions in one session (bench reps,
-    // downstream consumers) pay only the size join below. The memoized
-    // value holds no Spark blocks — a driver-local relation for small
-    // graphs, a swept parquet-checkpoint scan for big ones — so
-    // `clearCache()` semantics are unchanged (CacheLifecycleSpec).
-    val lab = ccMaterialize(s,
+      edges: DataFrame, memoKey: String = null): DataFrame =
+    ccClustersOf(ccConvergedLabelsDf(s, edges, memoKey))
+
+  /** The converged `(node, label)` relation, memoized per (session,
+    * key) — the expensive part (an EAGER discovery loop of joins +
+    * min-aggregate actions); like t9's centroid memo, registry callers
+    * key it by the immutable table directory so repeated actions in
+    * one session (bench reps, downstream consumers) pay only the
+    * cluster-assembly tail. The memoized value holds no Spark blocks —
+    * a driver-local relation for small graphs, a swept
+    * parquet-checkpoint scan for big ones — so `clearCache()`
+    * semantics are unchanged (CacheLifecycleSpec). Shared by the
+    * in-query t13 path and the t33 index BUILD. */
+  private def ccConvergedLabelsDf(s: SparkSession,
+      edges: DataFrame, memoKey: String): DataFrame =
+    ccMaterialize(s,
       if (memoKey == null) ccConvergedLabels(s, edges)
       else {
         val m = ccLabelMemo.computeIfAbsent(s, _ =>
@@ -355,6 +361,12 @@ object DedupOps {
           if (prev != null) prev else computed
         }
       })
+
+  /** The cluster-assembly tail over a converged `(node, label)`
+    * relation — size join + canonical flag + presentation order. ONE
+    * implementation serves the in-query path (t13) and the artifact
+    * serve path (t33), so the two are bit-equal by construction. */
+  private def ccClustersOf(lab: DataFrame): DataFrame = {
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, Seq("label"))
       .select(col("label").as("cluster_id"), col("node").as("doc_id"),
@@ -394,7 +406,7 @@ object DedupOps {
     * input dirs are immutable for a session today, but nothing
     * enforces that — a caller regenerating parquet under the same
     * path must miss the memo, not read stale labels/centroids. */
-  private[queries] def pathFingerprint(s: SparkSession, path: String): String = {
+  private[graft] def pathFingerprint(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
@@ -562,12 +574,78 @@ object DedupOps {
     * (singleton clusters are the uninteresting common case). */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     requireOracleCap(s)
-    connectedComponentsOf(s,
-      minhashPairsOf(docs(s, dir))
-        .filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b")),
-      memoKey =
-        s"t13:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+    connectedComponentsOf(s, t13Edges(s, dir), memoKey = t13MemoKey(s, dir))
+  }
+
+  /** t13's edge set (MinHash-LSH pairs at the ≥ 0.5 threshold) and its
+    * session-memo key — shared by the in-query path and the t33 index
+    * build so both converge the identical graph. */
+  private def t13Edges(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docs(s, dir))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
+  private def t13MemoKey(s: SparkSession, dir: String): String =
+    s"t13:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}"
+
+  /** Where the persisted connected-components LABEL index for `dir`
+    * lives — the v17/v19 artifact idiom applied to the LAST
+    * session-scoped expensive cascade (the converged t13 labels: label
+    * propagation is an eager multi-round join loop, re-run per fresh
+    * session without this artifact). The input fingerprint rides in
+    * the directory name, so a regenerated documents table re-builds
+    * instead of serving stale labels. */
+  private[graft] def ccIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val key = s"ccindex:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", s"cc_index_$hex").toAbsolutePath
+  }
+
+  /** BUILD the CC-label artifact — the expensive one-time pass: the
+    * t13 edge derivation (MinHash pipeline) plus the label-propagation
+    * loop run ONCE, and the converged `(node, label)` relation
+    * persists as one parquet relation `labels`. Serving the t13
+    * cluster table (and any downstream cluster join — t29's split,
+    * m6's media clusters) then starts at the artifact scan with no
+    * propagation loop and no in-session memo. Idempotent under the
+    * v17 nonce-marker contract; rides the session label memo when the
+    * session already converged this graph, so the true cold build IS
+    * the propagation loop. At 100 TB the labels relation is one
+    * node-cardinality parquet table — the standard shape for a
+    * nightly-dedup label store. */
+  private[graft] def buildCcIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      requireOracleCap(s)
+      val out = ccIndexPath(s, dir)
+      val marker = out.resolve("_INDEX_READY")
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.size(marker) == 0) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
+        ccConvergedLabelsDf(s, t13Edges(s, dir),
+          memoKey = t13MemoKey(s, dir))
+          .write.mode("overwrite").parquet(out.resolve("labels").toString)
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
+      }
+      out.toString
+    }
+
+  /** t33: the t13 near-dup cluster table SERVED from the persisted
+    * label index — the serve path reads ONLY the artifact's `labels`
+    * relation and runs the identical cluster-assembly tail
+    * ([[ccClustersOf]]), so the result is bit-equal to t13 and the
+    * SAME oracle hashes it: the converged labels are the only learned
+    * state, and they ride in the artifact. A fresh session pays one
+    * node-cardinality parquet read instead of the propagation loop. */
+  def ccClustersServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildCcIndex(s, dir)
+    ccClustersOf(s.read.parquet(s"$idx/labels"))
   }
 
   /** t29: leakage-safe train/eval split — the assignment rule a
@@ -1060,6 +1138,7 @@ object DedupOps {
     "t9_embedding_neardup" -> (embeddingNearDup _),
     "t10_clean_corpus" -> (cleanCorpus _),
     "t13_dedup_clusters" -> (nearDupClusters _),
+    "t33_cc_index_load" -> (ccClustersServe _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -1389,5 +1468,8 @@ object DedupOps {
     "t9_embedding_neardup" -> nearDupOracle,
     "t10_clean_corpus" -> cleanCorpusOracle,
     "t13_dedup_clusters" -> clusterOracle,
+    // the label-index serve path must land on the identical cluster
+    // table — one oracle serves the in-query and artifact paths
+    "t33_cc_index_load" -> clusterOracle,
     "t29_leakage_safe_split" -> leakageSplitOracle)
 }

@@ -86,6 +86,26 @@ object JobHistoryOps {
     Reports.timelineFromPhaseCounts(v(s), converged)
   }
 
+  /** Serial for per-invocation temp-view names: the SQL-text entries
+    * register entity views in the SESSION catalog, which is shared
+    * state — fixed names would silently clobber a same-named user view
+    * and leak catalog entries after the query (driver-flagged). Each
+    * invocation suffixes its views with a fresh serial and drops them
+    * as soon as the statement is ANALYZED (`spark.sql` analyzes
+    * eagerly, so the returned DataFrame holds resolved relations and
+    * no longer needs the catalog entries). */
+  private val sqlViewSerial = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def withSqlViews(s: SparkSession,
+      views: Seq[(String, DataFrame)])(
+      sql: (String => String) => String): DataFrame = {
+    val serial = sqlViewSerial.incrementAndGet()
+    def nm(base: String): String = s"${base}_$serial"
+    views.foreach { case (n, df) => df.createOrReplaceTempView(nm(n)) }
+    try s.sql(sql(nm))
+    finally views.foreach { case (n, _) => s.catalog.dropTempView(nm(n)) }
+  }
+
   /** jh_summary through the SQL-TEXT surface — the same report
     * computed by one `spark.sql(...)` statement over registered temp
     * views of the parsed entity relations (job / map_tasks /
@@ -95,8 +115,9 @@ object JobHistoryOps {
     * code, so the text path earns its own hash gate. The arithmetic
     * mirrors [[Reports.summary]] exactly (BIGINT subtraction, double
     * division, truncating cast — the reference's scale-then-truncate
-    * semantics, SURVEY §7.4 P9). */
-  private def summarySqlText(scale: Long): String = {
+    * semantics, SURVEY §7.4 P9). View names are resolved through `nm`
+    * (per-invocation suffix — see [[withSqlViews]]). */
+  private def summarySqlText(scale: Long, nm: String => String): String = {
     def fin(t: String) = s"$t.attrs['FINISH_TIME'] IS NOT NULL"
     def elapsed(t: String) =
       s"CAST((CAST($t.attrs['FINISH_TIME'] AS BIGINT) - " +
@@ -108,11 +129,12 @@ object JobHistoryOps {
        |    max(CASE WHEN ${fin("t")} THEN
        |      CAST(t.attrs['FINISH_TIME'] AS BIGINT) DIV $scale END)
        |      AS all_maps_complete
-       |  FROM jh_map_tasks t
+       |  FROM ${nm("jh_map_tasks")} t
        |), shuffle_of_final AS (
        |  SELECT f.task_id, r.shuffle_u
-       |  FROM jh_final_attempts f
-       |  JOIN (SELECT attempt_id, shuffle_u FROM jh_reduce_attempt_times) r
+       |  FROM ${nm("jh_final_attempts")} f
+       |  JOIN (SELECT attempt_id, shuffle_u
+       |        FROM ${nm("jh_reduce_attempt_times")}) r
        |    USING (attempt_id)
        |), reduces AS (
        |  SELECT count(CASE WHEN ${fin("t")} THEN 1 END) AS num_reduces,
@@ -122,7 +144,7 @@ object JobHistoryOps {
        |      CAST((sf.shuffle_u * $scale -
        |        CAST(t.attrs['START_TIME'] AS BIGINT)) / $scale AS BIGINT)
        |      END) AS total_shuffle_time
-       |  FROM jh_reduce_tasks t LEFT JOIN shuffle_of_final sf
+       |  FROM ${nm("jh_reduce_tasks")} t LEFT JOIN shuffle_of_final sf
        |    USING (task_id)
        |)
        |SELECT j.attrs['JOBID'] AS job_id, j.attrs['JOBNAME'] AS job_name,
@@ -137,21 +159,103 @@ object JobHistoryOps {
        |    AS avg_shuffle_time,
        |  CAST(r.total_reduce_time AS DOUBLE) / r.num_reduces
        |    AS avg_reduce_time
-       |FROM jh_job j CROSS JOIN maps m CROSS JOIN reduces r""".stripMargin
+       |FROM ${nm("jh_job")} j CROSS JOIN maps m CROSS JOIN reduces r"""
+      .stripMargin
   }
 
   private def summarySql(s: SparkSession): DataFrame = {
     val vs = v(s)
-    vs.job.createOrReplaceTempView("jh_job")
-    vs.mapTasks.createOrReplaceTempView("jh_map_tasks")
-    vs.reduceTasks.createOrReplaceTempView("jh_reduce_tasks")
-    vs.finalAttempts.createOrReplaceTempView("jh_final_attempts")
-    vs.reduceAttemptTimes.createOrReplaceTempView("jh_reduce_attempt_times")
-    s.sql(summarySqlText(vs.scale))
+    withSqlViews(s, Seq(
+      "jh_job" -> vs.job,
+      "jh_map_tasks" -> vs.mapTasks,
+      "jh_reduce_tasks" -> vs.reduceTasks,
+      "jh_final_attempts" -> vs.finalAttempts,
+      "jh_reduce_attempt_times" -> vs.reduceAttemptTimes))(
+      nm => summarySqlText(vs.scale, nm))
+  }
+
+  /** jh_timeline through the SQL-TEXT surface — the HARD dataflow (the
+    * signature computation: interval classification → clamped
+    * expansion → phase pivot → dense spine) as one `spark.sql(...)`
+    * statement over the parsed attempt/final/bounds relations, gated
+    * against the IDENTICAL `timelineOracle` as the programmatic
+    * jh_timeline. Semantics mirror [[Reports.timeline]] exactly:
+    * final map attempts are `maps`, non-final attempts `waste`; final
+    * reduce attempts (with both shuffle/sort marks) split into
+    * shuffle/merge/reduce; intervals clamp to `max(0, lo-submit)` /
+    * `min(hi, finish)-submit`; the spine left-join zero-fills. The
+    * expansion is `explode(sequence(lo, hi))` in SQL — the same
+    * O(Σ interval lengths) generated rows as the programmatic
+    * expansion path (the sweep-line stays the fleet-scale variant;
+    * this entry proves the TEXT surface can express the dataflow). */
+  private def timelineSqlText(nm: String => String): String =
+    s"""WITH iv AS (
+       |  SELECT CASE WHEN f.attempt_id IS NOT NULL THEN 'maps'
+       |              ELSE 'waste' END AS phase,
+       |    greatest(0L, m.start_u - b.submit_u) AS lo,
+       |    least(m.end_u, b.finish_u) - b.submit_u AS hi
+       |  FROM ${nm("jh_map_attempt_times")} m
+       |  LEFT JOIN ${nm("jh_final_attempts")} f USING (attempt_id)
+       |  CROSS JOIN ${nm("jh_bounds")} b
+       |  WHERE m.start_u IS NOT NULL AND m.end_u IS NOT NULL
+       |  UNION ALL
+       |  SELECT p.phase,
+       |    greatest(0L, p.plo - b.submit_u) AS lo,
+       |    least(p.phi, b.finish_u) - b.submit_u AS hi
+       |  FROM ${nm("jh_reduce_attempt_times")} r
+       |  JOIN ${nm("jh_final_attempts")} f USING (attempt_id)
+       |  CROSS JOIN ${nm("jh_bounds")} b
+       |  LATERAL VIEW explode(array(
+       |    named_struct('phase', 'shuffle', 'plo', r.start_u,
+       |                 'phi', r.shuffle_u),
+       |    named_struct('phase', 'merge', 'plo', r.shuffle_u,
+       |                 'phi', r.sort_u),
+       |    named_struct('phase', 'reduce', 'plo', r.sort_u,
+       |                 'phi', r.end_u))) t AS p
+       |  WHERE r.start_u IS NOT NULL AND r.end_u IS NOT NULL
+       |    AND r.shuffle_u IS NOT NULL AND r.sort_u IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'waste' AS phase,
+       |    greatest(0L, r.start_u - b.submit_u) AS lo,
+       |    least(r.end_u, b.finish_u) - b.submit_u AS hi
+       |  FROM ${nm("jh_reduce_attempt_times")} r
+       |  LEFT JOIN ${nm("jh_final_attempts")} f USING (attempt_id)
+       |  CROSS JOIN ${nm("jh_bounds")} b
+       |  WHERE f.attempt_id IS NULL
+       |    AND r.start_u IS NOT NULL AND r.end_u IS NOT NULL
+       |), expanded AS (
+       |  SELECT phase, explode(sequence(lo, hi)) AS time
+       |  FROM iv WHERE lo IS NOT NULL AND lo <= hi
+       |), counts AS (
+       |  SELECT time,
+       |    sum(CASE WHEN phase = 'maps' THEN 1L ELSE 0L END) AS maps,
+       |    sum(CASE WHEN phase = 'shuffle' THEN 1L ELSE 0L END) AS shuffle,
+       |    sum(CASE WHEN phase = 'merge' THEN 1L ELSE 0L END) AS `merge`,
+       |    sum(CASE WHEN phase = 'reduce' THEN 1L ELSE 0L END) AS reduce,
+       |    sum(CASE WHEN phase = 'waste' THEN 1L ELSE 0L END) AS waste
+       |  FROM expanded GROUP BY time
+       |), spine AS (
+       |  SELECT explode(sequence(0L, finish_u - submit_u)) AS time
+       |  FROM ${nm("jh_bounds")} WHERE finish_u >= submit_u
+       |)
+       |SELECT spine.time,
+       |  coalesce(maps, 0L) AS maps, coalesce(shuffle, 0L) AS shuffle,
+       |  coalesce(`merge`, 0L) AS `merge`, coalesce(reduce, 0L) AS reduce,
+       |  coalesce(waste, 0L) AS waste
+       |FROM spine LEFT JOIN counts USING (time) ORDER BY time""".stripMargin
+
+  private def timelineSql(s: SparkSession): DataFrame = {
+    val vs = v(s)
+    withSqlViews(s, Seq(
+      "jh_map_attempt_times" -> vs.mapAttemptTimes,
+      "jh_reduce_attempt_times" -> vs.reduceAttemptTimes,
+      "jh_final_attempts" -> vs.finalAttempts,
+      "jh_bounds" -> vs.bounds))(timelineSqlText)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_summary_sql" -> ((s, _) => summarySql(s)),
+    "jh_timeline_sql" -> ((s, _) => timelineSql(s)),
     "jh_task_counters" -> ((s, _) =>
       v(s).taskCounters.orderBy("task_id", "counter_group", "counter_name")),
     "jh_map_details" -> ((s, _) => Reports.mapDetails(v(s))),
@@ -407,6 +511,10 @@ object JobHistoryOps {
     "jh_summary_per_job" -> summaryPerJobOracle,
     "jh_timeline" -> timelineOracle,
     "jh_timeline_sweep" -> timelineOracle,
+    // the SQL-text surface must land on the same rows as the
+    // programmatic timeline — one oracle serves expansion, sweep,
+    // stream AND text
+    "jh_timeline_sql" -> timelineOracle,
     // the converged stream equals the batch timeline exactly (the
     // StreamingSpec convergence property, here inside the hash gate)
     "jh_timeline_stream" -> timelineOracle,

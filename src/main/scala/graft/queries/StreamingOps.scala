@@ -116,15 +116,19 @@ object StreamingOps {
         val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val cut = lo + (hi - lo) / 2
+        // partitioned write + rename (the fleet-scale restart phase's
+        // idiom) — no single-task coalesce; the tranche globs match
+        // every moved part file
         Seq("a" -> ev.filter(col("ts") <= cut),
             "b" -> ev.filter(col("ts") > cut)).foreach { case (tag, half) =>
           val tmp = out.resolve(s"tmp_$tag")
-          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .find(f => f.getName.startsWith("part-") &&
+          half.repartition(4).write.mode("overwrite").parquet(tmp.toString)
+          tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file under $tmp"))
-          Files.move(part.toPath, out.resolve(s"$tag-0.parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              Files.move(f.toPath, out.resolve(f"$tag-$i%03d.parquet"))
+            }
           rm(tmp.toFile)
         }
         Files.write(out.resolve("_STAGED"), Array.emptyByteArray)
@@ -216,15 +220,17 @@ object StreamingOps {
       }
       rm(out.toFile)
       Files.createDirectories(out)
+      // partitioned write + rename, as in stageRestartFixture
       Seq("a" -> d.filter(col("doc_id") <= cut),
           "b" -> d.filter(col("doc_id") > cut)).foreach { case (tag, half) =>
         val tmp = out.resolve(s"tmp_$tag")
-        half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(f => f.getName.startsWith("part-") &&
+        half.repartition(4).write.mode("overwrite").parquet(tmp.toString)
+        tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        Files.move(part.toPath, out.resolve(s"$tag-0.parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            Files.move(f.toPath, out.resolve(f"$tag-$i%03d.parquet"))
+          }
         rm(tmp.toFile)
       }
       Files.write(out.resolve("_STAGED"), Array.emptyByteArray)
@@ -457,6 +463,38 @@ object StreamingOps {
         col("click_id"), col("purchase_id"))
   }
 
+  /** s13: the LEFT-OUTER stream-stream interval join — s6's
+    * production sibling, exercising the semantics a sink consumes
+    * directly from state eviction: a click with NO purchase within
+    * the 2-hour horizon must still EMIT (null purchase columns), and
+    * the engine may only do so once the watermark proves no future
+    * purchase can match. On the bounded fixture the finished stream
+    * therefore holds every matched pair (exactly as s6) plus a
+    * null-extended row for each unmatched click whose horizon closed
+    * under the FINAL watermark = min(max click time, max purchase
+    * time) − 10 min; unmatched clicks still inside the horizon at
+    * end-of-stream intentionally never emit (their state would
+    * continue waiting on an unbounded stream — the s5 idiom, here for
+    * join state). The oracle is the batch left join under the same
+    * closed-window cutoff. */
+  def streamedOuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String): DataFrame =
+      Tables.normalizeTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = EventWindows.clickPurchaseJoin(
+      side("click"), side("purchase"), "2 hours", "10 minutes",
+      "left_outer")
+    runStream(s, "s13_stream_", joined, "append")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_time")).as("click_us"),
+        unix_micros(col("purchase_time")).as("purchase_us"))
+      .orderBy(col("click_us"), col("click_id"),
+        col("purchase_us"), col("purchase_id"))
+  }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -576,7 +614,8 @@ object StreamingOps {
     "s9_stream_topk" -> (streamedTopK _),
     "s10_stream_restart" -> (streamedRestart _),
     "s11_restart_keyed_state" -> (streamedRestartState _),
-    "s12_stream_rocksdb" -> (streamedTumblingRocksDb _))
+    "s12_stream_rocksdb" -> (streamedTumblingRocksDb _),
+    "s13_stream_outer_join" -> (streamedOuterIntervalJoin _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -652,6 +691,34 @@ object StreamingOps {
         | AND epoch_us(b.ts) >= epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000
         |ORDER BY click_us, purchase_us, click_id, purchase_id""".stripMargin,
+    // the matched rows are s6's inner join verbatim; the null-extended
+    // rows are the unmatched clicks whose horizon closed under the
+    // FINAL watermark (min across both sides of max event time ms −
+    // 10 min — the s5 closed-window idiom applied to join state)
+    "s13_stream_outer_join" ->
+      """WITH c AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        | WHERE event_type = 'click'),
+        |p AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        | WHERE event_type = 'purchase'),
+        |wm AS (
+        | SELECT least(
+        |   (SELECT ((max(us) // 1000) - 600000) * 1000 FROM c),
+        |   (SELECT ((max(us) // 1000) - 600000) * 1000 FROM p)) AS wm_us)
+        |SELECT c.user_id, c.event_id AS click_id,
+        | p.event_id AS purchase_id, c.us AS click_us, p.us AS purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.us >= c.us AND p.us <= c.us + 7200000000
+        |UNION ALL
+        |SELECT c.user_id, c.event_id AS click_id, NULL AS purchase_id,
+        | c.us AS click_us, NULL AS purchase_us
+        |FROM c, wm
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |   AND p.us >= c.us AND p.us <= c.us + 7200000000)
+        | AND c.us + 7200000000 < wm.wm_us
+        |ORDER BY click_us, click_id, purchase_us, purchase_id""".stripMargin,
     "s9_stream_topk" ->
       """WITH w AS (
         | SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_start_us,

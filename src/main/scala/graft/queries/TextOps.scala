@@ -723,7 +723,75 @@ object TextOps {
       .orderBy(col("passage"))
   }
 
+  /** t32 parameters, folded into the oracle and the engine-side bound
+    * check. Spark's `CountMinSketch.create(eps, confidence, seed)`
+    * sizes the sketch as width = ⌈2/ε⌉ columns × depth =
+    * ⌈-ln(1-confidence)/ln 2⌉ rows — at ε = 10⁻⁴ / 0.99 that is
+    * 20,000 × 7 longs ≈ 1.1 MB, the fixed-size summary a 100 TB
+    * pipeline merges map-side regardless of corpus size. */
+  private[queries] val HeavyHitterK = 30
+  private[queries] val CmsEps = 1e-4
+  private[queries] val CmsConfidence = 0.99
+  private[queries] val CmsSeed = 42
+
+  /** t32 internals: (token, exact count, CMS estimate) for the exact
+    * top-[[HeavyHitterK]] tokens, plus the total token-occurrence
+    * count N. Two distributed passes over the exploded tokens:
+    *
+    *  1. the `count_min_sketch` aggregate — each partition folds its
+    *     occurrences into a local ~1 MB counter array, partials merge
+    *     cell-wise (the classic mergeable-summary property), ONE
+    *     fixed-size binary reaches the driver regardless of N;
+    *  2. the exact per-token counts (one map-side-combinable shuffle
+    *     on the token — the word-count shape) cut to the top-k total
+    *     order (count desc, token).
+    *
+    * The k point-estimates against the deserialized sketch are O(k)
+    * driver work on a fixed-size summary — bounded by construction,
+    * exactly how a production heavy-hitter check serves. */
+  private[queries] def heavyHitterAudit(s: SparkSession, dir: String)
+      : (Seq[(String, Long, Long)], Long) = {
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val row = toks.agg(
+      count_min_sketch(col("token"), lit(CmsEps), lit(CmsConfidence),
+        lit(CmsSeed)).as("sk"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val total = row.getLong(1)
+    val topk = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(HeavyHitterK).collect().toSeq
+    (topk.map(r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))),
+      total)
+  }
+
+  /** t32: heavy-hitter tokens with a count-min-sketch audit — the
+    * frequent-items primitive a 100 TB text pipeline runs daily (top
+    * boilerplate tokens/domains) next to its sketch shelf (HLL q16,
+    * Bloom t24, approx-percentile q28, MinHash/SimHash t7/t8). Gated
+    * t23-style: the EXACT top-k counts are what the oracle hashes
+    * (DuckDB cannot reproduce Spark's CMS hashing), and the sketch is
+    * audited engine-side — `within_eps` asserts the CMS estimate e
+    * satisfies cnt ≤ e ≤ cnt + ⌈ε·N⌉ (the one-sided CMS guarantee: it
+    * never undercounts; it overcounts by at most ε·N w.p. ≥
+    * confidence per query). A sketch landing outside its stated bound
+    * flips the column and fails the hash gate loudly. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rows, total) = heavyHitterAudit(s, dir)
+    val bound = math.ceil(CmsEps * total).toLong
+    rows.map { case (t, c, e) => (t, c, e >= c && e <= c + bound) }
+      .toDF("token", "cnt", "within_eps")
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_heavy_hitters" -> (heavyHitters _),
     "t25_passage_dedup" -> (passageDedup _),
     "t22_unigram_logprob" -> (unigramLogprob _),
     "t21_source_overlap" -> (sourceOverlap _),
@@ -750,6 +818,16 @@ object TextOps {
     "t28_dataset_card" -> (datasetCard _))
 
   val oracle: Map[String, String] = Map(
+    // exact top-k counts under the (cnt desc, token) total order; the
+    // CMS audit column must come out all-true engine-side
+    "t32_heavy_hitters" ->
+      s"""WITH tok AS (
+         | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tc AS (
+         | SELECT token, count(*) AS cnt FROM tok
+         | WHERE token <> '' GROUP BY token)
+         |SELECT token, cnt, true AS within_eps
+         |FROM tc ORDER BY cnt DESC, token LIMIT $HeavyHitterK""".stripMargin,
     "t25_passage_dedup" ->
       s"""WITH w AS (
          | SELECT doc_id, string_split(text, ' ') AS words FROM documents),

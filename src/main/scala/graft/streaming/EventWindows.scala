@@ -97,7 +97,22 @@ object EventWindows {
     * which is what the spec's batch ≡ stream assertion pins. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
       horizon: String = "2 hours",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, horizon, watermark, "inner")
+
+  /** [[clickPurchaseJoin]] with an explicit join type. `left_outer` is
+    * the production attribution shape: a click with NO purchase inside
+    * the horizon must still EMIT (null purchase columns) — but only
+    * once the watermark proves no future purchase can match, i.e. when
+    * it passes `click_time + horizon`. That is a STATE-EVICTION
+    * emission: the engine holds the unmatched click in join state
+    * until the global watermark (min across both sides) clears its
+    * match window, then emits the null-extended row exactly once and
+    * frees the state — the same bound the inner join already derives,
+    * so outer state stays O(horizon + watermark) per key. Matched rows
+    * emit when found, identical to the inner join. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String, watermark: String, joinType: String): DataFrame = {
     val a = withEventTime(clicks, watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("event_time").as("click_time"))
@@ -107,7 +122,8 @@ object EventWindows {
         col("event_time").as("purchase_time"))
     a.join(b, col("user_id") === col("p_user") &&
         col("purchase_time") >= col("click_time") &&
-        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"))
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_time"), col("purchase_time"))
   }

@@ -60,6 +60,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(again.nonEmpty)
   }
 
+  test("t33 label-index serve equals the in-query t13 clusters exactly") {
+    val served = DedupOps.ccClustersServe(spark, dir).collect()
+    val idx = DedupOps.ccIndexPath(spark, dir)
+    Seq("labels", "_INDEX_READY").foreach(p =>
+      assert(Files.exists(idx.resolve(p)), s"missing artifact piece $p"))
+    // the artifact is the converged (node, label) relation: one row per
+    // clustered doc, every label a member of its own cluster (a root)
+    val labels = spark.read.parquet(idx.resolve("labels").toString)
+    assert(labels.columns.sorted.toSeq === Seq("label", "node"))
+    val labelSet = labels.select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nodeSet = labels.select("node").collect().map(_.getLong(0)).toSet
+    assert(labelSet.subsetOf(nodeSet), "a cluster label must be a member node")
+    // serving from the written artifact = the in-query propagation (t13)
+    val t13 = DedupOps.nearDupClusters(spark, dir).collect()
+    assert(served.map(_.toSeq.toVector).toSeq ===
+      t13.map(_.toSeq.toVector).toSeq)
+    assert(served.nonEmpty)
+  }
+
+  test("t33 build is idempotent: a second serve reuses the artifact unmodified") {
+    DedupOps.ccClustersServe(spark, dir).collect()
+    val marker = DedupOps.ccIndexPath(spark, dir).resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(nonce0.nonEmpty, "the marker must carry a build nonce")
+    val again = DedupOps.ccClustersServe(spark, dir).collect()
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0,
+      "the artifact must not rebuild when the input is unchanged")
+    assert(again.nonEmpty)
+  }
+
   test("v17 build is idempotent: a second serve reuses the artifact unmodified") {
     VectorOps.annIndexServe(spark, dir).collect()
     val marker = VectorOps.annIndexPath(spark, dir).resolve("_INDEX_READY")

@@ -57,6 +57,31 @@ class SketchGateSpec extends SparkSpec {
     assert(kept > 0)
   }
 
+  test("t32: CMS estimates never undercount and sit inside the stated ε bound") {
+    val (rows, total) = TextOps.heavyHitterAudit(spark, dir)
+    assert(rows.length === TextOps.HeavyHitterK)
+    assert(total > 0)
+    val bound = math.ceil(TextOps.CmsEps * total).toLong
+    rows.foreach { case (tok, exact, est) =>
+      assert(tok.nonEmpty && exact > 0)
+      // the one-sided CMS guarantee: never an undercount...
+      assert(est >= exact, s"'$tok': CMS $est under exact $exact — the " +
+        "sketch and the point query hash differently")
+      // ...and the overcount is within ε·N (w.p. ≥ confidence per
+      // query; 30 queries against a 20,000-wide sketch over this
+      // corpus's vocabulary leave enormous slack)
+      assert(est <= exact + bound,
+        s"'$tok': CMS $est exceeds exact $exact + ε·N $bound")
+    }
+    // the gated column is this audit verbatim — all-true on this corpus
+    val gated = TextOps.heavyHitters(spark, dir).collect()
+    assert(gated.length === TextOps.HeavyHitterK)
+    assert(gated.forall(_.getAs[Boolean]("within_eps")))
+    // top-k really is the exact total order (count desc, token asc)
+    val cnts = gated.map(r => (-r.getAs[Long]("cnt"), r.getAs[String]("token")))
+    assert(cnts.toSeq === cnts.sorted.toSeq)
+  }
+
   test("t23: audit covers every LSH candidate pair, consistently") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val nCand = DedupOps.minhashPairsOf(d).count()

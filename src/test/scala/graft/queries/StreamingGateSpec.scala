@@ -168,6 +168,89 @@ class StreamingGateSpec extends SparkSpec {
       "dup_of must be run 1's canonical — custom state restored across restart")
   }
 
+  test("s13 outer interval join = inner matches + evictable unmatched clicks") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        Option(r.get(r.fieldIndex("purchase_id"))),
+        r.getAs[Long]("click_us"),
+        Option(r.get(r.fieldIndex("purchase_us"))))
+    val streamed = StreamingOps.streamedOuterIntervalJoin(spark, dir).collect()
+    // the matched rows are exactly s6's inner join
+    val inner = StreamingOps.streamedIntervalJoin(spark, dir).collect()
+    val (matched, nulls) = streamed.partition(r =>
+      !r.isNullAt(r.fieldIndex("purchase_id")))
+    assert(matched.map(key).toSet === inner.map(key).toSet)
+    // the null-extended rows are the unmatched clicks whose horizon
+    // closed STRICTLY under the final watermark (min across sides of
+    // max event time ms − 10 min) — the eviction rule the probe below
+    // pins at the exact boundary
+    val ev = Tables(spark, dir, "events")
+    def sideWmUs(tpe: String): Long = {
+      val maxUs = ev.filter(col("event_type") === tpe)
+        .agg(max(expr("ts DIV 1000"))).head.getLong(0)
+      (maxUs / 1000L - 600000L) * 1000L
+    }
+    val wmUs = math.min(sideWmUs("click"), sideWmUs("purchase"))
+    val matchedClicks = inner.map(_.getAs[Long]("click_id")).toSet
+    val expectedNulls = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("click_us")).collect()
+      .filter(r => !matchedClicks(r.getAs[Long]("event_id")) &&
+        r.getAs[Long]("click_us") + 7200000000L < wmUs)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("click_us")))
+    assert(nulls.nonEmpty,
+      "fixture produced no evictable unmatched clicks — the " +
+        "state-eviction emission this gate exists for was not exercised")
+    assert(nulls.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("click_id"), r.getAs[Long]("click_us"))).toSet ===
+      expectedNulls.toSet)
+  }
+
+  test("s13 eviction boundary is strict: horizon closing AT the watermark withholds") {
+    // two crafted runs differing by 1 ms: the unmatched click's horizon
+    // closes exactly AT the final watermark (withheld — state could
+    // still match a purchase arriving at exactly click+horizon) vs
+    // 1 ms PAST it (emitted with nulls). Pinning the strictness keeps
+    // the oracle's `<` honest even though the synthetic corpora never
+    // land an event on the exact boundary.
+    import spark.implicits._
+    val h = 7200L * 1000000000L    // horizon in nanos
+    val w = 600L * 1000000000L     // watermark delay in nanos
+    val base = 1000000000000000000L // keep event times far from epoch 0
+    def run(deltaNs: Long): Seq[org.apache.spark.sql.Row] = {
+      val tmp = java.nio.file.Files.createTempDirectory("s13_spec_")
+      Seq(
+        (1L, 10L, base, "click"),             // unmatched: no purchase for user 10
+        (2L, 20L, base + h + w + deltaNs, "click"),  // drives the click-side watermark
+        (3L, 30L, base + h + w + deltaNs, "purchase")) // drives the purchase-side watermark
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .write.mode("overwrite").parquet(tmp.toString + "/ev")
+      val schema = spark.read.parquet(tmp.toString + "/ev").schema
+      def side(t: String) = spark.readStream.schema(schema)
+        .parquet(tmp.toString + "/ev")
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val j = graft.streaming.EventWindows.clickPurchaseJoin(
+        side("click"), side("purchase"), "2 hours", "10 minutes",
+        "left_outer")
+      val q = j.writeStream.format("memory")
+        .queryName(s"s13_spec_${deltaNs}")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(s"s13_spec_${deltaNs}").collect().toSeq
+    }
+    // final watermark = click1 + horizon exactly: withheld
+    assert(run(0L).isEmpty,
+      "a click whose horizon closes exactly AT the watermark must not emit")
+    // 1 ms past: the null-extended row emits exactly once
+    val out = run(1000000L)
+    assert(out.map(r => (r.getAs[Long]("click_id"),
+      r.isNullAt(r.fieldIndex("purchase_id")))) === Seq((1L, true)))
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
