@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * `curation` the composed t28+t27+t19 publish
   * pass; `restart` the s10 checkpointed stop/resume over the 10 M
   * event corpus — run-1/run-2/uninterrupted walls + restored state
-  * size).
+  * size; `cc` the t33 CC label-index build/serve split over the
+  * 500k-doc corpus).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -130,10 +131,10 @@ object ScaleDemo {
       spark.read.parquet(evParquet.toString).count()
     }
     val baseDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8", "audit", "t13", "curation") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit", "t13", "curation", "cc") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -171,7 +172,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -200,7 +201,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -272,6 +273,35 @@ object ScaleDemo {
     time(s"t29 leakage-safe split ($actualDocs docs)") {
       noop(queries.DedupOps.leakageSafeSplit(spark, docsDir.toString))
     }
+    }
+    // t33 (`phase=cc`): the build/serve split on the CC labels — the
+    // v19 idiom applied to the last per-session cascade. The build
+    // deletes any existing artifact first so its wall is the true
+    // cold cost (MinHash edge derivation + label propagation + the
+    // labels write); the serve runs in a FRESH session (no label
+    // memo) and pays only the artifact read + the cluster-assembly
+    // tail — the steady-state cost every later session pays instead
+    // of re-converging the graph.
+    if (in("all", "cc")) {
+      spark.catalog.clearCache()
+      val idx = queries.DedupOps.ccIndexPath(spark, docsDir.toString)
+      def rmCc(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rmCc)); p.delete(); ()
+      }
+      rmCc(idx.toFile)
+      time(s"t33 CC label-index BUILD -> parquet artifact " +
+          s"($actualDocs docs)") {
+        queries.DedupOps.buildCcIndex(spark, docsDir.toString)
+      }
+      val fresh = spark.newSession()
+      spark.catalog.clearCache()
+      var clustered = 0L
+      time("t33 CC clusters SERVE from written label index " +
+          "(fresh session)") {
+        clustered = queries.DedupOps
+          .ccClustersServe(fresh, docsDir.toString).count()
+      }
+      println(s"SCALE t33 clustered docs: $clustered")
     }
     // the composed "publish a corpus" curation pass — dataset card
     // (t28) + importance resampling (t27) + length bucketing (t19)
