@@ -139,7 +139,9 @@ object Bench {
       Set("v19_knn_index_load") ->
         (() => { graft.queries.DedupOps.buildNearDupIndex(spark, sfDir); () }),
       Set("t33_cc_index_load") ->
-        (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }))
+        (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }),
+      Set("t34_incremental_dedup") ->
+        (() => { graft.queries.DedupOps.buildBandIndex(spark, sfDir); () }))
     var staged = false
     stagers.foreach { case (names, run) =>
       if (only.isEmpty || names.exists(only)) {

@@ -253,9 +253,72 @@ object JobHistoryOps {
       "jh_bounds" -> vs.bounds))(timelineSqlText)
   }
 
+  /** The two detail reports through the SQL-TEXT surface — with
+    * jh_summary_sql and jh_timeline_sql this covers EVERY report
+    * surface as executable SQL text. Arithmetic mirrors
+    * [[Reports.mapDetails]]/[[Reports.reduceDetails]] exactly: printed
+    * start/end are `ms DIV scale` (division before subtraction),
+    * elapsed is `(f_ms − s_ms) DIV scale` (the reference's exact
+    * BigDecimal-quotient-then-truncate, SURVEY §7.4), shuffle_finish
+    * is the FINAL attempt's SHUFFLE_FINISHED (J1). */
+  private def mapDetailsSqlText(scale: Long, nm: String => String): String =
+    s"""SELECT t.task_id,
+       |  CAST(t.attrs['START_TIME'] AS BIGINT) DIV $scale AS start_time,
+       |  CAST(t.attrs['FINISH_TIME'] AS BIGINT) DIV $scale AS end_time,
+       |  CAST((CAST(t.attrs['FINISH_TIME'] AS BIGINT) -
+       |        CAST(t.attrs['START_TIME'] AS BIGINT)) / $scale AS BIGINT)
+       |    AS elapsed,
+       |  t.num_attempts
+       |FROM ${nm("jh_map_tasks")} t ORDER BY t.task_id""".stripMargin
+
+  private def reduceDetailsSqlText(scale: Long, nm: String => String): String =
+    s"""WITH sof AS (
+       |  SELECT f.task_id, r.shuffle_u
+       |  FROM ${nm("jh_final_attempts")} f
+       |  JOIN (SELECT attempt_id, shuffle_u
+       |        FROM ${nm("jh_reduce_attempt_times")}) r
+       |    USING (attempt_id)
+       |), amc AS (
+       |  SELECT coalesce(
+       |      max(CAST(attrs['FINISH_TIME'] AS BIGINT) DIV $scale), 0L)
+       |    AS maps_complete
+       |  FROM ${nm("jh_map_tasks")}
+       |)
+       |SELECT t.task_id,
+       |  CAST(t.attrs['START_TIME'] AS BIGINT) DIV $scale AS start_time,
+       |  amc.maps_complete,
+       |  sof.shuffle_u AS shuffle_finish,
+       |  CAST(t.attrs['FINISH_TIME'] AS BIGINT) DIV $scale AS end_time,
+       |  CAST((CAST(t.attrs['FINISH_TIME'] AS BIGINT) -
+       |        CAST(t.attrs['START_TIME'] AS BIGINT)) / $scale AS BIGINT)
+       |    AS elapsed,
+       |  t.num_attempts
+       |FROM ${nm("jh_reduce_tasks")} t
+       |LEFT JOIN sof ON t.task_id = sof.task_id
+       |CROSS JOIN amc
+       |ORDER BY t.task_id""".stripMargin
+
+  private def mapDetailsSql(s: SparkSession): DataFrame = {
+    val vs = v(s)
+    withSqlViews(s, Seq("jh_map_tasks" -> vs.mapTasks))(
+      nm => mapDetailsSqlText(vs.scale, nm))
+  }
+
+  private def reduceDetailsSql(s: SparkSession): DataFrame = {
+    val vs = v(s)
+    withSqlViews(s, Seq(
+      "jh_map_tasks" -> vs.mapTasks,
+      "jh_reduce_tasks" -> vs.reduceTasks,
+      "jh_final_attempts" -> vs.finalAttempts,
+      "jh_reduce_attempt_times" -> vs.reduceAttemptTimes))(
+      nm => reduceDetailsSqlText(vs.scale, nm))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jh_summary_sql" -> ((s, _) => summarySql(s)),
     "jh_timeline_sql" -> ((s, _) => timelineSql(s)),
+    "jh_map_details_sql" -> ((s, _) => mapDetailsSql(s)),
+    "jh_reduce_details_sql" -> ((s, _) => reduceDetailsSql(s)),
     "jh_task_counters" -> ((s, _) =>
       v(s).taskCounters.orderBy("task_id", "counter_group", "counter_name")),
     "jh_map_details" -> ((s, _) => Reports.mapDetails(v(s))),
@@ -503,6 +566,61 @@ object JobHistoryOps {
        |  COALESCE(waste, 0) AS waste
        |FROM spine LEFT JOIN counts USING (time) ORDER BY time""".stripMargin
 
+  /** Shared by the programmatic detail reports and their SQL-text
+    * twins — the text path must land on identical rows. */
+  private lazy val mapDetailsOracle: String =
+    s"""$prelude, mt AS (
+       |${taskTimesSql("MAP")}
+       |), att AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
+       |  FROM ev WHERE event = 'MapAttempt'
+       |    AND NOT contains(rec, 'TASK_TYPE="SETUP"')
+       |    AND NOT contains(rec, 'TASK_TYPE="CLEANUP"')
+       |  GROUP BY 1
+       |)
+       |SELECT task_id, st // 1000 AS start_time, ft // 1000 AS end_time,
+       |  (ft - st) // 1000 AS elapsed,
+       |  COALESCE(att.num_attempts, 0) AS num_attempts
+       |FROM mt LEFT JOIN att USING (task_id) ORDER BY task_id""".stripMargin
+
+  private lazy val reduceDetailsOracle: String =
+    s"""$prelude, rt AS (
+       |${taskTimesSql("REDUCE")}
+       |), att AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
+       |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
+       |), fin AS (
+       |  SELECT ${attr("TASKID")} AS task_id,
+       |    arg_max(${attr("TASK_ATTEMPT_ID")}, ord) AS attempt_id
+       |  FROM ev
+       |  WHERE ((event = 'MapAttempt' AND NOT contains(rec, 'TASK_TYPE="SETUP"')
+       |          AND NOT contains(rec, 'TASK_TYPE="CLEANUP"'))
+       |         OR event = 'ReduceAttempt')
+       |    AND ${attr("START_TIME")} IS NULL
+       |    AND ${attr("FINISH_TIME")} IS NOT NULL
+       |    AND contains(rec, 'TASK_STATUS="SUCCESS"')
+       |  GROUP BY 1
+       |), shuf AS (
+       |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
+       |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT), ord)
+       |      FILTER (${attr("START_TIME")} IS NULL
+       |              AND ${attr("FINISH_TIME")} IS NOT NULL
+       |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_ms
+       |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
+       |), amc AS (
+       |  SELECT max(CAST(${attr("FINISH_TIME")} AS BIGINT) // 1000) AS maps_complete
+       |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="MAP"')
+       |)
+       |SELECT rt.task_id, rt.st // 1000 AS start_time, amc.maps_complete,
+       |  shuf.shuffle_ms // 1000 AS shuffle_finish, rt.ft // 1000 AS end_time,
+       |  (rt.ft - rt.st) // 1000 AS elapsed,
+       |  COALESCE(att.num_attempts, 0) AS num_attempts
+       |FROM rt LEFT JOIN att USING (task_id) LEFT JOIN fin USING (task_id)
+       |LEFT JOIN shuf USING (attempt_id) CROSS JOIN amc
+       |ORDER BY task_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the SQL-text surface must land on the same bytes as the
     // programmatic report — one oracle serves both
@@ -553,57 +671,11 @@ object JobHistoryOps {
          |  CAST(regexp_extract(c, '\\[\\(([^)]+)\\)\\(([^)]+)\\)\\(([^)]+)\\)\\]', 3)
          |    AS BIGINT) AS value
          |FROM cc ORDER BY task_id, counter_group, counter_name""".stripMargin,
-    "jh_map_details" ->
-      s"""$prelude, mt AS (
-         |${taskTimesSql("MAP")}
-         |), att AS (
-         |  SELECT ${attr("TASKID")} AS task_id,
-         |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
-         |  FROM ev WHERE event = 'MapAttempt'
-         |    AND NOT contains(rec, 'TASK_TYPE="SETUP"')
-         |    AND NOT contains(rec, 'TASK_TYPE="CLEANUP"')
-         |  GROUP BY 1
-         |)
-         |SELECT task_id, st // 1000 AS start_time, ft // 1000 AS end_time,
-         |  (ft - st) // 1000 AS elapsed,
-         |  COALESCE(att.num_attempts, 0) AS num_attempts
-         |FROM mt LEFT JOIN att USING (task_id) ORDER BY task_id""".stripMargin,
-    "jh_reduce_details" ->
-      s"""$prelude, rt AS (
-         |${taskTimesSql("REDUCE")}
-         |), att AS (
-         |  SELECT ${attr("TASKID")} AS task_id,
-         |    count(DISTINCT ${attr("TASK_ATTEMPT_ID")}) AS num_attempts
-         |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
-         |), fin AS (
-         |  SELECT ${attr("TASKID")} AS task_id,
-         |    arg_max(${attr("TASK_ATTEMPT_ID")}, ord) AS attempt_id
-         |  FROM ev
-         |  WHERE ((event = 'MapAttempt' AND NOT contains(rec, 'TASK_TYPE="SETUP"')
-         |          AND NOT contains(rec, 'TASK_TYPE="CLEANUP"'))
-         |         OR event = 'ReduceAttempt')
-         |    AND ${attr("START_TIME")} IS NULL
-         |    AND ${attr("FINISH_TIME")} IS NOT NULL
-         |    AND contains(rec, 'TASK_STATUS="SUCCESS"')
-         |  GROUP BY 1
-         |), shuf AS (
-         |  SELECT ${attr("TASK_ATTEMPT_ID")} AS attempt_id,
-         |    arg_max(CAST(${attr("SHUFFLE_FINISHED")} AS BIGINT), ord)
-         |      FILTER (${attr("START_TIME")} IS NULL
-         |              AND ${attr("FINISH_TIME")} IS NOT NULL
-         |              AND ${attr("SHUFFLE_FINISHED")} IS NOT NULL) AS shuffle_ms
-         |  FROM ev WHERE event = 'ReduceAttempt' GROUP BY 1
-         |), amc AS (
-         |  SELECT max(CAST(${attr("FINISH_TIME")} AS BIGINT) // 1000) AS maps_complete
-         |  FROM ev WHERE event = 'Task' AND contains(rec, 'TASK_TYPE="MAP"')
-         |)
-         |SELECT rt.task_id, rt.st // 1000 AS start_time, amc.maps_complete,
-         |  shuf.shuffle_ms // 1000 AS shuffle_finish, rt.ft // 1000 AS end_time,
-         |  (rt.ft - rt.st) // 1000 AS elapsed,
-         |  COALESCE(att.num_attempts, 0) AS num_attempts
-         |FROM rt LEFT JOIN att USING (task_id) LEFT JOIN fin USING (task_id)
-         |LEFT JOIN shuf USING (attempt_id) CROSS JOIN amc
-         |ORDER BY task_id""".stripMargin,
+    "jh_map_details" -> mapDetailsOracle,
+    // the SQL-text twins hash against the identical detail oracles
+    "jh_map_details_sql" -> mapDetailsOracle,
+    "jh_reduce_details_sql" -> reduceDetailsOracle,
+    "jh_reduce_details" -> reduceDetailsOracle,
     "jh_bytes_report" ->
       s"""$prelude, b AS (
          |  SELECT ${attr("TASKID")} AS task_id,

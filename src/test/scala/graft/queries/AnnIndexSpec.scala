@@ -80,6 +80,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("t34 probe flags a delta duplicate against the persisted base bucket") {
+    // crafted corpus (the s11 idiom): base doc 1 and delta doc 100 are
+    // identical, so every bucket doc 100 probes was persisted in the
+    // base index with canon 1 — the flag can only carry dup_of = 1 if
+    // the probe hit the ARTIFACT's buckets. Delta doc 101 is unique
+    // and must stay unflagged; base docs (1, 2) are never flagged.
+    // cut = (1 + 101) / 2 = 51.
+    val tmp = java.nio.file.Files.createTempDirectory("t34_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.incrementalDedup(spark, tmp).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(100L),
+      s"exactly the cross-tranche duplicate must flag: ${out.toSeq}")
+    assert(out.head.getAs[Long]("dup_of") === 1L,
+      "dup_of must be the BASE canonical from the persisted bucket")
+    // artifact completeness + nonce idempotency (the v17 contract)
+    val idx = DedupOps.bandIndexPath(spark, tmp)
+    Seq("buckets", "_CUT", "_INDEX_READY").foreach(pc =>
+      assert(Files.exists(idx.resolve(pc)), s"missing artifact piece $pc"))
+    assert(new String(Files.readAllBytes(idx.resolve("_CUT")), "UTF-8")
+      .trim.toLong === 51L)
+    val nonce0 =
+      new String(Files.readAllBytes(idx.resolve("_INDEX_READY")), "UTF-8")
+    assert(nonce0.nonEmpty, "the marker must carry a build nonce")
+    DedupOps.incrementalDedup(spark, tmp).collect()
+    assert(new String(
+      Files.readAllBytes(idx.resolve("_INDEX_READY")), "UTF-8") === nonce0,
+      "the artifact must not rebuild when the input is unchanged")
+  }
+
   test("t33 build is idempotent: a second serve reuses the artifact unmodified") {
     DedupOps.ccClustersServe(spark, dir).collect()
     val marker = DedupOps.ccIndexPath(spark, dir).resolve("_INDEX_READY")

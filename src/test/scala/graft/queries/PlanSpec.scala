@@ -386,6 +386,33 @@ class PlanSpec extends SparkSpec {
       s"the cut must come from the artifact, not a bounds re-scan:\n$p")
   }
 
+  test("t33: the label-index serve reads ONLY the artifact — no corpus rescan, no propagation") {
+    // serving the cluster table must not re-derive anything from the
+    // documents table (the MinHash pipeline + the propagation loop are
+    // build-time): the plan is the labels scan + the size join only
+    DedupOps.buildCcIndex(spark, dir)
+    val p = plan("t33_cc_index_load")
+    assert(!p.contains("documents.parquet"),
+      s"t33 serve must not scan the corpus:\n$p")
+    assert(p.contains("cc_index_"), "t33 serve must scan the label artifact")
+  }
+
+  test("t34: the incremental probe scans ONLY the delta — cut pushed, bucket relation probed") {
+    // the artifact's _CUT watermark must reach the documents scan as a
+    // pushed doc_id filter (the base tranche is never re-read), and
+    // the base side must come from the pre-aggregated bucket artifact
+    DedupOps.buildBandIndex(spark, dir)
+    val p = plan("t34_incremental_dedup")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,"),
+      s"the delta cut must push to the documents scan:\n$p")
+    assert(p.contains("band_index_"),
+      "the base side must be the persisted bucket relation")
+    // exactly one documents scan (the delta) — a second one would be
+    // the base re-derivation this operator exists to avoid
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      s"t34 must scan the corpus once (delta only):\n$p")
+  }
+
   test("v18: int8 codes score map-only off broadcasts; no corpus sort-merge or cartesian") {
     // stage 1 is the broadcast-queries × corpus-codes integer dot
     // (pure longs — no float in the cut's ordering); the two-level
