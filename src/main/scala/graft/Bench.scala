@@ -140,7 +140,7 @@ object Bench {
         (() => { graft.queries.DedupOps.buildNearDupIndex(spark, sfDir); () }),
       Set("t33_cc_index_load") ->
         (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }),
-      Set("t34_incremental_dedup") ->
+      Set("t34_incremental_dedup", "s14_stream_index_dedup") ->
         (() => { graft.queries.DedupOps.buildBandIndex(spark, sfDir); () }))
     var staged = false
     stagers.foreach { case (names, run) =>

@@ -495,6 +495,40 @@ object StreamingOps {
         col("purchase_us"), col("purchase_id"))
   }
 
+  /** s14: STREAMING ingest against the PERSISTED band index — t34's
+    * daily-operations probe on the streaming front door: the nightly
+    * batch artifact serves the LIVE ingest path. The delta document
+    * stream (ids above the artifact's `_CUT`, filter applied at the
+    * source) bands map-only — the fused minhash kernel runs unchanged
+    * on a streaming DataFrame — then probes the static bucket
+    * relation with a broadcast stream-static join (s8's stateless
+    * shape: no join state, no watermark; every micro-batch probes the
+    * index in place, the stream side never shuffles to meet it). The
+    * per-doc (min band, min canon) aggregate runs in complete mode
+    * for the gate (bounded fixture; an unbounded deployment emits
+    * per-band flags unaggregated or keyed-dedups downstream). Gated
+    * by t34's ORACLE UNCHANGED: index-backed dedup must agree between
+    * the batch and stream paths — the artifact is the only shared
+    * state. */
+  def streamedIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val idx = DedupOps.buildBandIndex(s, dir)
+    val cut = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "_CUT")), "UTF-8").trim.toLong
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text"))
+    val buckets = s.read.parquet(s"$idx/buckets")
+    val flagged = DedupOps.bandedSignaturesOf(stream)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(broadcast(buckets), Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+    runStream(s, "s14_stream_", flagged, "complete")
+      .orderBy(col("doc_id"))
+  }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -615,7 +649,8 @@ object StreamingOps {
     "s10_stream_restart" -> (streamedRestart _),
     "s11_restart_keyed_state" -> (streamedRestartState _),
     "s12_stream_rocksdb" -> (streamedTumblingRocksDb _),
-    "s13_stream_outer_join" -> (streamedOuterIntervalJoin _))
+    "s13_stream_outer_join" -> (streamedOuterIntervalJoin _),
+    "s14_stream_index_dedup" -> (streamedIncrementalDedup _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -642,6 +677,9 @@ object StreamingOps {
 
   val oracle: Map[String, String] = Map(
     "s3_stream_ingest_dedup" -> ingestDedupOracle,
+    // the stream probe of the persisted band index must agree with the
+    // batch probe (t34) exactly — one oracle serves both paths
+    "s14_stream_index_dedup" -> DedupOps.oracle("t34_incremental_dedup"),
     "s1_stream_tumbling" -> tumblingOracle,
     // restart recovery must land on the uninterrupted run's table
     "s10_stream_restart" -> tumblingOracle,

@@ -251,6 +251,16 @@ class StreamingGateSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("purchase_id")))) === Seq((1L, true)))
   }
 
+  test("s14 stream probe of the persisted band index equals the batch probe (t34)") {
+    val streamed = StreamingOps.streamedIncrementalDedup(spark, dir).collect()
+    val batch = DedupOps.incrementalDedup(spark, dir).collect()
+    assert(streamed.nonEmpty,
+      "fixture produced no cross-tranche duplicates — the index probe " +
+        "was not exercised")
+    assert(streamed.map(_.toSeq.toVector).toSeq ===
+      batch.map(_.toSeq.toVector).toSeq)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
