@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   * pass; `restart` the s10 checkpointed stop/resume over the 10 M
   * event corpus — run-1/run-2/uninterrupted walls + restored state
   * size; `cc` the t33 CC label-index build/serve split over the
-  * 500k-doc corpus).
+  * 500k-doc corpus; `inc` the t34 incremental-dedup economics —
+  * base-tranche index build, delta probe, and the full-corpus
+  * re-band it replaces).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -131,10 +133,10 @@ object ScaleDemo {
       spark.read.parquet(evParquet.toString).count()
     }
     val baseDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8", "audit", "t13", "curation", "cc") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -172,7 +174,7 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -201,7 +203,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc", "inc")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -302,6 +304,34 @@ object ScaleDemo {
           .ccClustersServe(fresh, docsDir.toString).count()
       }
       println(s"SCALE t33 clustered docs: $clustered")
+    }
+    // t34 (`phase=inc`): incremental-dedup economics at fleet scale —
+    // the nightly index build on the base tranche, the per-batch delta
+    // probe against it, and the cost the probe replaces (re-banding
+    // the whole corpus for pair generation, t7's path). The ratio of
+    // the last two is the operator's reason to exist.
+    if (in("all", "inc")) {
+      spark.catalog.clearCache()
+      val idx = queries.DedupOps.bandIndexPath(spark, docsDir.toString)
+      def rmInc(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rmInc)); p.delete(); ()
+      }
+      rmInc(idx.toFile)
+      time(s"t34 band-index BUILD on the base tranche " +
+          s"($actualDocs docs total, low-id half)") {
+        queries.DedupOps.buildBandIndex(spark, docsDir.toString)
+      }
+      spark.catalog.clearCache()
+      var flagged = 0L
+      time("t34 delta probe against the persisted index (high-id half)") {
+        flagged = queries.DedupOps
+          .incrementalDedup(spark, docsDir.toString).count()
+      }
+      println(s"SCALE t34 flagged delta docs: $flagged")
+      spark.catalog.clearCache()
+      time("t7 full-corpus re-band + pair generation (the avoided cost)") {
+        noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
+      }
     }
     // the composed "publish a corpus" curation pass — dataset card
     // (t28) + importance resampling (t27) + length bucketing (t19)
