@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * size; `cc` the t33 CC label-index build/serve split over the
   * 500k-doc corpus; `inc` the t34 incremental-dedup economics —
   * base-tranche index build, delta probe, and the full-corpus
-  * re-band it replaces).
+  * re-band it replaces; `v20` the kNN-graph delta-append — cells
+  * learned on the base half, delta absorbed without relearn,
+  * measured next to the knn phase's full-relearn wall).
   * Generation is idempotent — corpora are kept under `target/` and
   * reused.
   *
@@ -203,7 +205,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc", "inc")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc", "inc", "v20")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -745,6 +747,30 @@ object ScaleDemo {
     // on. Wall ≈ t9's pair join + one thin (src, dst, cos) exchange
     // for the per-source top-3 window; edge count ≈ 3n bounds the
     // output. The GATED v15_knn_graph_scaled path, end-to-end.
+    // v20 (`phase=v20`): index maintenance economics — the graph with
+    // cells learned on the BASE half and the delta half ABSORBED by
+    // one argmin pass against those fixed centroids, measured next to
+    // v15's full-corpus relearn (the knn phase's cold wall). The gap
+    // is what a per-batch re-index pays for nothing.
+    if (in("all", "v20")) {
+      graft.functions.VectorDotProduct.register(spark)
+      spark.catalog.clearCache()
+      var edges = 0L
+      time(s"v20 kNN graph: base-half learn + delta absorb " +
+          s"($actualVecs vectors)") {
+        edges = queries.VectorOps
+          .knnGraphDeltaAppend(spark, docsDir.toString).count()
+      }
+      println(s"SCALE v20 edges: $edges ($actualVecs vectors)")
+      // the absorb pass alone: centroids are now memoized, so a fresh
+      // split-assign of the delta costs exactly the map-only argmin
+      spark.catalog.clearCache()
+      time("v20 full assign pass with FIXED centroids (memoized — " +
+          "the no-relearn steady state)") {
+        noop(queries.DedupOps.nearDupSplitAssign(
+          spark, docsDir.toString)._1)
+      }
+    }
     if (in("all", "knn")) {
       graft.functions.VectorDotProduct.register(spark)
       var edges = 0L

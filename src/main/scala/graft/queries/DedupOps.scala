@@ -1115,6 +1115,30 @@ object DedupOps {
         .select(col("vec_id"), col("orig").as("embedding"), col("cluster"))
   }
 
+  /** v20's assignment: cells learned on the BASE tranche (ids ≤
+    * ⌊(min+max)/2⌋ — the t34/q33 base/delta idiom), the DELTA assigned
+    * to those FIXED centroids with the identical probe rule — k-means
+    * maintenance WITHOUT relearning: the nightly index absorbs today's
+    * vectors with one map-only argmin pass (O(batch · k) against the
+    * broadcast centroids), not a Lloyd cascade over the corpus. Both
+    * calls share one memo key, so the second (delta) call provably
+    * reuses the base-learned centroids — every cluster id in the
+    * result is a BASE seed id (pinned in AnnIndexSpec). */
+  private[graft] def nearDupSplitAssign(s: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val Array(lo, hi) = e.agg(min(col("vec_id")), max(col("vec_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = (lo + hi) / 2
+    val key = s"v20base:$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}"
+    // learns the centroids (base rows only) and memoizes under `key`
+    val assignBase = nearDupAssign(e.filter(col("vec_id") <= cut), key)
+    // memo HIT: assigns the delta against the base-learned centroids
+    val assignDelta = nearDupAssign(e.filter(col("vec_id") > cut), key)
+    (assignBase.unionByName(assignDelta), cut)
+  }
+
   /** Within-cell cosine pairs over a (cluster, vec_id, embedding)
     * assignment, sub-bucketing any cell above `cap` rows by
     * `vec_id % ⌈cnt/cap⌉` so no block ever exceeds ~cap rows
@@ -1385,6 +1409,71 @@ object DedupOps {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY d, cluster) AS rn
        |  FROM $raw) WHERE rn <= $NearDupProbes),
+       |cs AS (SELECT cluster, count(*) AS cnt FROM probed GROUP BY 1),
+       |cells AS (
+       | SELECT a.vec_id, o.embedding, a.cluster,
+       |  a.vec_id % CAST(ceil(cs.cnt / $NearDupCellCap.0) AS BIGINT) AS sub
+       | FROM probed a JOIN cs USING (cluster)
+       |  JOIN embeddings o USING (vec_id)),
+       |praw AS (
+       | SELECT CAST(a.cluster AS BIGINT) AS cell,
+       |  a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(
+       |   list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+       |   (sqrt(list_sum(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |    sqrt(list_sum(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       | FROM cells a JOIN cells b
+       |   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id),
+       |p AS (
+       | SELECT vec_a, vec_b, min(cell) AS cell, max(cos) AS cos
+       | FROM praw GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** v20's oracle prefix: the SAME dataflow as [[nearDupPairsCtes]]
+    * except the Lloyd chain (k-derivation, md5-hash seeds, refinement)
+    * runs over the BASE tranche only (ids ≤ ⌊(min+max)/2⌋), and a
+    * SEPARATE final assignment probes ALL vectors — base and delta —
+    * against those fixed base-learned centroids (the append-without-
+    * relearn semantics the engine's shared memo key enforces). Ends at
+    * the same `p(vec_a, vec_b, cell, cos)`. */
+  private[queries] lazy val nearDupDeltaPairsCtes: String = {
+    val kp =
+      s"""cutb AS (
+         | SELECT (min(vec_id) + max(vec_id)) // 2 AS cut FROM embeddings),
+         |kp AS (
+         | SELECT least($NearDupKCap, greatest(8,
+         |   CAST(ceil(count(*) / $NearDupCellTarget.0) AS BIGINT))) AS k
+         | FROM embeddings CROSS JOIN cutb WHERE vec_id <= cut),
+         |""".stripMargin
+    val normBase =
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |  sqrt(list_sum(list_transform(embedding,
+        |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS embedding
+        |FROM embeddings CROSS JOIN cutb WHERE vec_id <= cut""".stripMargin
+    s"""${VectorOps.kmeansCteChain(kp,
+        "vec_id IN (SELECT vec_id FROM e ORDER BY " +
+          "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, " +
+          "vec_id LIMIT (SELECT k FROM kp))",
+        NearDupIters, normBase)},
+       |alln AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |   sqrt(list_sum(list_transform(embedding,
+       |     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS embedding
+       | FROM embeddings),
+       |aallraw AS (
+       | SELECT e.vec_id, e.embedding, c.cluster,
+       |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+       |        (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d
+       | FROM alln e, c$NearDupIters c),
+       |probed AS (
+       | SELECT vec_id, cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cluster) AS rn
+       |  FROM aallraw) WHERE rn <= $NearDupProbes),
        |cs AS (SELECT cluster, count(*) AS cnt FROM probed GROUP BY 1),
        |cells AS (
        | SELECT a.vec_id, o.embedding, a.cluster,

@@ -879,6 +879,28 @@ object VectorOps {
       s.read.parquet(s"$idx/assign"), DedupOps.NearDupCellCap))
   }
 
+  /** v20: kNN-graph MAINTENANCE without relearning — the q33/t34
+    * incremental idiom applied to the vector index: cells are learned
+    * on the BASE tranche (ids ≤ ⌊(min+max)/2⌋) and today's DELTA is
+    * ABSORBED by one map-only argmin pass against those fixed
+    * centroids (O(batch · k) off a broadcast — no Lloyd cascade over
+    * the corpus, the 162-236 s fleet wall a naive re-index pays per
+    * batch). The graph then runs the identical within-cell pair join +
+    * directed top-3 tail over the merged assignment. Exactly
+    * SQL-expressible: the oracle's Lloyd chain runs over the base
+    * only, then a separate final-probe CTE assigns ALL vectors — so a
+    * hash match proves the engine really did NOT relearn on the delta
+    * (relearned cells diverge from base-learned cells immediately).
+    * The drift dial a production pipeline adds — relearn when the
+    * delta fraction passes a threshold — is the v19 build, already
+    * measured. */
+  def knnGraphDeltaAppend(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorDotProduct.register(s)
+    val (assigned, _) = DedupOps.nearDupSplitAssign(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      assigned, DedupOps.NearDupCellCap))
+  }
+
   private lazy val knnGraphScaledOracle: String =
     s"""${DedupOps.nearDupPairsCtes},
        |d AS (
@@ -1587,7 +1609,8 @@ object VectorOps {
     "v16_range_search" -> (rangeSearch _),
     "v17_ann_index_load" -> (annIndexServe _),
     "v18_int8_rerank" -> (annInt8Rerank _),
-    "v19_knn_index_load" -> (knnGraphServe _))
+    "v19_knn_index_load" -> (knnGraphServe _),
+    "v20_knn_delta_append" -> (knnGraphDeltaAppend _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1683,5 +1706,22 @@ object VectorOps {
     // serving from the written cell index must be bit-equal to the
     // in-session v15 build — one oracle serves both
     "v19_knn_index_load" -> knnGraphScaledOracle,
+    // the delta-append graph: the oracle's Lloyd chain runs over the
+    // BASE tranche only, a separate final probe assigns ALL vectors —
+    // a hash match proves no relearn happened on the delta
+    "v20_knn_delta_append" -> knnDeltaOracle,
     "v16_range_search" -> rangeSearchOracle)
+
+  private lazy val knnDeltaOracle: String =
+    s"""${DedupOps.nearDupDeltaPairsCtes},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
 }

@@ -116,6 +116,27 @@ class AnnIndexSpec extends SparkSpec {
       "the artifact must not rebuild when the input is unchanged")
   }
 
+  test("v20 delta append assigns against BASE-learned cells only — no relearn") {
+    val (assigned, cut) = DedupOps.nearDupSplitAssign(spark, dir)
+    val rows = assigned.select("cluster", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // cluster ids are seed vec_ids: every one must come from the BASE
+    // tranche — a cluster id above the cut would witness centroids
+    // (re)learned on the delta, the thing v20 exists to avoid
+    assert(rows.map(_._1).forall(_ <= cut),
+      "a cluster id above the cut — the delta leaked into cell learning")
+    // completeness: every vector (base AND delta) lands in the merged
+    // assignment with exactly NearDupProbes probe rows
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length.toLong === n * DedupOps.NearDupProbes)
+    assert(rows.map(_._2).distinct.length.toLong === n)
+    assert(rows.exists(_._2 > cut), "the delta tranche must be present")
+    // the graph over the merged assignment covers delta sources too
+    val graph = VectorOps.knnGraphDeltaAppend(spark, dir).collect()
+    assert(graph.exists(_.getAs[Long]("src") > cut),
+      "delta vectors must appear as graph sources")
+  }
+
   test("t33 build is idempotent: a second serve reuses the artifact unmodified") {
     DedupOps.ccClustersServe(spark, dir).collect()
     val marker = DedupOps.ccIndexPath(spark, dir).resolve("_INDEX_READY")
