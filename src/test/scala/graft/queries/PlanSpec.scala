@@ -413,6 +413,18 @@ class PlanSpec extends SparkSpec {
       s"t34 must scan the corpus once (delta only):\n$p")
   }
 
+  test("v20: tranche filters push to both embedding scans; pair join stays keyed") {
+    // base and delta are disjoint pushed-filter scans (≤ cut / > cut);
+    // the pair join is the (cluster, sub) equi-join — a cartesian
+    // would mean the cell blocking fell out of the plan
+    val p = plan("v20_knn_delta_append")
+    assert(p.contains("LessThanOrEqual(vec_id,"),
+      s"the base scan must carry the pushed ≤ cut filter:\n$p")
+    assert(p.contains("GreaterThan(vec_id,"),
+      s"the delta scan must carry the pushed > cut filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("v18: int8 codes score map-only off broadcasts; no corpus sort-merge or cartesian") {
     // stage 1 is the broadcast-queries × corpus-codes integer dot
     // (pure longs — no float in the cut's ordering); the two-level
