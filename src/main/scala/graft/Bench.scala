@@ -141,7 +141,9 @@ object Bench {
       Set("t33_cc_index_load") ->
         (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }),
       Set("t34_incremental_dedup", "s14_stream_index_dedup") ->
-        (() => { graft.queries.DedupOps.buildBandIndex(spark, sfDir); () }))
+        (() => { graft.queries.DedupOps.buildBandIndex(spark, sfDir); () }),
+      Set("m8_media_index_probe") ->
+        (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }))
     var staged = false
     stagers.foreach { case (names, run) =>
       if (only.isEmpty || names.exists(only)) {

@@ -170,11 +170,17 @@ object MultimodalOps {
   /** The 64-bit average-hash stage shared by m5 (equi-join dedup) and
     * m6 (hamming-ball clusters) — map-only in m2's batched decode
     * shape. */
-  private[queries] def mediaAhash(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def mediaAhash(s: SparkSession, dir: String): DataFrame =
+    mediaAhashOf(mediaTable(s, dir).select(col("doc_id"), col("payload")))
+
+  /** [[mediaAhash]] over an arbitrary `(doc_id, payload)` relation —
+    * shared by the full-corpus hash stage and m8's delta-only probe
+    * (where the tranche filter sits BEFORE this map-only stage, so it
+    * pushes to the scan). */
+  private[queries] def mediaAhashOf(in: DataFrame): DataFrame = {
+    val s = in.sparkSession
     import s.implicits._
-    mediaTable(s, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    in.as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, p) =>
         val u = p.map(b => (b & 0xff).toLong)
         val total = u.sum
@@ -184,6 +190,74 @@ object MultimodalOps {
         (id, hash)
       }))
       .toDF("doc_id", "ahash")
+  }
+
+  /** Where the persisted MEDIA-HASH index for `dir`'s base tranche
+    * lives (the t34 idiom on the multimodal family). */
+  private[graft] def mediaIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val key =
+      s"mediaindex:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", s"media_index_$hex").toAbsolutePath
+  }
+
+  /** BUILD the media-hash index: the BASE tranche's perceptual hashes
+    * pre-aggregated to one `(ahash, canon)` row per distinct hash
+    * (canon = min doc id — m5's keeper rule as servable state) plus
+    * the `_CUT` watermark. Nonce-marker idempotent (the v17
+    * contract). */
+  private[graft] def buildMediaIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val out = mediaIndexPath(s, dir)
+      val marker = out.resolve("_INDEX_READY")
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.size(marker) == 0) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
+        val media = mediaTable(s, dir)
+        val Array(lo, hi) = media.agg(min(col("doc_id")), max(col("doc_id")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = (lo + hi) / 2
+        mediaAhashOf(media.filter(col("doc_id") <= cut)
+            .select(col("doc_id"), col("payload")))
+          .groupBy(col("ahash"))
+          .agg(min(col("doc_id")).as("canon"))
+          .write.mode("overwrite").parquet(out.resolve("buckets").toString)
+        java.nio.file.Files.createDirectories(out)
+        java.nio.file.Files.write(out.resolve("_CUT"),
+          cut.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
+      }
+      out.toString
+    }
+
+  /** m8: INCREMENTAL media dedup — a NEW batch of media probed against
+    * the persisted corpus hash index (t34's daily-operations shape on
+    * the multimodal family, completing the absorb-the-delta story
+    * across all four: q33 relational, t34/s14 text, v20 vectors, m8
+    * media). The delta (ids above `_CUT`, filter pushed to the scan)
+    * hashes map-only through the batched decode stage, then probes the
+    * bucket-cardinality `(ahash, canon)` relation with ONE keyed
+    * equi-join — exact perceptual-hash equality, the m5 rule against
+    * persisted state; cost is linear in the batch regardless of corpus
+    * size. Near-miss (hamming ≤ 3) probing is m6's pigeonhole over the
+    * same artifact — deliberately out of this gate. */
+  def mediaIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildMediaIndex(s, dir)
+    val cut = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "_CUT")), "UTF-8").trim.toLong
+    val delta = mediaTable(s, dir).filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("payload"))
+    mediaAhashOf(delta)
+      .join(s.read.parquet(s"$idx/buckets"), Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("canon").as("dup_of"))
+      .orderBy(col("doc_id"))
   }
 
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -249,7 +323,8 @@ object MultimodalOps {
     "m1_media_schema" -> (mediaSchema _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_media_resize" -> (mediaResize _),
-    "m4_frame_sample" -> (frameSample _))
+    "m4_frame_sample" -> (frameSample _),
+    "m8_media_index_probe" -> (mediaIndexProbe _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -277,6 +352,18 @@ object MultimodalOps {
     * `math.rint` is the identity on it — and both engines perform the
     * same single IEEE division `(S * 15625) / 1e6`. */
   val oracle: Map[String, String] = Map(
+    // delta media flagged against the BASE tranche's hash buckets only
+    "m8_media_index_probe" ->
+      s"""WITH $ahashCtes,
+         |bounds AS (
+         | SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents),
+         |bkt AS (
+         | SELECT ahash, min(doc_id) AS canon
+         | FROM a CROSS JOIN bounds WHERE doc_id <= cut GROUP BY 1)
+         |SELECT a.doc_id, a.ahash, bkt.canon AS dup_of
+         |FROM a CROSS JOIN bounds JOIN bkt USING (ahash)
+         |WHERE a.doc_id > cut
+         |ORDER BY a.doc_id""".stripMargin,
     "m5_phash_dedup" -> {
       s"""WITH $ahashCtes,
          |g AS (

@@ -137,6 +137,36 @@ class AnnIndexSpec extends SparkSpec {
       "delta vectors must appear as graph sources")
   }
 
+  test("m8 probe flags a delta medium against the persisted base hash bucket") {
+    // identical text ⇒ identical synthesized payload ⇒ identical
+    // perceptual hash: base doc 1 and delta doc 100 share a payload,
+    // so doc 100's flag can only carry dup_of = 1 if the probe hit
+    // the ARTIFACT's bucket; unique delta doc 101 stays unflagged
+    val tmp = java.nio.file.Files.createTempDirectory("m8_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = MultimodalOps.mediaIndexProbe(spark, tmp).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(100L),
+      s"exactly the cross-tranche duplicate must flag: ${out.toSeq}")
+    assert(out.head.getAs[Long]("dup_of") === 1L)
+    val idx = MultimodalOps.mediaIndexPath(spark, tmp)
+    Seq("buckets", "_CUT", "_INDEX_READY").foreach(pc =>
+      assert(Files.exists(idx.resolve(pc)), s"missing artifact piece $pc"))
+    val nonce0 =
+      new String(Files.readAllBytes(idx.resolve("_INDEX_READY")), "UTF-8")
+    assert(nonce0.nonEmpty)
+    MultimodalOps.mediaIndexProbe(spark, tmp).collect()
+    assert(new String(
+      Files.readAllBytes(idx.resolve("_INDEX_READY")), "UTF-8") === nonce0,
+      "the artifact must not rebuild when the input is unchanged")
+  }
+
   test("t33 build is idempotent: a second serve reuses the artifact unmodified") {
     DedupOps.ccClustersServe(spark, dir).collect()
     val marker = DedupOps.ccIndexPath(spark, dir).resolve("_INDEX_READY")
