@@ -588,21 +588,55 @@ object DedupOps {
   private def t13MemoKey(s: SparkSession, dir: String): String =
     s"t13:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}"
 
+  /** The shared persisted-artifact idiom (v17's contract), ONE
+    * implementation for every index family (v17 ANN, v19 kNN cells,
+    * t33 CC labels, t34 band buckets, m8 media hashes):
+    * [[artifactDir]] folds the caller's input-fingerprinted key into
+    * the directory name (a regenerated input re-builds instead of
+    * serving stale state, and a FRESH session finds a current
+    * artifact by recomputing the same name); [[ensureArtifact]]
+    * short-circuits on a present NON-EMPTY `_INDEX_READY` marker
+    * (per-build nonce — content-checkable idempotency even on
+    * coarse-mtime filesystems), otherwise clears the directory, runs
+    * `build`, and writes the nonce marker LAST — a crash mid-build
+    * leaves a marker-less (rebuildable) directory, never a
+    * half-written "ready" one. */
+  private[graft] def artifactDir(prefix: String, key: String)
+      : java.nio.file.Path = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", s"${prefix}_$hex").toAbsolutePath
+  }
+
+  private val artifactLock = new Object
+
+  private[graft] def ensureArtifact(out: java.nio.file.Path)(
+      build: => Unit): String = artifactLock.synchronized {
+    val marker = out.resolve("_INDEX_READY")
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.size(marker) == 0) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+      build
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.write(marker,
+        System.nanoTime().toString.getBytes("UTF-8"))
+    }
+    out.toString
+  }
+
   /** Where the persisted connected-components LABEL index for `dir`
     * lives — the v17/v19 artifact idiom applied to the LAST
     * session-scoped expensive cascade (the converged t13 labels: label
     * propagation is an eager multi-round join loop, re-run per fresh
-    * session without this artifact). The input fingerprint rides in
-    * the directory name, so a regenerated documents table re-builds
-    * instead of serving stale labels. */
+    * session without this artifact). */
   private[graft] def ccIndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val key = s"ccindex:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}"
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"cc_index_$hex").toAbsolutePath
-  }
+      : java.nio.file.Path =
+    artifactDir("cc_index",
+      s"ccindex:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
   /** BUILD the CC-label artifact — the expensive one-time pass: the
     * t13 edge derivation (MinHash pipeline) plus the label-propagation
@@ -616,25 +650,14 @@ object DedupOps {
     * the propagation loop. At 100 TB the labels relation is one
     * node-cardinality parquet table — the standard shape for a
     * nightly-dedup label store. */
-  private[graft] def buildCcIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      requireOracleCap(s)
-      val out = ccIndexPath(s, dir)
-      val marker = out.resolve("_INDEX_READY")
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.size(marker) == 0) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-        ccConvergedLabelsDf(s, t13Edges(s, dir),
-          memoKey = t13MemoKey(s, dir))
-          .write.mode("overwrite").parquet(out.resolve("labels").toString)
-        java.nio.file.Files.write(marker,
-          System.nanoTime().toString.getBytes("UTF-8"))
-      }
-      out.toString
+  private[graft] def buildCcIndex(s: SparkSession, dir: String): String = {
+    requireOracleCap(s)
+    ensureArtifact(ccIndexPath(s, dir)) {
+      ccConvergedLabelsDf(s, t13Edges(s, dir), memoKey = t13MemoKey(s, dir))
+        .write.mode("overwrite")
+        .parquet(ccIndexPath(s, dir).resolve("labels").toString)
     }
+  }
 
   /** t33: the t13 near-dup cluster table SERVED from the persisted
     * label index — the serve path reads ONLY the artifact's `labels`
@@ -656,13 +679,9 @@ object DedupOps {
     * high-id half is the new batch — on synthetic fixtures that
     * models yesterday's corpus vs today's crawl. */
   private[graft] def bandIndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val key = s"bandindex:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}"
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"band_index_$hex").toAbsolutePath
-  }
+      : java.nio.file.Path =
+    artifactDir("band_index",
+      s"bandindex:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
   /** BUILD the band-index artifact: the BASE tranche's LSH buckets
     * pre-aggregated to one `(band, sig, canon)` row per bucket (canon
@@ -673,33 +692,22 @@ object DedupOps {
     * — at 100 TB this is the nightly-dedup index a pipeline persists
     * once and probes with every new batch. Idempotent under the
     * nonce-marker contract. */
-  private[graft] def buildBandIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val out = bandIndexPath(s, dir)
-      val marker = out.resolve("_INDEX_READY")
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.size(marker) == 0) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-        val d = docs(s, dir)
-        // one-time 2-long bounds read, confined to the build (q33)
-        val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val cut = (lo + hi) / 2
-        bandedSignaturesOf(d.filter(col("doc_id") <= cut))
-          .groupBy(col("band"), col("sig"))
-          .agg(min(col("doc_id")).as("canon"))
-          .write.mode("overwrite").parquet(out.resolve("buckets").toString)
-        java.nio.file.Files.createDirectories(out)
-        java.nio.file.Files.write(out.resolve("_CUT"),
-          cut.toString.getBytes("UTF-8"))
-        java.nio.file.Files.write(marker,
-          System.nanoTime().toString.getBytes("UTF-8"))
-      }
-      out.toString
+  private[graft] def buildBandIndex(s: SparkSession, dir: String): String = {
+    val out = bandIndexPath(s, dir)
+    ensureArtifact(out) {
+      val d = docs(s, dir)
+      // one-time 2-long bounds read, confined to the build (q33)
+      val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi) / 2
+      bandedSignaturesOf(d.filter(col("doc_id") <= cut))
+        .groupBy(col("band"), col("sig"))
+        .agg(min(col("doc_id")).as("canon"))
+        .write.mode("overwrite").parquet(out.resolve("buckets").toString)
+      java.nio.file.Files.write(out.resolve("_CUT"),
+        cut.toString.getBytes("UTF-8"))
     }
+  }
 
   /** t34: INCREMENTAL dedup — flag a NEW batch of documents against
     * the persisted corpus index without touching the corpus: the
@@ -1182,13 +1190,9 @@ object DedupOps {
     * a FRESH SESSION finds a current artifact by recomputing the same
     * name. */
   private[graft] def nearDupIndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val key = s"neardup:$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}"
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"neardup_cells_$hex").toAbsolutePath
-  }
+      : java.nio.file.Path =
+    artifactDir("neardup_cells",
+      s"neardup:$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}")
 
   /** BUILD the cell-index artifact — the expensive one-time pass: the
     * corpus-scaled Lloyd cascade (k ∝ n hash-seeded cells, the 162 s
@@ -1204,28 +1208,18 @@ object DedupOps {
     * cluster prefix so a cell-local serve touches one partition; at
     * gate scale the cluster column + row-group stats carry the same
     * prune. */
-  private[graft] def buildNearDupIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val out = nearDupIndexPath(s, dir)
-      val marker = out.resolve("_INDEX_READY")
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.size(marker) == 0) {
-        graft.functions.VectorDotProduct.register(s)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-        val e = graft.Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-        nearDupAssign(e, memoKey =
-          s"$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}")
-          .select(col("cluster"), col("vec_id"), col("embedding"))
-          .write.mode("overwrite").parquet(out.resolve("assign").toString)
-        java.nio.file.Files.write(marker,
-          System.nanoTime().toString.getBytes("UTF-8"))
-      }
-      out.toString
+  private[graft] def buildNearDupIndex(s: SparkSession, dir: String): String = {
+    val out = nearDupIndexPath(s, dir)
+    ensureArtifact(out) {
+      graft.functions.VectorDotProduct.register(s)
+      val e = graft.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      nearDupAssign(e, memoKey =
+        s"$dir@${pathFingerprint(s, s"$dir/embeddings.parquet")}")
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(out.resolve("assign").toString)
     }
+  }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)

@@ -195,47 +195,31 @@ object MultimodalOps {
   /** Where the persisted MEDIA-HASH index for `dir`'s base tranche
     * lives (the t34 idiom on the multimodal family). */
   private[graft] def mediaIndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val key =
-      s"mediaindex:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}"
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"media_index_$hex").toAbsolutePath
-  }
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_index",
+      s"mediaindex:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
 
   /** BUILD the media-hash index: the BASE tranche's perceptual hashes
     * pre-aggregated to one `(ahash, canon)` row per distinct hash
     * (canon = min doc id — m5's keeper rule as servable state) plus
     * the `_CUT` watermark. Nonce-marker idempotent (the v17
     * contract). */
-  private[graft] def buildMediaIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val out = mediaIndexPath(s, dir)
-      val marker = out.resolve("_INDEX_READY")
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.size(marker) == 0) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-        val media = mediaTable(s, dir)
-        val Array(lo, hi) = media.agg(min(col("doc_id")), max(col("doc_id")))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val cut = (lo + hi) / 2
-        mediaAhashOf(media.filter(col("doc_id") <= cut)
-            .select(col("doc_id"), col("payload")))
-          .groupBy(col("ahash"))
-          .agg(min(col("doc_id")).as("canon"))
-          .write.mode("overwrite").parquet(out.resolve("buckets").toString)
-        java.nio.file.Files.createDirectories(out)
-        java.nio.file.Files.write(out.resolve("_CUT"),
-          cut.toString.getBytes("UTF-8"))
-        java.nio.file.Files.write(marker,
-          System.nanoTime().toString.getBytes("UTF-8"))
-      }
-      out.toString
+  private[graft] def buildMediaIndex(s: SparkSession, dir: String): String = {
+    val out = mediaIndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val media = mediaTable(s, dir)
+      val Array(lo, hi) = media.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi) / 2
+      mediaAhashOf(media.filter(col("doc_id") <= cut)
+          .select(col("doc_id"), col("payload")))
+        .groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("canon"))
+        .write.mode("overwrite").parquet(out.resolve("buckets").toString)
+      java.nio.file.Files.write(out.resolve("_CUT"),
+        cut.toString.getBytes("UTF-8"))
     }
+  }
 
   /** m8: INCREMENTAL media dedup — a NEW batch of media probed against
     * the persisted corpus hash index (t34's daily-operations shape on

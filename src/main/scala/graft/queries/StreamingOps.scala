@@ -90,8 +90,8 @@ object StreamingOps {
   }
 
   /** The restart fixture: the events table split into an early and a
-    * late tranche BY TIME (`a-0.parquet` / `b-0.parquet` in one flat
-    * directory) — run 1 streams only the `a` file, run 2 un-hides `b`
+    * late tranche BY TIME (`a-NNN.parquet` / `b-NNN.parquet` part
+    * files in one flat directory) — run 1 streams only the `a` file, run 2 un-hides `b`
     * via a wider glob against the same directory, the way a live
     * directory acquires new files between two process lifetimes.
     * Staged once per (input fingerprint); the fingerprint rides in the
@@ -196,8 +196,8 @@ object StreamingOps {
   }
 
   /** s11 staging: the documents table split into a low-id and a
-    * high-id tranche (`a-0.parquet` / `b-0.parquet`, cut at
-    * ⌊(min+max)/2⌋ of doc_id) — same one-directory/wider-glob restart
+    * high-id tranche (`a-NNN.parquet` / `b-NNN.parquet` part files,
+    * cut at ⌊(min+max)/2⌋ of doc_id) — same one-directory/wider-glob restart
     * idiom as [[stageRestartFixture]]. The id split (not time — docs
     * have no event time) is what makes the restarted run's output
     * exactly SQL-expressible: every id in tranche A is smaller than

@@ -1373,12 +1373,8 @@ object VectorOps {
     * artifact by recomputing the same name, which is the whole point:
     * build once, serve many. */
   private[graft] def annIndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(memoKeyOf(s, dir, "v17").getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"ann_index_$hex").toAbsolutePath
-  }
+      : java.nio.file.Path =
+    DedupOps.artifactDir("ann_index", memoKeyOf(s, dir, "v17"))
 
   /** BUILD the IVF-PQ index ARTIFACT — the expensive one-time pass a
     * deployment runs offline: learns cells (v7's Lloyd cascade),
@@ -1391,39 +1387,24 @@ object VectorOps {
     * At 100 TB the cells relation is additionally written partitioned
     * by cluster so a serve touches one partition; at gate scale the
     * cluster column + parquet row-group stats carry the same prune. */
-  private[graft] def buildAnnIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val out = annIndexPath(s, dir)
-      val marker = out.resolve("_INDEX_READY")
-      // a nonce-less (empty) marker is a pre-nonce artifact: rebuild
-      // once so the idempotency contract becomes content-checkable
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.size(marker) == 0) {
-        graft.functions.VectorDotProduct.register(s)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+  private[graft] def buildAnnIndex(s: SparkSession, dir: String): String = {
+    val out = annIndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      graft.functions.VectorDotProduct.register(s)
+      pqEncodeCols(s, dir, kmFinalAssign(s, dir))
+        .select(col("vec_id").as("c_id") +: col("cluster") +:
+          (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
+        .write.mode("overwrite").parquet(out.resolve("cells").toString)
+      memoRows(s, memoKeyOf(s, dir, "v9route")) {
+          kmRecompute(kmFinalAssign(s, dir))
         }
-        rm(out.toFile)
-        pqEncodeCols(s, dir, kmFinalAssign(s, dir))
-          .select(col("vec_id").as("c_id") +: col("cluster") +:
-            (0 until PqM).map(m => col(s"m$m.c").as(s"c$m")): _*)
-          .write.mode("overwrite").parquet(out.resolve("cells").toString)
-        memoRows(s, memoKeyOf(s, dir, "v9route")) {
-            kmRecompute(kmFinalAssign(s, dir))
-          }
-          .write.mode("overwrite").parquet(out.resolve("centroids").toString)
-        pqCodebooks(s, dir).zipWithIndex
-          .map { case (b, m) => b.withColumn("m", lit(m)) }
-          .reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(out.resolve("codebooks").toString)
-        // the marker carries a per-build nonce so an accidental rebuild
-        // is detectable by content regardless of filesystem timestamp
-        // granularity (AnnIndexSpec compares bytes, not mtimes)
-        java.nio.file.Files.write(out.resolve("_INDEX_READY"),
-          System.nanoTime().toString.getBytes("UTF-8"))
-      }
-      out.toString
+        .write.mode("overwrite").parquet(out.resolve("centroids").toString)
+      pqCodebooks(s, dir).zipWithIndex
+        .map { case (b, m) => b.withColumn("m", lit(m)) }
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(out.resolve("codebooks").toString)
     }
+  }
 
   /** v17: SERVE from the WRITTEN index — the other half of the
     * build/serve split every production vector deployment runs: no
