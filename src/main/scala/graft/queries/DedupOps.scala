@@ -609,10 +609,18 @@ object DedupOps {
     java.nio.file.Paths.get("target", s"${prefix}_$hex").toAbsolutePath
   }
 
-  private val artifactLock = new Object
+  // one lock PER artifact path: unrelated families (the ANN index and
+  // the CC labels, say) may build concurrently — parallel test suites
+  // did before the r13 unification and must again — while two callers
+  // racing on the SAME artifact still serialize
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Object]
+
+  private[graft] def artifactLock(out: java.nio.file.Path): Object =
+    artifactLocks.computeIfAbsent(out, _ => new Object)
 
   private[graft] def ensureArtifact(out: java.nio.file.Path)(
-      build: => Unit): String = artifactLock.synchronized {
+      build: => Unit): String = artifactLock(out).synchronized {
     val marker = out.resolve("_INDEX_READY")
     if (!java.nio.file.Files.exists(marker) ||
         java.nio.file.Files.size(marker) == 0) {

@@ -501,9 +501,14 @@ object StreamingOps {
     * stream (ids above the artifact's `_CUT`, filter applied at the
     * source) bands map-only — the fused minhash kernel runs unchanged
     * on a streaming DataFrame — then probes the static bucket
-    * relation with a broadcast stream-static join (s8's stateless
-    * shape: no join state, no watermark; every micro-batch probes the
-    * index in place, the stream side never shuffles to meet it). The
+    * relation with a stateless stream-static join (s8's shape: no
+    * join state, no watermark). The static side is deliberately NOT
+    * hint-broadcast (t34's batch probe likewise leaves it unhinted):
+    * the bucket relation grows O(corpus) — billions of rows at
+    * 100 TB — so a forced broadcast is an executor-OOM by
+    * construction; AQE broadcasts it while it is genuinely small and
+    * shuffles once it isn't, and the 100 TB serve path is a
+    * partitioned/routed index probe, never a broadcast. The
     * per-doc (min band, min canon) aggregate runs in complete mode
     * for the gate (bounded fixture; an unbounded deployment emits
     * per-band flags unaggregated or keyed-dedups downstream). Gated
@@ -522,7 +527,7 @@ object StreamingOps {
     val buckets = s.read.parquet(s"$idx/buckets")
     val flagged = DedupOps.bandedSignaturesOf(stream)
       .select(col("doc_id"), col("band"), col("sig"))
-      .join(broadcast(buckets), Seq("band", "sig"))
+      .join(buckets, Seq("band", "sig"))
       .groupBy(col("doc_id"))
       .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
     runStream(s, "s14_stream_", flagged, "complete")
