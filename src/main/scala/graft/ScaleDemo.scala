@@ -341,6 +341,89 @@ object ScaleDemo {
       time("t7 full-corpus re-band + pair generation (the avoided cost)") {
         noop(queries.DedupOps.minhashLsh(spark, docsDir.toString))
       }
+      // t35 write-back economics: the append wall (absorb the delta
+      // INTO the index, O(batch)) vs the from-scratch rebuild it
+      // replaces (re-band the full corpus)
+      spark.catalog.clearCache()
+      val rwIdx = queries.DedupOps.rwBandIndexPath(spark, docsDir.toString)
+      rmInc(rwIdx.toFile)
+      time("t35 rw band-index BUILD (base tranche)") {
+        queries.DedupOps.buildRwBandIndex(spark, docsDir.toString)
+      }
+      spark.catalog.clearCache()
+      time("t35 APPEND the delta into the index (+ _CUT advance)") {
+        queries.DedupOps.appendBandIndex(spark, docsDir.toString)
+      }
+      spark.catalog.clearCache()
+      time("t35 serve after append (min-merge read of the living index)") {
+        noop(queries.DedupOps.servedBandBuckets(spark, docsDir.toString))
+      }
+      spark.catalog.clearCache()
+      val rebuildScratch = docsDir.resolve("t35_rebuild_scratch")
+      time("t35 from-scratch rebuild over base+delta (the avoided cost)") {
+        queries.DedupOps
+          .bandedSignaturesOf(spark.read.parquet(docsParquet.toString))
+          .groupBy(col("band"), col("sig"))
+          .agg(min(col("doc_id")).as("canon"))
+          .write.mode(SaveMode.Overwrite).parquet(rebuildScratch.toString)
+      }
+      rmInc(rebuildScratch.toFile)
+      // m8: the media family's absorb-the-delta economics (t34's idiom
+      // on perceptual hashes) — build, probe, and the full-corpus m5
+      // recompute the probe replaces
+      spark.catalog.clearCache()
+      val mIdx =
+        queries.MultimodalOps.mediaIndexPath(spark, docsDir.toString)
+      rmInc(mIdx.toFile)
+      time(s"m8 media-index BUILD on the base tranche " +
+          s"($actualDocs media total, low-id half)") {
+        queries.MultimodalOps.buildMediaIndex(spark, docsDir.toString)
+      }
+      spark.catalog.clearCache()
+      var mFlagged = 0L
+      time("m8 delta probe against the persisted media index") {
+        mFlagged = queries.MultimodalOps
+          .mediaIndexProbe(spark, docsDir.toString).count()
+      }
+      println(s"SCALE m8 flagged delta media: $mFlagged")
+      spark.catalog.clearCache()
+      time("m5 full-corpus perceptual-hash dedup (the avoided cost)") {
+        noop(queries.MultimodalOps.phashDedup(spark, docsDir.toString))
+      }
+      // s14: the SAME t34 artifact served on the streaming front door —
+      // the live-ingest wall next to the batch probe's (the gate runs
+      // this at sf0.1; this is the fleet-corpus wall). Inlined rather
+      // than calling streamedIncrementalDedup: the fleet corpus is a
+      // part-file directory, not the single-file fixture its
+      // pathGlobFilter expects.
+      spark.catalog.clearCache()
+      locally {
+        import org.apache.spark.sql.streaming.Trigger
+        val idxPath = queries.DedupOps.buildBandIndex(spark, docsDir.toString)
+        val cut = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(idxPath, "_CUT")), "UTF-8").trim.toLong
+        val ckpt = docsDir.resolve(s"s14_ckpt_${System.nanoTime()}")
+        try time("s14 streamed delta probe vs the index " +
+            "(AvailableNow, complete mode)") {
+          val schema = spark.read.parquet(docsParquet.toString).schema
+          val stream = spark.readStream.schema(schema)
+            .parquet(docsParquet.toString)
+            .filter(col("doc_id") > cut)
+            .select(col("doc_id"), col("text"))
+          val flagged = queries.DedupOps.bandedSignaturesOf(stream)
+            .select(col("doc_id"), col("band"), col("sig"))
+            .join(spark.read.parquet(s"$idxPath/buckets"),
+              Seq("band", "sig"))
+            .groupBy(col("doc_id"))
+            .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+          val q = flagged.writeStream.format("noop").outputMode("complete")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          Option(q.lastProgress).foreach(p =>
+            println(s"SCALE s14 streamed sink rows: ${p.sink.numOutputRows}"))
+        } finally rmInc(ckpt.toFile)
+      }
     }
     // the composed "publish a corpus" curation pass — dataset card
     // (t28) + importance resampling (t27) + length bucketing (t19)
@@ -1004,6 +1087,14 @@ object ScaleDemo {
       val trDir = docsDir.resolve(s"restart_tranches_$trHex")
       if (!Files.exists(trDir.resolve("_STAGED")))
         time("stage restart tranches (time-split events)") {
+          // sweep the legacy un-keyed dir and superseded hash-keyed
+          // siblings (stale fingerprints): they are never read again
+          // and a regenerated corpus would otherwise leave one ~full
+          // copy of the old events table behind per re-run
+          Option(docsDir.toFile.listFiles()).foreach(
+            _.filter(f => f.getName.startsWith("restart_tranches") &&
+                f.toPath.toAbsolutePath != trDir.toAbsolutePath)
+              .foreach(rm))
           rm(trDir.toFile)
           Files.createDirectories(trDir)
           val ev = spark.read.parquet(evParquet.toString)

@@ -609,10 +609,16 @@ object DedupOps {
     java.nio.file.Paths.get("target", s"${prefix}_$hex").toAbsolutePath
   }
 
-  // one lock PER artifact path: unrelated families (the ANN index and
-  // the CC labels, say) may build concurrently — parallel test suites
-  // did before the r13 unification and must again — while two callers
-  // racing on the SAME artifact still serialize
+  // one lock PER artifact path — scope: THIS JVM only. Unrelated
+  // families (the ANN index and the CC labels, say) build concurrently
+  // while two same-JVM callers racing on the SAME artifact serialize
+  // (suites here share one forked JVM). It never reaches across
+  // processes; cross-process same-artifact races remain possible and
+  // accepted — the marker-last contract makes a racing rebuild
+  // wasteful, not wrong (the nonce only ever stamps a COMPLETE build;
+  // a multi-process deployment would add a FileLock on the artifact
+  // dir). Entries are never removed; growth is bounded by the number
+  // of distinct artifacts.
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Object]
 
@@ -700,8 +706,11 @@ object DedupOps {
     * — at 100 TB this is the nightly-dedup index a pipeline persists
     * once and probes with every new batch. Idempotent under the
     * nonce-marker contract. */
-  private[graft] def buildBandIndex(s: SparkSession, dir: String): String = {
-    val out = bandIndexPath(s, dir)
+  private[graft] def buildBandIndex(s: SparkSession, dir: String): String =
+    buildBandIndexAt(s, dir, bandIndexPath(s, dir))
+
+  private def buildBandIndexAt(s: SparkSession, dir: String,
+      out: java.nio.file.Path): String = {
     ensureArtifact(out) {
       val d = docs(s, dir)
       // one-time 2-long bounds read, confined to the build (q33)
@@ -743,6 +752,139 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------ t35: index WRITE-BACK (append + advance)
+
+  /** Where the READ-WRITE band index lives. t34/s14 deliberately probe
+    * a read-only artifact — their gates re-probe the base-tranche
+    * buckets every run, so the delta must stay un-absorbed there —
+    * and the write-back family maintains its OWN copy of the same
+    * index, so an append never invalidates the read-only gates. */
+  private[graft] def rwBandIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_index_rw",
+      s"bandindexrw:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def buildRwBandIndex(s: SparkSession, dir: String): String =
+    buildBandIndexAt(s, dir, rwBandIndexPath(s, dir))
+
+  private def cutOf(idx: java.nio.file.Path): Long =
+    new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
+      "UTF-8").trim.toLong
+
+  /** APPEND the tranche `(_CUT, upTo]` into the rw band index and
+    * advance `_CUT` — the write-back that turns the build-once index
+    * into a LIVING one. Without it every batch joins an ever-growing
+    * unindexed tail and the "probe is linear in the batch" claim
+    * quietly degrades; with it, day N's batch probes an index that
+    * already absorbed days 1..N−1. The delta's buckets land as NEW
+    * part files NEXT TO the existing ones (an O(batch) write — the
+    * base relation is never rewritten; the LSM idiom), and the
+    * serve/probe paths min-merge on read: canon = min doc id is
+    * merge-associative, so append-then-merge ≡ a from-scratch rebuild
+    * over base+delta EXACTLY (pinned in IndexAppendSpec, gated by the
+    * full-corpus oracle).
+    *
+    * Crash-safe under the marker-last contract, serialized by the
+    * per-path artifact lock: the delta buckets write to a temp dir
+    * first (a failure there leaves the served index untouched), then
+    * the `_INDEX_READY` nonce is REMOVED — from here until the final
+    * re-stamp the artifact is "not ready", so a crash leaves a
+    * marker-less (rebuildable) directory, never a half-appended
+    * "ready" one — the part files move in, `_CUT` advances, and a
+    * FRESH nonce stamps LAST. Idempotent: an already-absorbed tranche
+    * yields an empty delta and the append is a no-op (nonce
+    * untouched). Returns the index's cut after the call. */
+  private[graft] def appendBandIndex(s: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Long = {
+    val out = rwBandIndexPath(s, dir)
+    artifactLock(out).synchronized {
+      val cut = cutOf(out)
+      val delta = docs(s, dir)
+        .filter(col("doc_id") > cut && col("doc_id") <= upTo)
+      // bounds over the pushed delta scan only — never the corpus
+      val hiRow = delta.agg(max(col("doc_id"))).head()
+      if (hiRow.isNullAt(0)) cut
+      else {
+        val newCut = hiRow.getLong(0)
+        val tmp = out.resolve("buckets_append")
+        bandedSignaturesOf(delta)
+          .groupBy(col("band"), col("sig"))
+          .agg(min(col("doc_id")).as("canon"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val marker = out.resolve("_INDEX_READY")
+        java.nio.file.Files.deleteIfExists(marker)
+        val dst = out.resolve("buckets")
+        tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              dst.resolve(f"append-$newCut%d-$i%03d.parquet"))
+          }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+        java.nio.file.Files.write(out.resolve("_CUT"),
+          newCut.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
+        newCut
+      }
+    }
+  }
+
+  /** The rw index's SERVED bucket relation: min-merge-on-read over the
+    * base build's rows plus every appended tranche's — one map-side-
+    * combinable groupBy on a bucket-cardinality relation. The 100 TB
+    * operational complement is periodic compaction (rewrite the merged
+    * relation, drop the delta files); it is semantics-free because min
+    * is idempotent and associative, so the gate pins the un-compacted
+    * read path. */
+  private[graft] def servedBandBuckets(s: SparkSession, dir: String)
+      : DataFrame =
+    s.read.parquet(rwBandIndexPath(s, dir).resolve("buckets").toString)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("canon")).as("canon"))
+
+  /** Probe a delta tranche `(_CUT, upTo]` against the rw index — the
+    * t34 probe against the LIVING index: after an append, a later
+    * batch's duplicates of an EARLIER batch's docs flag too (the
+    * cross-batch pin in IndexAppendSpec). The join reads the bucket
+    * files RAW — a (band, sig) key appended more than once matches
+    * its probe row more than once, and the existing per-doc
+    * min-aggregate is exactly the merge that makes that harmless. */
+  private[graft] def rwIndexProbe(s: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val idx = java.nio.file.Paths.get(buildRwBandIndex(s, dir))
+    val delta = docs(s, dir)
+      .filter(col("doc_id") > cutOf(idx) && col("doc_id") <= upTo)
+    bandedSignaturesOf(delta)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(s.read.parquet(idx.resolve("buckets").toString),
+        Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t35: index write-back, served — build the base index (ids ≤ mid,
+    * t34's artifact layout), APPEND the delta tranche into it
+    * ([[appendBandIndex]]: new bucket files + `_CUT` advance, atomic
+    * under the marker-last contract), then serve the merged bucket
+    * relation. The oracle is the from-scratch rebuild over the FULL
+    * corpus — append must be INVISIBLE in the result (canon = min is
+    * merge-associative), which is the property that lets a 100 TB
+    * deployment absorb each day's batch in O(batch) instead of
+    * re-banding the corpus. Idempotent across runs: once `_CUT` is at
+    * the corpus max the append no-ops and the serve is a plain
+    * bucket-relation read. */
+  def indexAppendServe(s: SparkSession, dir: String): DataFrame = {
+    buildRwBandIndex(s, dir)
+    appendBandIndex(s, dir)
+    servedBandBuckets(s, dir).orderBy(col("band"), col("sig"))
   }
 
   /** t29: leakage-safe train/eval split — the assignment rule a
@@ -1247,6 +1389,7 @@ object DedupOps {
     "t13_dedup_clusters" -> (nearDupClusters _),
     "t33_cc_index_load" -> (ccClustersServe _),
     "t34_incremental_dedup" -> (incrementalDedup _),
+    "t35_index_append" -> (indexAppendServe _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -1661,5 +1804,12 @@ object DedupOps {
          | WHERE b.doc_id > cut)
          |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full-corpus bucket relation — the from-scratch REBUILD the
+    // engine's append path must be indistinguishable from (canon = min
+    // is merge-associative, so base-build + delta-append ≡ this)
+    "t35_index_append" ->
+      s"""$bandsCtes
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t29_leakage_safe_split" -> leakageSplitOracle)
 }

@@ -744,23 +744,26 @@ object Relational {
     * idiom applied to maintenance state). The oracle computes the
     * same statistics over the full table in one pass — maintenance
     * must be invisible in the result. */
+  // the cut predicate compares in the parquet column's NATIVE type
+  // (BIGINT nanos or TIMESTAMP) — a predicate over the normalized
+  // (converted) ts is an expression over the column and can never
+  // reach PushedFilters; the native-typed literal folds and pushes.
+  // cut is stored in nanos; micros files compare at cut DIV 1000,
+  // exact because every micros value m satisfies m*1000 > cut ⟺
+  // m > cut DIV 1000 (and the ≤ complement likewise). Shared by the
+  // q33/q34 maintenance pair.
+  private def tsCutLit(raw: DataFrame, cutNanos: Long): Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(cutNanos)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"timestampadd(MICROSECOND, ${cutNanos / 1000}, " +
+          "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))")
+      case _ => expr(s"timestamp_micros(${cutNanos / 1000})")
+    }
+
   def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    // the cut predicate compares in the parquet column's NATIVE type
-    // (BIGINT nanos or TIMESTAMP) — a predicate over the normalized
-    // (converted) ts is an expression over the column and can never
-    // reach PushedFilters; the native-typed literal folds and pushes.
-    // cut is stored in nanos; micros files compare at cut DIV 1000,
-    // exact because every micros value m satisfies m*1000 > cut ⟺
-    // m > cut DIV 1000 (and the ≤ complement likewise).
     val raw = s.read.parquet(s"$dir/events.parquet")
-    def cutLit(cutNanos: Long): Column =
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => lit(cutNanos)
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          expr(s"timestampadd(MICROSECOND, ${cutNanos / 1000}, " +
-            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))")
-        case _ => expr(s"timestamp_micros(${cutNanos / 1000})")
-      }
+    def cutLit(cutNanos: Long): Column = tsCutLit(raw, cutNanos)
     def partial(df: DataFrame): DataFrame =
       df.select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -809,10 +812,96 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q34: INCREMENTAL DISTINCT-COUNT maintenance — q33's
+    * high-cardinality dual. COUNT(DISTINCT) has no exact fixed-size
+    * per-key partial (the exact maintenance state IS the per-key
+    * distinct set — re-materializing user-id sets nightly is the cost
+    * a 100 TB pipeline cannot pay), so the production shape is a
+    * persisted MERGEABLE SKETCH: one HyperLogLog sketch per key over
+    * the history tranche (`hll_sketch_agg` — Apache DataSketches
+    * HLL_4 at the default lgConfigK = 12, a ≤ ~2.5 KB summary per key
+    * regardless of cardinality), and the refresh scans ONLY the delta
+    * (`ts > _CUT`, the q33 native-typed pushed predicate —
+    * plan-pinned in PlanSpec), sketches it, and merges with
+    * `hll_union_agg`. Sketch union distributes exactly over set
+    * union, so maintenance adds NO error beyond the sketch's own —
+    * the merged estimate is bit-identical to single-pass sketching of
+    * the full table.
+    *
+    * Gated t32-style: the oracle hashes the EXACT per-key distinct
+    * counts (DuckDB cannot reproduce the DataSketches register
+    * layout), and the merged sketch is audited engine-side —
+    * `within_err` asserts |estimate − exact| ≤ 3·RSE·exact with
+    * RSE = 1.04/√2¹² ≈ 1.63 % (the documented HLL standard error at
+    * lgConfigK = 12); a sketch outside its bound flips the column and
+    * fails the hash gate loudly. The exact counts are the audit
+    * comparator (t32's pattern), not the maintenance path — a
+    * deployment serves the estimate. */
+  /** q34's documented audit bound: 3 × the HLL standard error at the
+    * default lgConfigK = 12 (RSE = 1.04/√2¹² ≈ 1.63 %). */
+  private[graft] val q34RelErr = 3d * 1.04 / math.sqrt(1 << 12)
+
+  /** q34's MAINTENANCE path: the merged per-key estimates —
+    * history-partial sketches read back from the artifact, the delta
+    * sketched off its pushed scan, both unioned through
+    * `hll_union_agg`. Exposed for SketchGateSpec's bit-identity pin
+    * (merged ≡ single-pass sketching of the full table). */
+  private[graft] def q34MergedEstimates(s: SparkSession, dir: String)
+      : DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def sketch(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val hist = java.nio.file.Paths.get("target",
+      s"q34_hll_${layoutHex(s, dir, "events")}").toAbsolutePath
+    val cutFile = hist.resolve("_CUT")
+    val partsDir = hist.resolve("partials")
+    synchronized {
+      if (!java.nio.file.Files.exists(cutFile) ||
+          !java.nio.file.Files.exists(partsDir.resolve("_SUCCESS"))) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(hist.toFile)
+        // the one-time BUILD pays the bounds scan (offline, like the
+        // q33 build and the index builds)
+        val Array(lo, hi) = t(s, dir, "events")
+          .agg(min(col("ts")), max(col("ts")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = (lo + hi) / 2
+        sketch(raw.filter(col("ts") <= tsCutLit(raw, cut)))
+          .write.mode("overwrite").parquet(partsDir.toString)
+        java.nio.file.Files.write(cutFile, cut.toString.getBytes("UTF-8"))
+      }
+    }
+    val cut = new String(java.nio.file.Files.readAllBytes(cutFile),
+      "UTF-8").trim.toLong
+    // refresh: delta-only scan (pushed) + sketch-union with the stored
+    // per-key partials — never a history re-scan
+    s.read.parquet(partsDir.toString)
+      .unionAll(sketch(raw.filter(col("ts") > tsCutLit(raw, cut))))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+  }
+
+  def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // the audit comparator (exact pass, t32's shape) — NOT the
+    // maintenance path
+    val exact = raw.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(q34MergedEstimates(s, dir), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          lit(q34RelErr) * col("n_exact").cast("double")).as("within_err"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
+    "q34_incremental_distinct" -> (q34IncrementalDistinct _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -979,6 +1068,15 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
         | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
         |   / 100, 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle states the EXACT distinct counts and the always-true
+    // audit flag; the merged HLL estimate is bound-checked engine-side
+    // (t32's pattern — DuckDB cannot reproduce the DataSketches
+    // register layout, and the exact counts are what maintenance must
+    // approximate within its documented error)
+    "q34_incremental_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_err
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->

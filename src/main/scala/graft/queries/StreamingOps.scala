@@ -99,14 +99,36 @@ object StreamingOps {
     * serving stale tranches. The time split (not id parity) keeps the
     * second run's data entirely later than the first's, so the gate
     * never leans on complete-mode's keep-late-data behavior. */
+  /** Staged-layout version. The input fingerprint alone decides when
+    * to RE-stage, but it only tracks the DATA — a change to the
+    * staging code's layout (split rule, part sizing, file naming)
+    * would otherwise never materialize on a box that already staged
+    * the old layout (the r13 coalesce(1) → repartition(4) change
+    * silently didn't, ADVICE r14). Bump this when the staging shape
+    * changes; the token rides in the directory name, so a bump both
+    * re-stages and lets the sweep below retire the old layout's dir. */
+  private val RestartLayoutV = "v2"
+
   private def stageRestartFixture(s: SparkSession, dir: String): String =
     synchronized {
       val fp = DedupOps.pathFingerprint(s, s"$dir/events.parquet")
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir@$fp".getBytes("UTF-8"))
+        .digest(s"$dir@$fp#$RestartLayoutV".getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
       val out = Paths.get("target", s"s10_events_$hex").toAbsolutePath
       if (!Files.exists(out.resolve("_STAGED"))) {
+        // retire superseded fixture dirs (older layout versions or
+        // regenerated inputs) — they are never read again and only
+        // accumulate
+        Option(Paths.get("target").toFile.listFiles()).foreach(
+          _.filter(f => f.getName.startsWith("s10_events_") &&
+              f.toPath.toAbsolutePath != out)
+            .foreach { stale =>
+              def rmAll(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+              }
+              rmAll(stale)
+            })
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
@@ -506,9 +528,11 @@ object StreamingOps {
     * hint-broadcast (t34's batch probe likewise leaves it unhinted):
     * the bucket relation grows O(corpus) — billions of rows at
     * 100 TB — so a forced broadcast is an executor-OOM by
-    * construction; AQE broadcasts it while it is genuinely small and
-    * shuffles once it isn't, and the 100 TB serve path is a
-    * partitioned/routed index probe, never a broadcast. The
+    * construction; the STATIC planner (stateful micro-batch plans do
+    * not get AQE re-planning) broadcasts it off its file-size stats
+    * while it sits under autoBroadcastJoinThreshold and shuffles once
+    * it doesn't, and the 100 TB serve path is a partitioned/routed
+    * index probe, never a broadcast. The
     * per-doc (min band, min canon) aggregate runs in complete mode
     * for the gate (bounded fixture; an unbounded deployment emits
     * per-band flags unaggregated or keyed-dedups downstream). Gated

@@ -386,6 +386,25 @@ class PlanSpec extends SparkSpec {
       s"the cut must come from the artifact, not a bounds re-scan:\n$p")
   }
 
+  test("q34: the sketch refresh scans ONLY the delta — cut pushed, partials read back") {
+    // the maintenance path must be the pushed delta scan + the
+    // persisted partials; no bounds re-scan. (The full-table scan in
+    // the plan is the EXACT audit comparator the gate hashes — the
+    // t32 pattern — not the maintenance path; the merged-estimates
+    // subplan alone is pinned below.)
+    val p = plan("q34_incremental_distinct")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"the delta cut must push to the events scan:\n$p")
+    assert(!p.contains("min(ts)") && !p.contains("max(ts)"),
+      s"the cut must come from the artifact, not a bounds re-scan:\n$p")
+    val m = Relational.q34MergedEstimates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(m.contains("q34_hll_"),
+      "the history side must be the persisted partials")
+    assert("events\\.parquet".r.findAllIn(m).size <= 1,
+      s"maintenance must scan events once (the delta):\n$m")
+  }
+
   test("t33: the label-index serve reads ONLY the artifact — no corpus rescan, no propagation") {
     // serving the cluster table must not re-derive anything from the
     // documents table (the MinHash pipeline + the propagation loop are

@@ -82,6 +82,37 @@ class SketchGateSpec extends SparkSpec {
     assert(cnts.toSeq === cnts.sorted.toSeq)
   }
 
+  test("q34: history-partial + delta merge is BIT-IDENTICAL to single-pass sketching") {
+    // sketch union distributes exactly over set union, so maintenance
+    // must be invisible not just within the error bound but in the
+    // ESTIMATE ITSELF: merging the persisted history sketches with the
+    // delta's equals sketching the full table in one pass
+    val singlePass = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val merged = Relational.q34MergedEstimates(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged.keySet === singlePass.keySet)
+    merged.foreach { case (key, est) =>
+      assert(est === singlePass(key),
+        s"$key: merged estimate $est != single-pass ${singlePass(key)} — " +
+          "maintenance must be invisible in the sketch itself")
+    }
+    val gated = Relational.q34IncrementalDistinct(spark, dir).collect()
+    assert(gated.nonEmpty)
+    assert(gated.forall(_.getAs[Boolean]("within_err")),
+      "every merged estimate must sit inside the documented 3·RSE bound")
+    // the maintenance state is on disk: per-key partials + the _CUT
+    // watermark (the q33 artifact layout)
+    val hists = new java.io.File("target").listFiles()
+      .filter(_.getName.startsWith("q34_hll_"))
+    assert(hists.nonEmpty, "the history-partials artifact must persist")
+    assert(hists.exists(h =>
+      new java.io.File(h, "_CUT").exists() &&
+        new java.io.File(h, "partials/_SUCCESS").exists()))
+  }
+
   test("t23: audit covers every LSH candidate pair, consistently") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val nCand = DedupOps.minhashPairsOf(d).count()
