@@ -158,7 +158,10 @@ object Bench {
       Set("q34_incremental_distinct") ->
         (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
       Set("m8_media_index_probe") ->
-        (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }))
+        (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }),
+      Set("m9_media_index_append") ->
+        (() => { graft.queries.MultimodalOps.buildRwMediaIndex(spark, sfDir)
+                 graft.queries.MultimodalOps.appendMediaIndex(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with
     // in-query operators (buildNearDupIndex populates t9/v15's
     // centroid memo, buildCcIndex populates t13's label memo) — that

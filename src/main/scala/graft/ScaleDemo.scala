@@ -1085,16 +1085,17 @@ object ScaleDemo {
           .getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
       val trDir = docsDir.resolve(s"restart_tranches_$trHex")
+      // sweep the legacy un-keyed dir and superseded hash-keyed
+      // siblings (stale fingerprints) UNCONDITIONALLY — they are never
+      // read again, and a box whose current fixture is already staged
+      // would otherwise keep one ~full copy of the old events table
+      // per regeneration forever
+      Option(docsDir.toFile.listFiles()).foreach(
+        _.filter(f => f.getName.startsWith("restart_tranches") &&
+            f.toPath.toAbsolutePath != trDir.toAbsolutePath)
+          .foreach(rm))
       if (!Files.exists(trDir.resolve("_STAGED")))
         time("stage restart tranches (time-split events)") {
-          // sweep the legacy un-keyed dir and superseded hash-keyed
-          // siblings (stale fingerprints): they are never read again
-          // and a regenerated corpus would otherwise leave one ~full
-          // copy of the old events table behind per re-run
-          Option(docsDir.toFile.listFiles()).foreach(
-            _.filter(f => f.getName.startsWith("restart_tranches") &&
-                f.toPath.toAbsolutePath != trDir.toAbsolutePath)
-              .foreach(rm))
           rm(trDir.toFile)
           Files.createDirectories(trDir)
           val ev = spark.read.parquet(evParquet.toString)

@@ -769,9 +769,40 @@ object DedupOps {
   private[graft] def buildRwBandIndex(s: SparkSession, dir: String): String =
     buildBandIndexAt(s, dir, rwBandIndexPath(s, dir))
 
-  private def cutOf(idx: java.nio.file.Path): Long =
+  private[graft] def cutOf(idx: java.nio.file.Path): Long =
     new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
       "UTF-8").trim.toLong
+
+  /** The FILE mechanics of an artifact append, shared by every
+    * write-back family (t35 band buckets, m9 media hashes). The
+    * caller — holding [[artifactLock]]`(out)` — has already written
+    * the delta's bucket relation to `tmp`; this moves its part files
+    * into `buckets/` as `append-<newCut>-NNN.parquet`, advances
+    * `_CUT`, and re-stamps the nonce, with the `_INDEX_READY` marker
+    * REMOVED across the whole mutation window: a crash anywhere
+    * inside leaves a marker-less (rebuildable) directory, never a
+    * half-appended "ready" one. */
+  private[graft] def commitArtifactAppend(out: java.nio.file.Path,
+      tmp: java.nio.file.Path, newCut: Long): Unit = {
+    val marker = out.resolve("_INDEX_READY")
+    java.nio.file.Files.deleteIfExists(marker)
+    val dst = out.resolve("buckets")
+    tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          dst.resolve(f"append-$newCut%d-$i%03d.parquet"))
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp.toFile)
+    java.nio.file.Files.write(out.resolve("_CUT"),
+      newCut.toString.getBytes("UTF-8"))
+    java.nio.file.Files.write(marker,
+      System.nanoTime().toString.getBytes("UTF-8"))
+  }
 
   /** APPEND the tranche `(_CUT, upTo]` into the rw band index and
     * advance `_CUT` — the write-back that turns the build-once index
@@ -813,24 +844,7 @@ object DedupOps {
           .groupBy(col("band"), col("sig"))
           .agg(min(col("doc_id")).as("canon"))
           .write.mode("overwrite").parquet(tmp.toString)
-        val marker = out.resolve("_INDEX_READY")
-        java.nio.file.Files.deleteIfExists(marker)
-        val dst = out.resolve("buckets")
-        tmp.toFile.listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.move(f.toPath,
-              dst.resolve(f"append-$newCut%d-$i%03d.parquet"))
-          }
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp.toFile)
-        java.nio.file.Files.write(out.resolve("_CUT"),
-          newCut.toString.getBytes("UTF-8"))
-        java.nio.file.Files.write(marker,
-          System.nanoTime().toString.getBytes("UTF-8"))
+        commitArtifactAppend(out, tmp, newCut)
         newCut
       }
     }

@@ -204,8 +204,11 @@ object MultimodalOps {
     * (canon = min doc id — m5's keeper rule as servable state) plus
     * the `_CUT` watermark. Nonce-marker idempotent (the v17
     * contract). */
-  private[graft] def buildMediaIndex(s: SparkSession, dir: String): String = {
-    val out = mediaIndexPath(s, dir)
+  private[graft] def buildMediaIndex(s: SparkSession, dir: String): String =
+    buildMediaIndexAt(s, dir, mediaIndexPath(s, dir))
+
+  private def buildMediaIndexAt(s: SparkSession, dir: String,
+      out: java.nio.file.Path): String = {
     DedupOps.ensureArtifact(out) {
       val media = mediaTable(s, dir)
       val Array(lo, hi) = media.agg(min(col("doc_id")), max(col("doc_id")))
@@ -242,6 +245,66 @@ object MultimodalOps {
       .join(s.read.parquet(s"$idx/buckets"), Seq("ahash"))
       .select(col("doc_id"), col("ahash"), col("canon").as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------- m9: media-index WRITE-BACK (t35's idiom)
+
+  /** The READ-WRITE media index — m8/its gate probe a read-only
+    * artifact (the delta must stay un-absorbed there); the write-back
+    * family maintains its own copy, exactly as t35 does beside t34. */
+  private[graft] def rwMediaIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_index_rw",
+      s"mediaindexrw:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def buildRwMediaIndex(s: SparkSession, dir: String): String =
+    buildMediaIndexAt(s, dir, rwMediaIndexPath(s, dir))
+
+  /** APPEND the media tranche `(_CUT, upTo]` into the rw media index
+    * and advance `_CUT` — t35's write-back on the multimodal family:
+    * the delta's `(ahash, canon)` buckets land as new part files
+    * (O(batch); the base relation is never rewritten) through the
+    * shared [[DedupOps.commitArtifactAppend]] mechanics (marker
+    * removed across the mutation window — crash ⇒ rebuild), and the
+    * serve path min-merges on read: canon = min doc id is
+    * merge-associative, so append ≡ rebuild exactly. Idempotent: an
+    * absorbed tranche yields an empty delta and no-ops. */
+  private[graft] def appendMediaIndex(s: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Long = {
+    val out = rwMediaIndexPath(s, dir)
+    DedupOps.artifactLock(out).synchronized {
+      val cut = DedupOps.cutOf(out)
+      val delta = mediaTable(s, dir)
+        .filter(col("doc_id") > cut && col("doc_id") <= upTo)
+        .select(col("doc_id"), col("payload"))
+      val hiRow = delta.agg(max(col("doc_id"))).head()
+      if (hiRow.isNullAt(0)) cut
+      else {
+        val newCut = hiRow.getLong(0)
+        val tmp = out.resolve("buckets_append")
+        mediaAhashOf(delta)
+          .groupBy(col("ahash"))
+          .agg(min(col("doc_id")).as("canon"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.commitArtifactAppend(out, tmp, newCut)
+        newCut
+      }
+    }
+  }
+
+  /** m9: media-index write-back, served — build the base hash index,
+    * absorb the delta INTO it, serve the merged `(ahash, canon)`
+    * relation. Oracle = the from-scratch rebuild over the full corpus
+    * (append must be invisible in the result). With t35 (band index)
+    * this makes BOTH persisted-probe families living indexes: day N's
+    * batch probes an artifact that already absorbed days 1..N−1. */
+  def mediaIndexAppendServe(s: SparkSession, dir: String): DataFrame = {
+    buildRwMediaIndex(s, dir)
+    appendMediaIndex(s, dir)
+    s.read.parquet(rwMediaIndexPath(s, dir).resolve("buckets").toString)
+      .groupBy(col("ahash"))
+      .agg(min(col("canon")).as("canon"))
+      .orderBy(col("ahash"))
   }
 
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -308,7 +371,8 @@ object MultimodalOps {
     "m2_media_features" -> (mediaFeatures _),
     "m3_media_resize" -> (mediaResize _),
     "m4_frame_sample" -> (frameSample _),
-    "m8_media_index_probe" -> (mediaIndexProbe _))
+    "m8_media_index_probe" -> (mediaIndexProbe _),
+    "m9_media_index_append" -> (mediaIndexAppendServe _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -348,6 +412,12 @@ object MultimodalOps {
          |FROM a CROSS JOIN bounds JOIN bkt USING (ahash)
          |WHERE a.doc_id > cut
          |ORDER BY a.doc_id""".stripMargin,
+    // the full-corpus hash relation — the from-scratch REBUILD the
+    // engine's append path must be indistinguishable from
+    "m9_media_index_append" ->
+      s"""WITH $ahashCtes
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "m5_phash_dedup" -> {
       s"""WITH $ahashCtes,
          |g AS (

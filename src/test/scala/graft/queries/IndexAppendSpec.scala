@@ -115,6 +115,39 @@ class IndexAppendSpec extends SparkSpec {
     assert(served === rebuildOverFullCorpus(tmp))
   }
 
+  test("m9 media write-back: serve-after-append equals the rebuild; nonce-idempotent") {
+    val served = MultimodalOps.mediaIndexAppendServe(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = MultimodalOps
+      .mediaAhashOf(MultimodalOps.mediaTable(spark, dir)
+        .select(col("doc_id"), col("payload")))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === rebuild)
+    val idx = MultimodalOps.rwMediaIndexPath(spark, dir)
+    val names = idx.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("append-")),
+      "the delta generation must be on disk as appended files")
+    // absorbed tranche ⇒ the next serve re-appends nothing
+    val marker = idx.resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    MultimodalOps.mediaIndexAppendServe(spark, dir).collect()
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0)
+    // and the m8 read-only artifact still carries the BASE cut — the
+    // write-back family never touches it
+    val hi = Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    assert(new String(Files.readAllBytes(idx.resolve("_CUT")), "UTF-8")
+      .trim.toLong === hi)
+    MultimodalOps.buildMediaIndex(spark, dir)
+    val roCut = new String(Files.readAllBytes(
+      MultimodalOps.mediaIndexPath(spark, dir).resolve("_CUT")),
+      "UTF-8").trim.toLong
+    assert(roCut < hi, "m8's read-only index must keep the base cut")
+  }
+
   // plan pins live HERE, not in PlanSpec: t35 mutates its artifact, and
   // the crash-safety test above rebuilds it — a parallel suite probing
   // the same directory would race the rebuild's rm
