@@ -157,6 +157,10 @@ object Bench {
                  graft.queries.DedupOps.appendBandIndex(spark, sfDir); () }),
       Set("q34_incremental_distinct") ->
         (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
+      Set("q35_agg_append") ->
+        (() => { graft.queries.Relational.q35Append(spark, sfDir); () }),
+      Set("q36_sketch_append") ->
+        (() => { graft.queries.Relational.q36Append(spark, sfDir); () }),
       Set("m8_media_index_probe") ->
         (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }),
       Set("m9_media_index_append") ->

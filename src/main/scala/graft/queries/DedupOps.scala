@@ -774,19 +774,20 @@ object DedupOps {
       "UTF-8").trim.toLong
 
   /** The FILE mechanics of an artifact append, shared by every
-    * write-back family (t35 band buckets, m9 media hashes). The
-    * caller — holding [[artifactLock]]`(out)` — has already written
-    * the delta's bucket relation to `tmp`; this moves its part files
-    * into `buckets/` as `append-<newCut>-NNN.parquet`, advances
-    * `_CUT`, and re-stamps the nonce, with the `_INDEX_READY` marker
-    * REMOVED across the whole mutation window: a crash anywhere
-    * inside leaves a marker-less (rebuildable) directory, never a
-    * half-appended "ready" one. */
+    * write-back family (t35 band buckets, m9 media hashes, q35/q36
+    * history partials). The caller — holding [[artifactLock]]`(out)`
+    * — has already written the delta's relation to `tmp`; this moves
+    * its part files into `rel/` as `append-<newCut>-NNN.parquet`,
+    * advances `_CUT`, and re-stamps the nonce, with the
+    * `_INDEX_READY` marker REMOVED across the whole mutation window:
+    * a crash anywhere inside leaves a marker-less (rebuildable)
+    * directory, never a half-appended "ready" one. */
   private[graft] def commitArtifactAppend(out: java.nio.file.Path,
-      tmp: java.nio.file.Path, newCut: Long): Unit = {
+      tmp: java.nio.file.Path, newCut: Long,
+      rel: String = "buckets"): Unit = {
     val marker = out.resolve("_INDEX_READY")
     java.nio.file.Files.deleteIfExists(marker)
-    val dst = out.resolve("buckets")
+    val dst = out.resolve(rel)
     tmp.toFile.listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))

@@ -761,14 +761,26 @@ object Relational {
       case _ => expr(s"timestamp_micros(${cutNanos / 1000})")
     }
 
+  /** q33's per-key exact partial (counts + value in integer CENTS —
+    * the partial-merge-associativity trick its Scaladoc explains);
+    * shared with the q35 write-back. */
+  private def q33Partial(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+
+  /** q33's partial-merge tail: partials → the published aggregate. */
+  private def q33Merge(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pc")).cast("double") / 100d, 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     def cutLit(cutNanos: Long): Column = tsCutLit(raw, cutNanos)
-    def partial(df: DataFrame): DataFrame =
-      df.select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+    def partial(df: DataFrame): DataFrame = q33Partial(df)
     // "yesterday's" materialized aggregate — written once per input
     // fingerprint, read back from parquet like the real metrics table.
     // The CUT POINT (the high-watermark ts the history covers) is
@@ -804,12 +816,8 @@ object Relational {
       "UTF-8").trim.toLong
     // today: scan the delta only (ts > cut pushes to the parquet scan —
     // plan-pinned in PlanSpec) + merge with the stored partials
-    s.read.parquet(partsDir.toString)
-      .unionAll(partial(raw.filter(col("ts") > cutLit(cut))))
-      .groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n_events"),
-        round(sum(col("pc")).cast("double") / 100d, 2).as("sum_value"))
-      .orderBy(col("event_type"))
+    q33Merge(s.read.parquet(partsDir.toString)
+      .unionAll(partial(raw.filter(col("ts") > cutLit(cut)))))
   }
 
   /** q34: INCREMENTAL DISTINCT-COUNT maintenance — q33's
@@ -846,12 +854,34 @@ object Relational {
     * sketched off its pushed scan, both unioned through
     * `hll_union_agg`. Exposed for SketchGateSpec's bit-identity pin
     * (merged ≡ single-pass sketching of the full table). */
+  /** q34's per-key HLL partial; shared with the q36 write-back. */
+  private def q34Sketch(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** q34's sketch-merge tail: partials → per-key merged estimate. */
+  private def q34Estimate(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
+  /** q34's audit join: the exact pass (the oracle-hashed comparator)
+    * beside the engine-side bound check on the merged estimate. */
+  private def q34Audit(s: SparkSession, dir: String, merged: DataFrame)
+      : DataFrame = {
+    val exact = s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          lit(q34RelErr) * col("n_exact").cast("double")).as("within_err"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def q34MergedEstimates(s: SparkSession, dir: String)
       : DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    def sketch(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    def sketch(df: DataFrame): DataFrame = q34Sketch(df)
     val hist = java.nio.file.Paths.get("target",
       s"q34_hll_${layoutHex(s, dir, "events")}").toAbsolutePath
     val cutFile = hist.resolve("_CUT")
@@ -878,30 +908,138 @@ object Relational {
       "UTF-8").trim.toLong
     // refresh: delta-only scan (pushed) + sketch-union with the stored
     // per-key partials — never a history re-scan
-    s.read.parquet(partsDir.toString)
-      .unionAll(sketch(raw.filter(col("ts") > tsCutLit(raw, cut))))
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    q34Estimate(s.read.parquet(partsDir.toString)
+      .unionAll(sketch(raw.filter(col("ts") > tsCutLit(raw, cut)))))
   }
 
-  def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+  def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame =
+    q34Audit(s, dir, q34MergedEstimates(s, dir))
+
+  // ----------- q35/q36: history-partials WRITE-BACK (t35's idiom on
+  // the maintenance shelf)
+
+  /** Where a family's READ-WRITE partials artifact lives. q33/q34's
+    * artifacts stay read-only for the same reason t34's does beside
+    * t35: their gates exercise a real delta merge every run, so the
+    * delta must stay un-absorbed there; the write-back families
+    * maintain their own copies. */
+  private def rwPartialsPath(s: SparkSession, dir: String, fam: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir(s"${fam}_rw",
+      s"${fam}rw:$dir@${layoutHex(s, dir, "events")}")
+
+  /** Build a family's rw partials artifact: the history tranche
+    * (ts ≤ the midpoint cut) folded through `partialOf`, plus `_CUT`
+    * — q33's build at the v17 nonce-marker contract. */
+  private def buildRwPartials(s: SparkSession, dir: String, fam: String)(
+      partialOf: DataFrame => DataFrame): String = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    // the audit comparator (exact pass, t32's shape) — NOT the
-    // maintenance path
-    val exact = raw.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    exact.join(q34MergedEstimates(s, dir), Seq("event_type"))
-      .select(col("event_type"), col("n_exact"),
-        (abs(col("est") - col("n_exact")).cast("double") <=
-          lit(q34RelErr) * col("n_exact").cast("double")).as("within_err"))
-      .orderBy(col("event_type"))
+    val out = rwPartialsPath(s, dir, fam)
+    DedupOps.ensureArtifact(out) {
+      val Array(lo, hi) = t(s, dir, "events")
+        .agg(min(col("ts")), max(col("ts")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi) / 2
+      partialOf(raw.filter(col("ts") <= tsCutLit(raw, cut)))
+        .write.mode("overwrite").parquet(out.resolve("partials").toString)
+      java.nio.file.Files.write(out.resolve("_CUT"),
+        cut.toString.getBytes("UTF-8"))
+    }
   }
+
+  /** APPEND the tranche `(_CUT, upToNanos]` into a family's rw
+    * partials artifact and advance `_CUT` — the write-back that makes
+    * the maintenance state itself a living artifact: without it the
+    * un-folded delta grows and every refresh re-aggregates more of
+    * it; with it, each batch folds in ONCE and later refreshes start
+    * at the new watermark. The delta's per-key partials land as NEW
+    * part files next to the history's (O(batch · keys) — the history
+    * partials are never rewritten) through the shared marker-last
+    * commit mechanics; merge-on-read is the families' EXISTING read
+    * path (exact-sum for q35, `hll_union_agg` for q36), so append ≡
+    * a from-scratch rebuild exactly — q33 chose integer-cent partials
+    * and q34 chose HLL sketches precisely because both merge
+    * associatively. The batch high-watermark is one maintenance-time
+    * bounds read (known state in production, like the build's).
+    * Idempotent: an absorbed tranche no-ops, nonce untouched. */
+  private def appendPartials(s: SparkSession, dir: String, fam: String,
+      upToNanos: Long = Long.MaxValue)(
+      partialOf: DataFrame => DataFrame): Long = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = rwPartialsPath(s, dir, fam)
+    DedupOps.artifactLock(out).synchronized {
+      val cut = DedupOps.cutOf(out)
+      val hi = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
+      val newCut = math.min(hi, upToNanos)
+      if (newCut <= cut) cut
+      else {
+        val tmp = out.resolve("partials_append")
+        partialOf(raw.filter(col("ts") > tsCutLit(raw, cut) &&
+            col("ts") <= tsCutLit(raw, newCut)))
+          .write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.commitArtifactAppend(out, tmp, newCut, rel = "partials")
+        newCut
+      }
+    }
+  }
+
+  private[graft] def q35RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q35agg")
+
+  private[graft] def q35Append(s: SparkSession, dir: String,
+      upToNanos: Long = Long.MaxValue): Long = {
+    buildRwPartials(s, dir, "q35agg")(q33Partial)
+    appendPartials(s, dir, "q35agg", upToNanos)(q33Partial)
+  }
+
+  /** q35: q33's history partials as a LIVING artifact — build the
+    * base-tranche cent partials, APPEND the delta's partials into the
+    * artifact (`_CUT` advances; the t35 idiom on the maintenance
+    * shelf), and publish the aggregate by the family's merge-on-read.
+    * Gated by q33's full-table oracle UNCHANGED: the write-back must
+    * be invisible in the result, which holds exactly because the
+    * integer-cent partials merge associatively. */
+  def q35AggAppend(s: SparkSession, dir: String): DataFrame = {
+    q35Append(s, dir)
+    q33Merge(s.read.parquet(
+      q35RwPath(s, dir).resolve("partials").toString))
+  }
+
+  private[graft] def q36RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q36hll")
+
+  private[graft] def q36Append(s: SparkSession, dir: String,
+      upToNanos: Long = Long.MaxValue): Long = {
+    buildRwPartials(s, dir, "q36hll")(q34Sketch)
+    appendPartials(s, dir, "q36hll", upToNanos)(q34Sketch)
+  }
+
+  /** q36's maintenance path alone (exposed for the bit-identity pin,
+    * like [[q34MergedEstimates]]): merged estimates off the APPENDED
+    * artifact — read partials, `hll_union_agg`, estimate. */
+  private[graft] def q36MergedEstimates(s: SparkSession, dir: String)
+      : DataFrame = {
+    q36Append(s, dir)
+    q34Estimate(s.read.parquet(
+      q36RwPath(s, dir).resolve("partials").toString))
+  }
+
+  /** q36: q34's HLL partials as a LIVING artifact — the delta's
+    * per-key sketches append into the history (sketch union is exact
+    * over set union, so the folded artifact estimates exactly what
+    * single-pass sketching would), `_CUT` advances, and the same
+    * t32-style audit gates the result against q34's oracle
+    * unchanged. */
+  def q36SketchAppend(s: SparkSession, dir: String): DataFrame =
+    q34Audit(s, dir, q36MergedEstimates(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
     "q34_incremental_distinct" -> (q34IncrementalDistinct _),
+    "q35_agg_append" -> (q35AggAppend _),
+    "q36_sketch_append" -> (q36SketchAppend _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -932,6 +1070,22 @@ object Relational {
     "q15_scalar_cross" -> (q15ScalarCross _),
     "q29_salted_join" -> (q29SaltedJoin _),
     "q30_window_ranks" -> (q30WindowRanks _))
+
+  private val q33Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |   / 100, 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // the oracle states the EXACT distinct counts and the always-true
+  // audit flag; the merged HLL estimate is bound-checked engine-side
+  // (t32's pattern — DuckDB cannot reproduce the DataSketches
+  // register layout, and the exact counts are what maintenance must
+  // approximate within its documented error)
+  private val q34Oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      | TRUE AS within_err
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the oracle states only the EXACT rank values + the always-true
@@ -1064,20 +1218,13 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the maintenance split is internal — the oracle is the one-pass
     // aggregate over the full table (same cent-exact statistics)
-    "q33_incremental_agg" ->
-      """SELECT event_type, count(*) AS n_events,
-        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-        |   / 100, 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the oracle states the EXACT distinct counts and the always-true
-    // audit flag; the merged HLL estimate is bound-checked engine-side
-    // (t32's pattern — DuckDB cannot reproduce the DataSketches
-    // register layout, and the exact counts are what maintenance must
-    // approximate within its documented error)
-    "q34_incremental_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
-        | TRUE AS within_err
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_incremental_agg" -> q33Oracle,
+    "q34_incremental_distinct" -> q34Oracle,
+    // the write-back duals serve the SAME published result off the
+    // APPENDED artifact — one oracle gates the read-only and living
+    // formulations alike (the t33/t13 shared-oracle pattern)
+    "q35_agg_append" -> q33Oracle,
+    "q36_sketch_append" -> q34Oracle,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

@@ -148,6 +148,45 @@ class IndexAppendSpec extends SparkSpec {
     assert(roCut < hi, "m8's read-only index must keep the base cut")
   }
 
+  test("q35/q36 partials write-back: the appended artifact serves exactly what the read-only families serve") {
+    // q35's folded artifact must publish q33's aggregate exactly (the
+    // cent partials merge associatively — append ≡ rebuild)
+    val q35 = Relational.q35AggAppend(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val q33 = Relational.q33IncrementalAgg(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(q35 === q33)
+    // q36's folded sketches must estimate EXACTLY what q34's
+    // merge-at-read path estimates (union is register-wise max —
+    // folding it into the artifact is invisible)
+    val q36est = Relational.q36MergedEstimates(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val q34est = Relational.q34MergedEstimates(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(q36est === q34est)
+    assert(Relational.q36SketchAppend(spark, dir).collect()
+      .forall(_.getAs[Boolean]("within_err")))
+    // both artifacts carry the advanced watermark and the appended
+    // generation as their own files; nonce idempotency on re-serve
+    Seq(Relational.q35RwPath(spark, dir),
+        Relational.q36RwPath(spark, dir)).foreach { idx =>
+      val hi = Tables(spark, dir, "events")
+        .agg(max(col("ts"))).head().getLong(0)
+      assert(new String(Files.readAllBytes(idx.resolve("_CUT")), "UTF-8")
+        .trim.toLong === hi, s"$idx: _CUT must sit at the data max")
+      val names = idx.resolve("partials").toFile.listFiles().map(_.getName)
+      assert(names.exists(_.startsWith("append-")),
+        s"$idx: appended generation missing")
+      assert(names.exists(_.startsWith("part-")),
+        s"$idx: base generation missing")
+    }
+    val marker = Relational.q35RwPath(spark, dir).resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    Relational.q35AggAppend(spark, dir).collect()
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0,
+      "an absorbed tranche must re-append as a no-op")
+  }
+
   // plan pins live HERE, not in PlanSpec: t35 mutates its artifact, and
   // the crash-safety test above rebuilds it — a parallel suite probing
   // the same directory would race the rebuild's rm
