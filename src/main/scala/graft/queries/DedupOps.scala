@@ -709,7 +709,7 @@ object DedupOps {
   private[graft] def buildBandIndex(s: SparkSession, dir: String): String =
     buildBandIndexAt(s, dir, bandIndexPath(s, dir))
 
-  private def buildBandIndexAt(s: SparkSession, dir: String,
+  private[graft] def buildBandIndexAt(s: SparkSession, dir: String,
       out: java.nio.file.Path): String = {
     ensureArtifact(out) {
       val d = docs(s, dir)
@@ -768,6 +768,17 @@ object DedupOps {
 
   private[graft] def buildRwBandIndex(s: SparkSession, dir: String): String =
     buildBandIndexAt(s, dir, rwBandIndexPath(s, dir))
+
+  /** s15's OWN copy of the band index (a third, beside t34's
+    * read-only and t35's rw): its gate freezes the index at a
+    * mid-append state — base built, ONE intermediate batch absorbed —
+    * and t35's gate appends its copy's full tail, so sharing either
+    * artifact would make one gate's result depend on whether the
+    * other ran first. Gates must be order-independent. */
+  private[graft] def s15BandIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_index_s15",
+      s"bandindexs15:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
   private[graft] def cutOf(idx: java.nio.file.Path): Long =
     new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
@@ -829,8 +840,11 @@ object DedupOps {
     * yields an empty delta and the append is a no-op (nonce
     * untouched). Returns the index's cut after the call. */
   private[graft] def appendBandIndex(s: SparkSession, dir: String,
-      upTo: Long = Long.MaxValue): Long = {
-    val out = rwBandIndexPath(s, dir)
+      upTo: Long = Long.MaxValue): Long =
+    appendBandIndexAt(s, dir, rwBandIndexPath(s, dir), upTo)
+
+  private[graft] def appendBandIndexAt(s: SparkSession, dir: String,
+      out: java.nio.file.Path, upTo: Long): Long = {
     artifactLock(out).synchronized {
       val cut = cutOf(out)
       val delta = docs(s, dir)

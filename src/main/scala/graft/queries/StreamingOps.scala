@@ -558,6 +558,52 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s15: STREAMING ingest against the LIVING index — s14 probes the
+    * build-once BASE artifact; s15 probes an index that has already
+    * ABSORBED an intermediate batch through t35's write-back, which
+    * is the real day-N front door: yesterday's batch folded in
+    * overnight, and today's stream must flag duplicates of it, not
+    * only of the original corpus. Staging (maintenance-time, like
+    * every index build): the base tranche (ids ≤ mid) builds, then
+    * the third quartile (mid, mid + (hi−mid)/2] appends — `_CUT`
+    * lands on that batch's max id — and the STREAM carries the final
+    * tranche, probing the two-generation bucket relation raw (the
+    * per-doc min-aggregate is the merge, t35's probe contract). The
+    * oracle reproduces the same integer cuts over the full corpus:
+    * a tail doc whose only twin sits in the absorbed third quartile
+    * flags ONLY if the append really served — the write-back is what
+    * the gate gates. Own artifact copy: t35's gate appends ITS copy's
+    * full tail, so sharing would order-couple the gates. */
+  def streamedLivingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = DedupOps.s15BandIndexPath(s, dir)
+    DedupOps.buildBandIndexAt(s, dir, out)
+    // one maintenance-time bounds read (the batch high-watermark is
+    // known state in production). The quartile point derives from the
+    // CORPUS bounds — never from _CUT, which advances after the first
+    // run: once the quartile batch is absorbed the append no-ops and
+    // every later run streams the identical final tranche (idempotent)
+    val Array(lo, hi) = s.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("doc_id")), max(col("doc_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (lo + hi) / 2
+    DedupOps.appendBandIndexAt(s, dir, out, upTo = mid + (hi - mid) / 2)
+    val cut2 = new String(java.nio.file.Files.readAllBytes(
+      out.resolve("_CUT")), "UTF-8").trim.toLong
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") > cut2)
+      .select(col("doc_id"), col("text"))
+    val buckets = s.read.parquet(out.resolve("buckets").toString)
+    val flagged = DedupOps.bandedSignaturesOf(stream)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(buckets, Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+    runStream(s, "s15_stream_", flagged, "complete")
+      .orderBy(col("doc_id"))
+  }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -679,7 +725,8 @@ object StreamingOps {
     "s11_restart_keyed_state" -> (streamedRestartState _),
     "s12_stream_rocksdb" -> (streamedTumblingRocksDb _),
     "s13_stream_outer_join" -> (streamedOuterIntervalJoin _),
-    "s14_stream_index_dedup" -> (streamedIncrementalDedup _))
+    "s14_stream_index_dedup" -> (streamedIncrementalDedup _),
+    "s15_stream_living_index" -> (streamedLivingIndexDedup _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -709,6 +756,32 @@ object StreamingOps {
     // the stream probe of the persisted band index must agree with the
     // batch probe (t34) exactly — one oracle serves both paths
     "s14_stream_index_dedup" -> DedupOps.oracle("t34_incremental_dedup"),
+    // the stream probe of the LIVING index: base ≤ mid built, the
+    // third quartile absorbed by write-back (cut2 = max id ≤ mid +
+    // (hi−mid)/2 — the appended batch's high watermark), the final
+    // tranche streamed against the merged buckets. A tail doc whose
+    // only twin sits in the absorbed quartile flags iff the append
+    // really served
+    "s15_stream_living_index" ->
+      s"""${DedupOps.bandsCtes},
+         |bounds AS (
+         | SELECT (min(doc_id) + max(doc_id)) // 2 AS cut,
+         |        max(doc_id) AS hi
+         | FROM documents),
+         |c2 AS (
+         | SELECT max(doc_id) AS cut2 FROM documents CROSS JOIN bounds
+         | WHERE doc_id <= cut + (hi - cut) // 2),
+         |bkt AS (
+         | SELECT band, sig, min(doc_id) AS canon
+         | FROM bands CROSS JOIN c2 WHERE doc_id <= cut2
+         | GROUP BY band, sig),
+         |f AS (
+         | SELECT b.doc_id, b.band, k.canon
+         | FROM bands b CROSS JOIN c2
+         | JOIN bkt k ON b.band = k.band AND b.sig = k.sig
+         | WHERE b.doc_id > cut2)
+         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_stream_tumbling" -> tumblingOracle,
     // restart recovery must land on the uninterrupted run's table
     "s10_stream_restart" -> tumblingOracle,

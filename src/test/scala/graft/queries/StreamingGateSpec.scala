@@ -261,6 +261,49 @@ class StreamingGateSpec extends SparkSpec {
       batch.map(_.toSeq.toVector).toSeq)
   }
 
+  test("s15 stream probe of the LIVING index flags a duplicate of the ABSORBED batch") {
+    // crafted four-tranche corpus: base {1, 2}, absorbed quartile
+    // batch {120 (new text Y)}, streamed tail {160 (dup of Y!),
+    // 161 (dup of base 1), 162 (new)}. mid = (1+162)/2 = 81;
+    // quartile point = 81 + (162-81)/2 = 121 → the append absorbs
+    // {120} and _CUT lands on 120; the stream carries (120, 162].
+    // Doc 160's ONLY twin is 120 — it can flag only through the
+    // buckets the write-back appended; doc 161 proves base buckets
+    // still serve through the merged read; 162 stays unflagged.
+    val tmp = java.nio.file.Files.createTempDirectory("s15_spec_")
+    import spark.implicits._
+    // stage as a SINGLE FILE named documents.parquet (the fixture
+    // layout the stream's pathGlobFilter expects), not a parquet dir
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (120L, "quick brown foxes vault lazy hounds"),
+      (160L, "quick brown foxes vault lazy hounds"),
+      (161L, "alpha beta gamma delta epsilon zeta"),
+      (162L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val out = StreamingOps.streamedLivingIndexDedup(spark, tmp.toString)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+      .toSeq === Seq((160L, 120L), (161L, 1L)), out.toSeq)
+    // the artifact froze mid-append: _CUT on the absorbed batch's max
+    val cut2 = new String(java.nio.file.Files.readAllBytes(
+      DedupOps.s15BandIndexPath(spark, tmp.toString).resolve("_CUT")),
+      "UTF-8").trim.toLong
+    assert(cut2 === 120L)
+    // idempotent: a re-run appends nothing more and streams the same
+    val again = StreamingOps.streamedLivingIndexDedup(spark, tmp.toString)
+      .collect()
+    assert(again.map(_.toSeq.toVector).toSeq ===
+      out.map(_.toSeq.toVector).toSeq)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
