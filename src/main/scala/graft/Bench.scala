@@ -156,20 +156,10 @@ object Bench {
         (() => { graft.queries.DedupOps.buildRwBandIndex(spark, sfDir)
                  graft.queries.DedupOps.appendBandIndex(spark, sfDir); () }),
       // s15's staging = base build + the quartile-batch append on its
-      // own artifact copy; the timed reps measure the stream probe
+      // own artifact copy (the ONE recipe the query itself runs); the
+      // timed reps measure the stream probe
       Set("s15_stream_living_index") ->
-        (() => {
-          val out = graft.queries.DedupOps.s15BandIndexPath(spark, sfDir)
-          graft.queries.DedupOps.buildBandIndexAt(spark, sfDir, out)
-          val Array(lo, hi) = spark.read
-            .parquet(s"$sfDir/documents.parquet")
-            .agg(org.apache.spark.sql.functions.min("doc_id"),
-              org.apache.spark.sql.functions.max("doc_id"))
-            .head().toSeq.map(_.asInstanceOf[Long]).toArray
-          val mid = (lo + hi) / 2
-          graft.queries.DedupOps.appendBandIndexAt(spark, sfDir, out,
-            mid + (hi - mid) / 2)
-          () }),
+        (() => { graft.queries.StreamingOps.stageLivingIndex(spark, sfDir); () }),
       Set("q34_incremental_distinct") ->
         (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
       Set("q35_agg_append") ->

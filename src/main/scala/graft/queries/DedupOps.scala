@@ -784,6 +784,11 @@ object DedupOps {
     new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
       "UTF-8").trim.toLong
 
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** The FILE mechanics of an artifact append, shared by every
     * write-back family (t35 band buckets, m9 media hashes, q35/q36
     * history partials). The caller — holding [[artifactLock]]`(out)`
@@ -803,13 +808,16 @@ object DedupOps {
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        // REPLACE_EXISTING: a crash between the moves and the _CUT
+        // advance leaves same-named files behind; a direct append
+        // retry recomputes the same newCut and must overwrite them,
+        // not throw (the normal recovery path — a build — wipes the
+        // marker-less dir, but the contract doesn't require one)
         java.nio.file.Files.move(f.toPath,
-          dst.resolve(f"append-$newCut%d-$i%03d.parquet"))
+          dst.resolve(f"append-$newCut%d-$i%03d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(tmp.toFile)
+    deleteRecursively(tmp.toFile)
     java.nio.file.Files.write(out.resolve("_CUT"),
       newCut.toString.getBytes("UTF-8"))
     java.nio.file.Files.write(marker,

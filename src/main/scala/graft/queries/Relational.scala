@@ -779,8 +779,6 @@ object Relational {
 
   def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    def cutLit(cutNanos: Long): Column = tsCutLit(raw, cutNanos)
-    def partial(df: DataFrame): DataFrame = q33Partial(df)
     // "yesterday's" materialized aggregate — written once per input
     // fingerprint, read back from parquet like the real metrics table.
     // The CUT POINT (the high-watermark ts the history covers) is
@@ -807,7 +805,7 @@ object Relational {
           .agg(min(col("ts")), max(col("ts")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val cut = (lo + hi) / 2
-        partial(raw.filter(col("ts") <= cutLit(cut)))
+        q33Partial(raw.filter(col("ts") <= tsCutLit(raw, cut)))
           .write.mode("overwrite").parquet(partsDir.toString)
         java.nio.file.Files.write(cutFile, cut.toString.getBytes("UTF-8"))
       }
@@ -817,7 +815,7 @@ object Relational {
     // today: scan the delta only (ts > cut pushes to the parquet scan —
     // plan-pinned in PlanSpec) + merge with the stored partials
     q33Merge(s.read.parquet(partsDir.toString)
-      .unionAll(partial(raw.filter(col("ts") > cutLit(cut)))))
+      .unionAll(q33Partial(raw.filter(col("ts") > tsCutLit(raw, cut)))))
   }
 
   /** q34: INCREMENTAL DISTINCT-COUNT maintenance — q33's
@@ -844,16 +842,18 @@ object Relational {
     * lgConfigK = 12); a sketch outside its bound flips the column and
     * fails the hash gate loudly. The exact counts are the audit
     * comparator (t32's pattern), not the maintenance path — a
-    * deployment serves the estimate. */
+    * deployment serves the estimate.
+    *
+    * (This doc covers the q34 pair below: [[q34MergedEstimates]] is
+    * the maintenance path — exposed for SketchGateSpec's bit-identity
+    * pin — and [[q34IncrementalDistinct]] is the gated audit.) */
+  def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame =
+    q34Audit(s, dir, q34MergedEstimates(s, dir))
+
   /** q34's documented audit bound: 3 × the HLL standard error at the
     * default lgConfigK = 12 (RSE = 1.04/√2¹² ≈ 1.63 %). */
   private[graft] val q34RelErr = 3d * 1.04 / math.sqrt(1 << 12)
 
-  /** q34's MAINTENANCE path: the merged per-key estimates —
-    * history-partial sketches read back from the artifact, the delta
-    * sketched off its pushed scan, both unioned through
-    * `hll_union_agg`. Exposed for SketchGateSpec's bit-identity pin
-    * (merged ≡ single-pass sketching of the full table). */
   /** q34's per-key HLL partial; shared with the q36 write-back. */
   private def q34Sketch(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
@@ -878,10 +878,13 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q34's MAINTENANCE path: the merged per-key estimates —
+    * history-partial sketches read back from the artifact, the delta
+    * sketched off its pushed scan, both unioned through
+    * `hll_union_agg`. */
   private[graft] def q34MergedEstimates(s: SparkSession, dir: String)
       : DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    def sketch(df: DataFrame): DataFrame = q34Sketch(df)
     val hist = java.nio.file.Paths.get("target",
       s"q34_hll_${layoutHex(s, dir, "events")}").toAbsolutePath
     val cutFile = hist.resolve("_CUT")
@@ -889,17 +892,14 @@ object Relational {
     synchronized {
       if (!java.nio.file.Files.exists(cutFile) ||
           !java.nio.file.Files.exists(partsDir.resolve("_SUCCESS"))) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(hist.toFile)
+        DedupOps.deleteRecursively(hist.toFile)
         // the one-time BUILD pays the bounds scan (offline, like the
         // q33 build and the index builds)
         val Array(lo, hi) = t(s, dir, "events")
           .agg(min(col("ts")), max(col("ts")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val cut = (lo + hi) / 2
-        sketch(raw.filter(col("ts") <= tsCutLit(raw, cut)))
+        q34Sketch(raw.filter(col("ts") <= tsCutLit(raw, cut)))
           .write.mode("overwrite").parquet(partsDir.toString)
         java.nio.file.Files.write(cutFile, cut.toString.getBytes("UTF-8"))
       }
@@ -909,11 +909,8 @@ object Relational {
     // refresh: delta-only scan (pushed) + sketch-union with the stored
     // per-key partials — never a history re-scan
     q34Estimate(s.read.parquet(partsDir.toString)
-      .unionAll(sketch(raw.filter(col("ts") > tsCutLit(raw, cut)))))
+      .unionAll(q34Sketch(raw.filter(col("ts") > tsCutLit(raw, cut)))))
   }
-
-  def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame =
-    q34Audit(s, dir, q34MergedEstimates(s, dir))
 
   // ----------- q35/q36: history-partials WRITE-BACK (t35's idiom on
   // the maintenance shelf)
@@ -969,13 +966,22 @@ object Relational {
     val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized {
       val cut = DedupOps.cutOf(out)
-      val hi = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
-      val newCut = math.min(hi, upToNanos)
-      if (newCut <= cut) cut
+      // the batch high-watermark comes from the PUSHED delta scan
+      // only, never a history re-scan (appendBandIndexAt's rule; on
+      // the converged artifact this is an empty pruned scan). The
+      // upper bound skips the tsCutLit conversion at Long.MaxValue —
+      // a sentinel that large is not representable as a timestamp
+      val lower = col("ts") > tsCutLit(raw, cut)
+      val delta =
+        if (upToNanos == Long.MaxValue) raw.filter(lower)
+        else raw.filter(lower && col("ts") <= tsCutLit(raw, upToNanos))
+      val hiRow = Tables.normalizeTs(delta.select(col("ts")))
+        .agg(max(col("ts"))).head()
+      if (hiRow.isNullAt(0)) cut
       else {
+        val newCut = hiRow.getLong(0)
         val tmp = out.resolve("partials_append")
-        partialOf(raw.filter(col("ts") > tsCutLit(raw, cut) &&
-            col("ts") <= tsCutLit(raw, newCut)))
+        partialOf(delta)
           .write.mode("overwrite").parquet(tmp.toString)
         DedupOps.commitArtifactAppend(out, tmp, newCut, rel = "partials")
         newCut

@@ -123,12 +123,7 @@ object StreamingOps {
         Option(Paths.get("target").toFile.listFiles()).foreach(
           _.filter(f => f.getName.startsWith("s10_events_") &&
               f.toPath.toAbsolutePath != out)
-            .foreach { stale =>
-              def rmAll(f: java.io.File): Unit = {
-                Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
-              }
-              rmAll(stale)
-            })
+            .foreach(DedupOps.deleteRecursively))
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
@@ -574,19 +569,35 @@ object StreamingOps {
     * flags ONLY if the append really served — the write-back is what
     * the gate gates. Own artifact copy: t35's gate appends ITS copy's
     * full tail, so sharing would order-couple the gates. */
-  def streamedLivingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+  /** s15's ONE staging recipe — build the base artifact, absorb the
+    * quartile batch — shared by the query and its bench pre-stager so
+    * the two can never drift apart (a stager appending PAST the
+    * gate's cut would shrink the streamed tail only on pre-staged
+    * boxes). The quartile point derives from the CORPUS bounds —
+    * never from `_CUT`, which advances after the first append — and
+    * that one maintenance-time bounds read happens only while the
+    * append is still owed: an `append-` generation already in the
+    * buckets dir means staging is complete, so a staged serve touches
+    * ONLY the artifact (the q33 maintenance-state-rides-in-the-
+    * artifact rule). */
+  private[graft] def stageLivingIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
     val out = DedupOps.s15BandIndexPath(s, dir)
     DedupOps.buildBandIndexAt(s, dir, out)
-    // one maintenance-time bounds read (the batch high-watermark is
-    // known state in production). The quartile point derives from the
-    // CORPUS bounds — never from _CUT, which advances after the first
-    // run: once the quartile batch is absorbed the append no-ops and
-    // every later run streams the identical final tranche (idempotent)
-    val Array(lo, hi) = s.read.parquet(s"$dir/documents.parquet")
-      .agg(min(col("doc_id")), max(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val mid = (lo + hi) / 2
-    DedupOps.appendBandIndexAt(s, dir, out, upTo = mid + (hi - mid) / 2)
+    val appended = Option(out.resolve("buckets").toFile.listFiles())
+      .exists(_.exists(_.getName.startsWith("append-")))
+    if (!appended) {
+      val Array(lo, hi) = s.read.parquet(s"$dir/documents.parquet")
+        .agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = (lo + hi) / 2
+      DedupOps.appendBandIndexAt(s, dir, out, upTo = mid + (hi - mid) / 2)
+    }
+    out
+  }
+
+  def streamedLivingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = stageLivingIndex(s, dir)
     val cut2 = new String(java.nio.file.Files.readAllBytes(
       out.resolve("_CUT")), "UTF-8").trim.toLong
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
