@@ -617,8 +617,13 @@ object DedupOps {
   // accepted — the marker-last contract makes a racing rebuild
   // wasteful, not wrong (the nonce only ever stamps a COMPLETE build;
   // a multi-process deployment would add a FileLock on the artifact
-  // dir). Entries are never removed; growth is bounded by the number
-  // of distinct artifacts.
+  // dir). Cross-process concurrent READS during an append/compaction
+  // mutation window are likewise out of scope — serve paths assert
+  // the marker via [[requireReady]] so the common overlap fails
+  // loudly rather than serving half-mutated state, but the
+  // check-then-read gap remains (see requireReady's doc). Entries
+  // are never removed; growth is bounded by the number of distinct
+  // artifacts.
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Object]
 
@@ -784,6 +789,30 @@ object DedupOps {
     new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
       "UTF-8").trim.toLong
 
+  /** Serve-path readiness assert: every artifact READ that can run
+    * outside the building JVM (served buckets, partials reads, the
+    * s15/s16 stream's bucket scan) checks the `_INDEX_READY` nonce is
+    * present and non-empty before planning the scan. Within this JVM
+    * the per-path lock already serializes mutators, so the assert is
+    * about CROSS-PROCESS overlap: a reader that lands inside another
+    * process's append mutation window (marker removed) now fails
+    * loudly instead of serving half-appended state as ready (missing
+    * buckets for min families; WRONG partial sums for q35). It is
+    * check-then-read — a mutator can still remove the marker after
+    * the check — so cross-process concurrent reads during a mutation
+    * window remain formally out of scope (a multi-process deployment
+    * adds a FileLock or a manifest commit); the assert converts the
+    * common overlap from silent corruption to a loud retryable
+    * error. */
+  private[graft] def requireReady(out: java.nio.file.Path): java.nio.file.Path = {
+    val marker = out.resolve("_INDEX_READY")
+    require(java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.size(marker) > 0,
+      s"artifact $out is mid-mutation or unbuilt (_INDEX_READY absent): " +
+        "a concurrent append/compaction owns it — retry after it commits")
+    out
+  }
+
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
@@ -804,15 +833,24 @@ object DedupOps {
     val marker = out.resolve("_INDEX_READY")
     java.nio.file.Files.deleteIfExists(marker)
     val dst = out.resolve(rel)
+    // A crash between the moves and the _CUT advance leaves this
+    // generation's files behind; a direct append retry recomputes the
+    // same newCut but may PARTITION DIFFERENTLY (fewer/more part
+    // files), so overwriting by name alone could leave stale
+    // append-<newCut>-NNN files from the crashed attempt next to the
+    // retry's. That is harmless only for idempotent merges (min,
+    // hll_union) — q35's SUM partials would silently double-count —
+    // so the whole generation is cleared first: delete-then-move makes
+    // the retry exact for EVERY merge family, idempotent or not. (The
+    // normal recovery path — a build — wipes the marker-less dir, but
+    // the contract doesn't require one.)
+    Option(dst.toFile.listFiles()).foreach(
+      _.filter(_.getName.startsWith(f"append-$newCut%d-"))
+        .foreach(f => { f.delete(); () }))
     tmp.toFile.listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-        // REPLACE_EXISTING: a crash between the moves and the _CUT
-        // advance leaves same-named files behind; a direct append
-        // retry recomputes the same newCut and must overwrite them,
-        // not throw (the normal recovery path — a build — wipes the
-        // marker-less dir, but the contract doesn't require one)
         java.nio.file.Files.move(f.toPath,
           dst.resolve(f"append-$newCut%d-$i%03d.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -882,7 +920,8 @@ object DedupOps {
     * read path. */
   private[graft] def servedBandBuckets(s: SparkSession, dir: String)
       : DataFrame =
-    s.read.parquet(rwBandIndexPath(s, dir).resolve("buckets").toString)
+    s.read.parquet(requireReady(rwBandIndexPath(s, dir))
+        .resolve("buckets").toString)
       .groupBy(col("band"), col("sig"))
       .agg(min(col("canon")).as("canon"))
 
@@ -895,7 +934,7 @@ object DedupOps {
     * min-aggregate is exactly the merge that makes that harmless. */
   private[graft] def rwIndexProbe(s: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): DataFrame = {
-    val idx = java.nio.file.Paths.get(buildRwBandIndex(s, dir))
+    val idx = requireReady(java.nio.file.Paths.get(buildRwBandIndex(s, dir)))
     val delta = docs(s, dir)
       .filter(col("doc_id") > cutOf(idx) && col("doc_id") <= upTo)
     bandedSignaturesOf(delta)
@@ -922,6 +961,113 @@ object DedupOps {
     buildRwBandIndex(s, dir)
     appendBandIndex(s, dir)
     servedBandBuckets(s, dir).orderBy(col("band"), col("sig"))
+  }
+
+  // ------------------- t36: COMPACTION (fold the generations back in)
+
+  /** t36's OWN copy of the band index (t34 read-only / t35 rw / s15
+    * frozen-mid-append / t36 compacted — gates stay order-independent
+    * by never sharing a mutable artifact). */
+  private[graft] def t36BandIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_index_t36",
+      s"bandindext36:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** COMPACT an artifact relation: rewrite the merge-folded relation
+    * as a FRESH base generation and drop every `append-*` file — the
+    * operational complement the write-back ([[commitArtifactAppend]])
+    * opens the need for. Append is O(batch) precisely because it
+    * never rewrites the base, so generations ACCUMULATE: a (band,
+    * sig) key appended in k generations costs k raw-read matches per
+    * probe ([[rwIndexProbe]]'s contract), and after N nightly batches
+    * the read amplification is O(generations), not O(corpus growth).
+    * Compaction closes that loop — one relation-sized fold (the LSM
+    * major compaction, amortized across the N appends it folds)
+    * resets the read path to a single generation. It is
+    * SEMANTICS-FREE by construction: every write-back family chose a
+    * merge that is associative (min / integer-sum / hll_union), so
+    * fold-then-serve ≡ serve-raw byte-identically — which is exactly
+    * why the gate must pin it (a compaction that changed any result
+    * would be a bug, not a tuning choice).
+    *
+    * Crash-safe under the SAME marker-last contract as the append:
+    * the folded relation materializes to a temp dir first (a failure
+    * there leaves the served index untouched), then the
+    * `_INDEX_READY` nonce is REMOVED, the old generations are
+    * deleted, the compacted part files move in as
+    * `compact-<cut>-NNN.parquet`, and a fresh nonce stamps LAST — a
+    * crash inside the window leaves a marker-less directory that the
+    * next [[ensureArtifact]] wipes and rebuilds (degrade-to-rebuild,
+    * never half-compacted-but-"ready"). `_CUT` is untouched:
+    * compaction changes the file layout, never the watermark, so
+    * appends resume against the compacted base exactly where they
+    * left off. No-op (returns false) when no `append-*` generation
+    * exists — a converged artifact is re-served, not re-written, per
+    * invocation. */
+  private[graft] def compactArtifact(s: SparkSession,
+      out: java.nio.file.Path, rel: String = "buckets")(
+      merge: DataFrame => DataFrame): Boolean =
+    artifactLock(out).synchronized {
+      val dst = out.resolve(rel)
+      val hasAppends = Option(dst.toFile.listFiles())
+        .exists(_.exists(_.getName.startsWith("append-")))
+      if (!hasAppends) false
+      else {
+        val cut = cutOf(out)
+        val tmp = out.resolve(s"${rel}_compact")
+        // materialize the fold BEFORE touching the served relation
+        // (parquet write is eager; a failure here aborts with the
+        // index still intact and ready)
+        merge(s.read.parquet(dst.toString))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val marker = out.resolve("_INDEX_READY")
+        java.nio.file.Files.deleteIfExists(marker)
+        deleteRecursively(dst.toFile)
+        java.nio.file.Files.createDirectories(dst)
+        tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              dst.resolve(f"compact-$cut%d-$i%03d.parquet"))
+          }
+        deleteRecursively(tmp.toFile)
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
+        true
+      }
+    }
+
+  /** The band-bucket fold — the same min-merge the serve path applies
+    * on read, here materialized once by the compaction. */
+  private[graft] def compactBandIndex(s: SparkSession,
+      out: java.nio.file.Path): Boolean =
+    compactArtifact(s, out)(
+      _.groupBy(col("band"), col("sig"))
+        .agg(min(col("canon")).as("canon")))
+
+  /** t36: index COMPACTION, served — build the base index on t36's
+    * own copy, APPEND the delta tranche (two generations on disk, the
+    * t35 state), then COMPACT: the merged bucket relation rewrites as
+    * one fresh generation and the `append-*` files drop. The oracle
+    * is t35's UNCHANGED — the from-scratch full-corpus bucket
+    * relation — because compaction must be invisible in the result;
+    * what it changes is the READ side, which IndexAppendSpec pins
+    * (file-generation drop, byte-identical serve, crash degrading to
+    * rebuild, appends resuming after) and ScaleDemo's inc phase
+    * measures (N-generation read amplification before vs after).
+    * Idempotent: once compacted, the append no-ops (cut at corpus
+    * max) and the compaction no-ops (no append generation), so the
+    * steady-state serve is a plain single-generation read. */
+  def indexCompactServe(s: SparkSession, dir: String): DataFrame = {
+    val out = t36BandIndexPath(s, dir)
+    buildBandIndexAt(s, dir, out)
+    appendBandIndexAt(s, dir, out, Long.MaxValue)
+    compactBandIndex(s, out)
+    s.read.parquet(requireReady(out).resolve("buckets").toString)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("canon")).as("canon"))
+      .orderBy(col("band"), col("sig"))
   }
 
   /** t29: leakage-safe train/eval split — the assignment rule a
@@ -1427,6 +1573,7 @@ object DedupOps {
     "t33_cc_index_load" -> (ccClustersServe _),
     "t34_incremental_dedup" -> (incrementalDedup _),
     "t35_index_append" -> (indexAppendServe _),
+    "t36_index_compact" -> (indexCompactServe _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -1845,6 +1992,13 @@ object DedupOps {
     // engine's append path must be indistinguishable from (canon = min
     // is merge-associative, so base-build + delta-append ≡ this)
     "t35_index_append" ->
+      s"""$bandsCtes
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // compaction must be INVISIBLE in the result — t35's oracle
+    // verbatim; what t36 changes (the generation count the serve
+    // reads) is pinned in IndexAppendSpec and measured in ScaleDemo
+    "t36_index_compact" ->
       s"""$bandsCtes
          |SELECT band, sig, min(doc_id) AS canon
          |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -850,14 +850,34 @@ object Relational {
   def q34IncrementalDistinct(s: SparkSession, dir: String): DataFrame =
     q34Audit(s, dir, q34MergedEstimates(s, dir))
 
-  /** q34's documented audit bound: 3 × the HLL standard error at the
-    * default lgConfigK = 12 (RSE = 1.04/√2¹² ≈ 1.63 %). */
-  private[graft] val q34RelErr = 3d * 1.04 / math.sqrt(1 << 12)
+  /** The q34/q36 sketch configuration, ONE constant the whole family
+    * derives from: `hll_sketch_agg`'s register-count exponent. The
+    * audit bound below derives from it (RSE = 1.04/√2^lgK), so
+    * retuning the sketch retunes the gate with it — a hard-wired
+    * bound beside a retuned sketch would silently audit against the
+    * wrong error model. */
+  private[graft] val q34LgConfigK = 12
+
+  /** q34's documented audit bound: 3 × the HLL standard error at
+    * [[q34LgConfigK]] (at lgK = 12, RSE = 1.04/√2¹² ≈ 1.63 %).
+    *
+    * A 3·RSE bound is ~99.7 % per key. The sketch is deterministic
+    * per dataset, so the gate NEVER flakes across runs of one
+    * fixture — but a REGENERATED fixture (new fingerprint) re-rolls
+    * the per-key error draw: with 5 event_type keys there is roughly
+    * a 1 % chance per regeneration that one key lands outside 3σ and
+    * the hash gate hard-fails with nothing wrong. That is the
+    * accepted trade for a bound tight enough to catch a real merge
+    * bug; the merge EXACTNESS itself is pinned bit-identically in
+    * SketchGateSpec, so a regeneration-roll failure is
+    * distinguishable (estimate near the bound, bit-identity still
+    * green) from a maintenance defect. */
+  private[graft] val q34RelErr = 3d * 1.04 / math.sqrt(1L << q34LgConfigK)
 
   /** q34's per-key HLL partial; shared with the q36 write-back. */
   private def q34Sketch(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), q34LgConfigK).as("sk"))
 
   /** q34's sketch-merge tail: partials → per-key merged estimate. */
   private def q34Estimate(partials: DataFrame): DataFrame =
@@ -1007,8 +1027,8 @@ object Relational {
     * integer-cent partials merge associatively. */
   def q35AggAppend(s: SparkSession, dir: String): DataFrame = {
     q35Append(s, dir)
-    q33Merge(s.read.parquet(
-      q35RwPath(s, dir).resolve("partials").toString))
+    q33Merge(s.read.parquet(DedupOps.requireReady(q35RwPath(s, dir))
+      .resolve("partials").toString))
   }
 
   private[graft] def q36RwPath(s: SparkSession, dir: String) =
@@ -1026,8 +1046,8 @@ object Relational {
   private[graft] def q36MergedEstimates(s: SparkSession, dir: String)
       : DataFrame = {
     q36Append(s, dir)
-    q34Estimate(s.read.parquet(
-      q36RwPath(s, dir).resolve("partials").toString))
+    q34Estimate(s.read.parquet(DedupOps.requireReady(q36RwPath(s, dir))
+      .resolve("partials").toString))
   }
 
   /** q36: q34's HLL partials as a LIVING artifact — the delta's

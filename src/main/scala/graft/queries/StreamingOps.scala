@@ -111,17 +111,31 @@ object StreamingOps {
 
   private def stageRestartFixture(s: SparkSession, dir: String): String =
     synchronized {
-      val fp = DedupOps.pathFingerprint(s, s"$dir/events.parquet")
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir@$fp#$RestartLayoutV".getBytes("UTF-8"))
+      def md5hex(v: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(v.getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-      val out = Paths.get("target", s"s10_events_$hex").toAbsolutePath
+      // the name carries TWO tokens: a dir-only one (which input
+      // dataset this fixture tranches) and a (fingerprint, layout)
+      // one (which staging of it). The sweep below matches on the
+      // FIRST and excludes the second — siblings for a DIFFERENT
+      // input dir (the test suite's sf0.001 beside a bench run's
+      // sfDir) are other ACTIVE datasets, not superseded layouts, and
+      // the old whole-prefix sweep would ping-pong re-stage them on
+      // every alternation (and could delete one out from under a
+      // concurrent process mid-stream on its fixture)
+      val dirHex = md5hex(dir)
+      val fp = DedupOps.pathFingerprint(s, s"$dir/events.parquet")
+      val hex = md5hex(s"$dir@$fp#$RestartLayoutV")
+      val out = Paths.get("target", s"s10_events_${dirHex}_$hex")
+        .toAbsolutePath
       if (!Files.exists(out.resolve("_STAGED"))) {
-        // retire superseded fixture dirs (older layout versions or
-        // regenerated inputs) — they are never read again and only
-        // accumulate
+        // retire superseded fixtures of THIS input dir only (older
+        // layout versions or a regenerated input) — those are never
+        // read again; plus any legacy un-dir-scoped `s10_events_<hex>`
+        // dir from before this naming (also never read again)
         Option(Paths.get("target").toFile.listFiles()).foreach(
-          _.filter(f => f.getName.startsWith("s10_events_") &&
+          _.filter(f => (f.getName.startsWith(s"s10_events_${dirHex}_") ||
+                f.getName.matches("s10_events_[0-9a-f]{12}")) &&
               f.toPath.toAbsolutePath != out)
             .foreach(DedupOps.deleteRecursively))
         def rm(f: java.io.File): Unit = {
@@ -597,7 +611,7 @@ object StreamingOps {
   }
 
   def streamedLivingIndexDedup(s: SparkSession, dir: String): DataFrame = {
-    val out = stageLivingIndex(s, dir)
+    val out = DedupOps.requireReady(stageLivingIndex(s, dir))
     val cut2 = new String(java.nio.file.Files.readAllBytes(
       out.resolve("_CUT")), "UTF-8").trim.toLong
     val schema = s.read.parquet(s"$dir/documents.parquet").schema

@@ -187,6 +187,115 @@ class IndexAppendSpec extends SparkSpec {
       "an absorbed tranche must re-append as a no-op")
   }
 
+  test("t36 compaction is invisible in the result and drops the appended generations") {
+    // serve BEFORE compaction (raw two-generation read, min-merged):
+    // build + append on t36's own artifact, captured pre-compaction.
+    // The artifact persists across sbt runs — start from scratch so
+    // the pre-compaction two-generation state really exists
+    val out = DedupOps.t36BandIndexPath(spark, dir)
+    DedupOps.deleteRecursively(out.toFile)
+    DedupOps.buildBandIndexAt(spark, dir, out)
+    DedupOps.appendBandIndexAt(spark, dir, out, Long.MaxValue)
+    def serve() = spark.read.parquet(out.resolve("buckets").toString)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("canon")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+      .collect().map(_.toSeq.toVector).toSeq
+    val before = serve()
+    val namesBefore = out.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(namesBefore.exists(_.startsWith("append-")),
+      "pre-compaction state must hold an appended generation")
+    val cut0 = DedupOps.cutOf(out)
+    // compact: one fresh generation, byte-identical serve, _CUT intact
+    assert(DedupOps.compactBandIndex(spark, out),
+      "an artifact holding appends must compact")
+    assert(serve() === before,
+      "compaction must be invisible in the served relation")
+    val namesAfter = out.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(!namesAfter.exists(_.startsWith("append-")),
+      "compaction must drop every append-* file")
+    assert(namesAfter.count(_.startsWith("compact-")) > 0 &&
+      namesAfter.count(_.endsWith(".parquet")) < namesBefore.count(_.endsWith(".parquet")),
+      s"the generation fold must shrink the file count: " +
+        s"${namesBefore.length} -> ${namesAfter.length}")
+    assert(DedupOps.cutOf(out) === cut0,
+      "compaction changes layout, never the watermark")
+    // converged artifact: a second compaction is a structural no-op
+    val marker = out.resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(!DedupOps.compactBandIndex(spark, out),
+      "no appended generation -> compaction must no-op")
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0)
+    // and the registered gate serves the full-corpus relation (t35's
+    // oracle) from the compacted artifact
+    val gated = DedupOps.indexCompactServe(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(gated === rebuildOverFullCorpus(dir))
+  }
+
+  test("t36 crash mid-compaction degrades to rebuild; appends resume after compaction") {
+    // the t35 fixture's three tranches on a private corpus: base {1,2},
+    // batch 1 {100, 101}, batch 2 {151, 152}
+    val tmp = Files.createTempDirectory("t36_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "quick brown foxes vault lazy hounds"),
+      (151L, "quick brown foxes vault lazy hounds"),
+      (152L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.t36BandIndexPath(spark, tmp)
+    DedupOps.buildBandIndexAt(spark, tmp, out)
+    DedupOps.appendBandIndexAt(spark, tmp, out, upTo = 150L)
+    assert(DedupOps.compactBandIndex(spark, out))
+    // an append RESUMES against the compacted base from the same _CUT
+    assert(DedupOps.cutOf(out) === 101L)
+    DedupOps.appendBandIndexAt(spark, tmp, out, upTo = Long.MaxValue)
+    val names = out.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("compact-101")) &&
+      names.exists(_.startsWith("append-152")) &&
+      !names.exists(_.startsWith("part-")),
+      s"post-compaction append must land NEXT TO the compacted base: " +
+        names.toSeq.sorted.mkString(", "))
+    // crash window: marker removed mid-compaction — the gate must
+    // degrade to a full rebuild, never serve the half-compacted dir
+    Files.delete(out.resolve("_INDEX_READY"))
+    val served = DedupOps.indexCompactServe(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === rebuildOverFullCorpus(tmp))
+    assert(Files.size(out.resolve("_INDEX_READY")) > 0,
+      "recovery must re-stamp a fresh nonce")
+  }
+
+  test("commitArtifactAppend retry clears the crashed attempt's whole generation first") {
+    // a crashed append can leave MORE part files for a generation than
+    // the retry writes (different partitioning); the retry must clear
+    // the generation before moving its own files in, or a SUM-merge
+    // family (q35) would silently double-count the leftovers
+    val out = Files.createTempDirectory("commit_retry_")
+    val dst = out.resolve("buckets")
+    Files.createDirectories(dst)
+    import spark.implicits._
+    // the "crashed attempt": two stale files for generation 200
+    Files.write(dst.resolve("append-200-000.parquet"), "stale".getBytes)
+    Files.write(dst.resolve("append-200-001.parquet"), "stale".getBytes)
+    // the retry's tmp relation: ONE part file
+    val tmp = out.resolve("tmp_retry")
+    Seq((1L, "x")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    DedupOps.commitArtifactAppend(out, tmp, 200L)
+    val gen = dst.toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("append-200")).sorted
+    assert(gen.toSeq === Seq("append-200-000.parquet"),
+      s"retry must leave exactly its own generation files: ${gen.toSeq}")
+    // and the survivor is the retry's real parquet, not a stale stub
+    assert(spark.read.parquet(dst.resolve("append-200-000.parquet")
+      .toString).count() === 1L)
+  }
+
   // plan pins live HERE, not in PlanSpec: t35 mutates its artifact, and
   // the crash-safety test above rebuilds it — a parallel suite probing
   // the same directory would race the rebuild's rm

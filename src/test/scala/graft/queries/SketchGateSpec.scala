@@ -89,7 +89,8 @@ class SketchGateSpec extends SparkSpec {
     // delta's equals sketching the full table in one pass
     val singlePass = spark.read.parquet(s"$dir/events.parquet")
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), Relational.q34LgConfigK)).as("est"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val merged = Relational.q34MergedEstimates(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
