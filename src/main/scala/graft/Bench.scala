@@ -160,6 +160,21 @@ object Bench {
       // timed reps measure the stream probe
       Set("s15_stream_living_index") ->
         (() => { graft.queries.StreamingOps.stageLivingIndex(spark, sfDir); () }),
+      // s16's staging = the tail tranche files + the pristine base
+      // index; the timed reps pay the working copy + the per-batch
+      // probe/absorb stream — the machinery being gated
+      Set("s16_stream_writeback") ->
+        (() => { graft.queries.StreamingOps.stageS16Tail(spark, sfDir)
+                 graft.queries.DedupOps.buildBandIndexAt(spark, sfDir,
+                   graft.queries.StreamingOps.s16BaseIndexPath(spark, sfDir))
+                 () }),
+      // t36's build/append/compact are maintenance-time (measured in
+      // ScaleDemo's inc phase); the timed reps measure the compacted
+      // single-generation serve
+      Set("t36_index_compact") ->
+        (() => { // build/append/compact are eager side effects; the
+                 // returned (lazy) serve plan is discarded
+                 graft.queries.DedupOps.indexCompactServe(spark, sfDir); () }),
       Set("q34_incremental_distinct") ->
         (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
       Set("q35_agg_append") ->

@@ -629,6 +629,217 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------- s16: the stream FEEDS the living index (write-back)
+
+  /** Stage s16's tail tranches: the corpus above the midpoint cut,
+    * split into three id-range parquet FILES (`t-000..t-002`) with
+    * strictly increasing modification times — the file source admits
+    * them oldest-first under `maxFilesPerTrigger = 1`, so each staged
+    * tranche arrives as exactly ONE micro-batch in tranche order.
+    * One file per tranche is deliberate, not a scale statement: the
+    * gate's oracle needs the batch COMPOSITION to be deterministic
+    * (batch j = id-range j), and a micro-batch boundary is precisely
+    * what is being staged; a production source admits whatever batch
+    * shapes it likes because the write-back is
+    * batch-shape-independent (associative merges). Staged once per
+    * (input dir, fingerprint); same-dir stale fixtures retire, other
+    * datasets' fixtures are left alone (the s10 sweep rule). */
+  private[graft] def stageS16Tail(s: SparkSession, dir: String)
+      : java.nio.file.Path = synchronized {
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val dirHex = md5hex(dir)
+    val fp = DedupOps.pathFingerprint(s, s"$dir/documents.parquet")
+    val out = Paths.get("target",
+      s"s16_docs_${dirHex}_${md5hex(s"$dir@$fp")}").toAbsolutePath
+    if (!Files.exists(out.resolve("_STAGED"))) {
+      Option(Paths.get("target").toFile.listFiles()).foreach(
+        _.filter(f => f.getName.startsWith(s"s16_docs_${dirHex}_") &&
+            f.toPath.toAbsolutePath != out)
+          .foreach(DedupOps.deleteRecursively))
+      DedupOps.deleteRecursively(out.toFile)
+      Files.createDirectories(out)
+      val d = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // one maintenance-time bounds read, confined to staging
+      val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = (lo + hi) / 2
+      val c1 = mid + (hi - mid) / 3
+      val c2 = mid + (2 * (hi - mid)) / 3
+      val tranches = Seq(
+        ("t-000", col("doc_id") > mid && col("doc_id") <= c1),
+        ("t-001", col("doc_id") > c1 && col("doc_id") <= c2),
+        ("t-002", col("doc_id") > c2))
+      val t0 = java.time.Instant.now().toEpochMilli
+      tranches.zipWithIndex.foreach { case ((name, cond), i) =>
+        val tmp = out.resolve(s"tmp_$name")
+        d.filter(cond).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = out.resolve(s"$name.parquet")
+        Files.move(part.toPath, dst)
+        // spaced 2 s apart: the source orders by mod time; a shared
+        // timestamp would leave the tranche order to path tie-break
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+        DedupOps.deleteRecursively(tmp.toFile)
+      }
+      Files.write(out.resolve("_STAGED"), Array.emptyByteArray)
+    }
+    out
+  }
+
+  /** s16's PRISTINE base index (ids ≤ mid), built once per
+    * fingerprint — every invocation copies it to a fresh working
+    * directory instead of rebuilding, so the per-run cost is the
+    * streaming machinery being gated, not the base band pass. */
+  private[graft] def s16BaseIndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("band_index_s16",
+      s"bandindexs16:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** Copy the pristine base into a fresh per-invocation working index
+    * (bucket part files + `_CUT` + the nonce) — O(index), tiny beside
+    * the stream; the previous invocation's working dir is retired the
+    * way [[lastSink]] retires memory-sink views. */
+  private[graft] def s16WorkingCopy(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      DedupOps.buildBandIndexAt(s, dir, s16BaseIndexPath(s, dir)))
+    DedupOps.requireReady(base)
+    val work = Files.createTempDirectory("s16_work_")
+    Files.createDirectories(work.resolve("buckets"))
+    base.resolve("buckets").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        Files.copy(f.toPath, work.resolve("buckets").resolve(f.getName))
+      }
+    Seq("_CUT", "_INDEX_READY").foreach { n =>
+      Files.copy(base.resolve(n), work.resolve(n))
+    }
+    work
+  }
+
+  private[graft] val lastS16Work =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  /** The last committed micro-batch id, the working index's replay
+    * fence: `-1` before any batch commits. */
+  private def s16LastBatch(work: java.nio.file.Path): Long = {
+    val f = work.resolve("_BATCH")
+    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  /** ONE micro-batch of the s16 write-back — exposed for the spec's
+    * replay pins. Probe-then-append against the working index:
+    *  1. REPLAY FENCE: a batch id at or below `_BATCH` already
+    *     committed fully — skip (the restart that re-delivers an
+    *     absorbed batch must not double-absorb it).
+    *  2. PROBE the batch against the index AS OF the previous batch
+    *     (flags land in `flags/b<id>`, overwrite mode — a retried
+    *     half-committed batch rewrites the identical flags).
+    *  3. APPEND the batch's buckets through the shared
+    *     [[DedupOps.commitArtifactAppend]] (which clears the
+    *     generation first, so a retry after a crash between commit
+    *     and fence-write is exact even mid-generation).
+    *  4. Advance the `_BATCH` fence LAST — the at-least-once window
+    *     is re-entered, never skipped.
+    * Steps 2-3 are per-batch Spark jobs over the micro-batch only:
+    * O(batch) banding + a bucket-relation join + an O(batch) write —
+    * the 100 TB shape where the stream absorbs a day in batch-sized
+    * pieces. */
+  private[graft] def s16ProcessBatch(s: SparkSession,
+      work: java.nio.file.Path, batch: DataFrame, batchId: Long): Unit = {
+    if (batchId > s16LastBatch(work)) {
+      val bands = DedupOps.bandedSignaturesOf(
+        batch.select(col("doc_id"), col("text")))
+      bands.select(col("doc_id"), col("band"), col("sig"))
+        .join(s.read.parquet(work.resolve("buckets").toString),
+          Seq("band", "sig"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+        .write.mode("overwrite")
+        .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
+      val hiRow = batch.agg(max(col("doc_id"))).head()
+      if (!hiRow.isNullAt(0)) {
+        val newCut = hiRow.getLong(0)
+        val tmp = work.resolve("buckets_append")
+        bands.groupBy(col("band"), col("sig"))
+          .agg(min(col("doc_id")).as("canon"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.artifactLock(work).synchronized {
+          DedupOps.commitArtifactAppend(work, tmp, newCut)
+        }
+      }
+      Files.write(work.resolve("_BATCH"),
+        batchId.toString.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** Run the s16 stream: the staged tail tranches arrive one
+    * micro-batch each (`maxFilesPerTrigger = 1`, AvailableNow) and
+    * [[s16ProcessBatch]] folds every batch into the working index.
+    * Exposed with caller-chosen glob/checkpoint for the spec's
+    * restart pin. */
+  private[graft] def s16RunStream(s: SparkSession,
+      work: java.nio.file.Path, staged: java.nio.file.Path,
+      glob: String, checkpoint: String): Unit = {
+    val schema = s.read.parquet(
+      staged.resolve("t-000.parquet").toString).schema
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("graft.stream.statePartitions", "8"))
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          s16ProcessBatch(s, work, b, id))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** s16: STREAMING WRITE-BACK — the last loop closed. s14 streams
+    * against a frozen index; s15 streams against an index someone
+    * ELSE maintained; s16's stream maintains the index ITSELF: each
+    * micro-batch probes the buckets as of the previous batch, then
+    * absorbs its own buckets through the shared append commit, so a
+    * later batch's duplicate of an EARLIER batch's doc flags through
+    * state the stream itself wrote — with nothing outside the stream
+    * touching the index. Exactly-once per batch under at-least-once
+    * delivery: the `_BATCH` fence (advanced after the commit) skips
+    * re-delivered absorbed batches, and a retry inside the window is
+    * exact because flags overwrite and the append clears its
+    * generation first ([[s16ProcessBatch]]; restart pinned in
+    * StreamingGateSpec). Every invocation pays the full machinery on
+    * a fresh working copy of the pristine base — the per-batch
+    * absorb-then-probe IS the thing measured, like s10's restart.
+    * The oracle reproduces the batch boundaries as integer id cuts:
+    * tranche j's docs flag against docs at or below tranche j−1's
+    * cut — a flag row for a tranche-3 doc whose only twin sits in
+    * tranche 2 exists ONLY if batch 2's write-back served batch 3's
+    * probe. */
+  def streamedIndexWriteback(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageS16Tail(s, dir)
+    val work = s16WorkingCopy(s, dir)
+    val old = lastS16Work.getAndSet(work)
+    if (old != null) DedupOps.deleteRecursively(old.toFile)
+    s16RunStream(s, work, staged, "t-*.parquet",
+      work.resolve("ckpt").toString)
+    s.read.parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id"))
+  }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -751,7 +962,8 @@ object StreamingOps {
     "s12_stream_rocksdb" -> (streamedTumblingRocksDb _),
     "s13_stream_outer_join" -> (streamedOuterIntervalJoin _),
     "s14_stream_index_dedup" -> (streamedIncrementalDedup _),
-    "s15_stream_living_index" -> (streamedLivingIndexDedup _))
+    "s15_stream_living_index" -> (streamedLivingIndexDedup _),
+    "s16_stream_writeback" -> (streamedIndexWriteback _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -805,6 +1017,31 @@ object StreamingOps {
          | FROM bands b CROSS JOIN c2
          | JOIN bkt k ON b.band = k.band AND b.sig = k.sig
          | WHERE b.doc_id > cut2)
+         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stream that maintains its own index: tranche j (thirds of
+    // the tail, integer cuts) probes everything at or below tranche
+    // j−1's cut — base plus every batch the STREAM already absorbed.
+    // A tranche-3 doc whose only twin sits in tranche 2 flags iff
+    // batch 2's write-back served batch 3's probe
+    "s16_stream_writeback" ->
+      s"""${DedupOps.bandsCtes},
+         |bounds AS (
+         | SELECT (min(doc_id) + max(doc_id)) // 2 AS mid,
+         |        max(doc_id) AS hi
+         | FROM documents),
+         |cuts AS (
+         | SELECT mid, mid + (hi - mid) // 3 AS c1,
+         |        mid + (2 * (hi - mid)) // 3 AS c2
+         | FROM bounds),
+         |f AS (
+         | SELECT b.doc_id, b.band, k.doc_id AS canon
+         | FROM bands b CROSS JOIN cuts
+         | JOIN bands k ON b.band = k.band AND b.sig = k.sig
+         | WHERE b.doc_id > mid
+         |   AND k.doc_id <= CASE WHEN b.doc_id <= c1 THEN mid
+         |                        WHEN b.doc_id <= c2 THEN c1
+         |                        ELSE c2 END)
          |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_stream_tumbling" -> tumblingOracle,

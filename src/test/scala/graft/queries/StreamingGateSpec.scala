@@ -304,6 +304,94 @@ class StreamingGateSpec extends SparkSpec {
       out.map(_.toSeq.toVector).toSeq)
   }
 
+  test("s16 write-back stream: a later batch flags a duplicate of what the STREAM itself absorbed") {
+    // crafted corpus, lo=1 hi=163 → mid=82, tranche cuts c1=109
+    // c2=136: base {1 "A", 2 "B"}; batch 0 (82,109] = {100 "X" — new
+    // text, no flag}; batch 1 (109,136] = {120 "X" — its ONLY twin is
+    // batch 0's 100, so the flag exists only if batch 0's write-back
+    // served batch 1's probe}; batch 2 (136,163] = {150 "X" (min over
+    // the absorbed 100/120 canons = 100), 151 "A" (base buckets still
+    // serve through the same read), 152/153 "Z" (within-batch twins —
+    // the probe runs BEFORE the batch's own buckets land, so neither
+    // flags), 163 new}.
+    val tmp = java.nio.file.Files.createTempDirectory("s16_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "quick brown foxes vault lazy hounds"),
+      (120L, "quick brown foxes vault lazy hounds"),
+      (150L, "quick brown foxes vault lazy hounds"),
+      (151L, "alpha beta gamma delta epsilon zeta"),
+      (152L, "crimson lanterns drift over quiet harbors"),
+      (153L, "crimson lanterns drift over quiet harbors"),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val out = StreamingOps.streamedIndexWriteback(spark, tmp.toString)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+      .toSeq === Seq((120L, 100L), (150L, 100L), (151L, 1L)), out.toSeq)
+    // the stream left a CONVERGED living index behind: _CUT at the
+    // corpus max, one appended generation per non-empty batch, the
+    // replay fence on the last batch id
+    val work = StreamingOps.lastS16Work.get()
+    assert(DedupOps.cutOf(work) === 163L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim.toLong === 2L)
+    val gens = work.resolve("buckets").toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("append-")).map(_.split("-")(1)).distinct.sorted
+    // the generation tag is the batch's ACTUAL max id, not the
+    // nominal tranche boundary — the watermark is data, not layout
+    assert(gens.toSeq === Seq("100", "120", "163"),
+      s"one generation per batch high-watermark: ${gens.toSeq}")
+  }
+
+  test("s16 restart + replay fence: re-delivered batches never double-absorb") {
+    val staged = StreamingOps.stageS16Tail(spark, dir)
+    // RESTART: run 1 carries only the first two tranches, "crashes",
+    // and run 2 resumes from the same checkpoint over the full glob —
+    // the source must deliver ONLY the third tranche (as batch 2)
+    val work = StreamingOps.s16WorkingCopy(spark, dir)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim.toLong === 1L)
+    StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim.toLong === 2L)
+    def flags(w: java.nio.file.Path) =
+      spark.read.parquet(w.resolve("flags").toString + "/b*")
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(_.toSeq.toVector).toSeq
+    val restarted = flags(work)
+    // equals the uninterrupted run bit-for-bit
+    val oneShot = StreamingOps.streamedIndexWriteback(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    assert(restarted === oneShot)
+    // REPLAY: a fresh checkpoint re-delivers every tranche with batch
+    // ids 0..2 — all at or below the fence, so nothing may change:
+    // same flags, same bucket files, nonce untouched
+    val nonce0 = new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_INDEX_READY")), "UTF-8")
+    val files0 = work.resolve("buckets").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet",
+      work.resolve("ckpt2").toString)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_INDEX_READY")), "UTF-8") === nonce0,
+      "a replayed absorbed batch must not touch the index")
+    assert(work.resolve("buckets").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === files0)
+    assert(flags(work) === restarted)
+    DedupOps.deleteRecursively(work.toFile)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
