@@ -175,6 +175,12 @@ object Bench {
         (() => { // build/append/compact are eager side effects; the
                  // returned (lazy) serve plan is discarded
                  graft.queries.DedupOps.indexCompactServe(spark, sfDir); () }),
+      // t37's membership build + takedown are maintenance-time; the
+      // timed reps measure the tombstone-aware serve (anti-join +
+      // fold)
+      Set("t37_tombstone_reelect") ->
+        (() => { graft.queries.DedupOps.buildMembersIndex(spark, sfDir)
+                 graft.queries.DedupOps.tombstoneTakedown(spark, sfDir); () }),
       Set("q34_incremental_distinct") ->
         (() => { graft.queries.Relational.q34MergedEstimates(spark, sfDir); () }),
       Set("q35_agg_append") ->

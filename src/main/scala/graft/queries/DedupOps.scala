@@ -1070,6 +1070,187 @@ object DedupOps {
       .orderBy(col("band"), col("sig"))
   }
 
+  // ------------ t37: DELETION from a living index (tombstones +
+  // re-election)
+
+  /** Where t37's MEMBERSHIP band index lives. canon = min is not
+    * INVERTIBLE: the canon-only relation t34/t35/t36 serve cannot
+    * answer "who is the next-min member?" when a canon doc is taken
+    * down (GDPR erasure, copyright takedown) — the index would keep
+    * pointing at a ghost, and re-deriving the answer needs either the
+    * corpus (an O(corpus) re-band, exactly what an index exists to
+    * avoid) or the deleted doc's text (which an erasure request means
+    * you may no longer HOLD). t37's artifact therefore persists the
+    * full bucket MEMBERSHIP `(band, sig, doc_id)` instead of the
+    * folded canon: deletion becomes index-local — an O(deleted)
+    * tombstone write at takedown time and one anti-join at read time,
+    * with re-election falling out of the same min-aggregate the serve
+    * path already runs. The storage price is the duplicate mass: for
+    * a mostly-singleton bucket distribution the membership relation
+    * has nearly the same row count as the folded one (one row per
+    * (doc, band) either way); only duplicated docs add rows — the
+    * deliberate trade for invertibility. */
+  private[graft] def t37IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_members_t37",
+      s"bandmembers:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** BUILD the membership artifact: the full corpus's banded rows,
+    * unfolded — one `(band, sig, doc_id)` row per doc per band, the
+    * relation every later takedown anti-joins against. Idempotent
+    * under the nonce-marker contract. */
+  private[graft] def buildMembersIndex(s: SparkSession, dir: String): String = {
+    val out = t37IndexPath(s, dir)
+    ensureArtifact(out) {
+      bandedSignaturesOf(docs(s, dir))
+        .select(col("band"), col("sig"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+  }
+
+  /** t37's deterministic takedown list, derived from the INDEX alone
+    * (production receives it from outside; the fixture needs it
+    * reproducible in the oracle): every doc that is the canon of a
+    * multi-member bucket — the worst case for deletion, because every
+    * such takedown forces a re-election. An index-only scan: the
+    * corpus is never touched, and no deleted doc's text is needed. */
+  private def t37TakedownSet(members: DataFrame): DataFrame =
+    members.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id")).distinct()
+
+  /** Apply the takedown ONCE per artifact: the doc_id tombstones land
+    * as `delete-000-NNN.parquet` under `tombstones/`, committed with
+    * the same marker-last discipline as every artifact mutation (the
+    * nonce is off across the window; a crash degrades to rebuild).
+    * O(deleted) at takedown time — the serve pays the anti-join.
+    * Idempotent: an existing tombstone generation short-circuits, so
+    * repeated gate invocations serve one stable relation. */
+  private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit = {
+    val out = t37IndexPath(s, dir)
+    artifactLock(out).synchronized {
+      val tombs = out.resolve("tombstones")
+      // a takedown applies ONCE per artifact: the _TAKEDOWN marker
+      // survives compaction (which folds the tombstone FILES away),
+      // so a compacted index doesn't silently re-derive a takedown
+      // against its own re-elected canons
+      val done = out.resolve("_TAKEDOWN")
+      val applied = java.nio.file.Files.exists(done) ||
+        Option(tombs.toFile.listFiles())
+          .exists(_.exists(_.getName.startsWith("delete-")))
+      if (!applied) {
+        val tmp = out.resolve("tombstones_tmp")
+        t37TakedownSet(s.read.parquet(out.resolve("members").toString))
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (s.read.parquet(tmp.toString).isEmpty) {
+          // an empty takedown mutates nothing — no marker window, no
+          // empty tombstone generation on disk
+          deleteRecursively(tmp.toFile)
+          java.nio.file.Files.write(done, Array.emptyByteArray)
+        } else {
+          val marker = out.resolve("_INDEX_READY")
+          java.nio.file.Files.deleteIfExists(marker)
+          java.nio.file.Files.createDirectories(tombs)
+          tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                tombs.resolve(f"delete-000-$i%03d.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          deleteRecursively(tmp.toFile)
+          java.nio.file.Files.write(done, Array.emptyByteArray)
+          java.nio.file.Files.write(marker,
+            System.nanoTime().toString.getBytes("UTF-8"))
+        }
+      }
+    }
+  }
+
+  /** The tombstone-aware serve: membership anti-join the tombstones,
+    * then the usual min fold — RE-ELECTION is nothing extra, it IS
+    * the fold over the surviving members (a bucket whose canon died
+    * yields its next-min member; a bucket with no survivors vanishes,
+    * rows and all). One keyed anti-join + one map-side-combinable
+    * aggregate over index-cardinality relations — the corpus never
+    * rejoins the plan. */
+  private[graft] def tombstoneServedBuckets(s: SparkSession, dir: String)
+      : DataFrame = {
+    val idx = requireReady(t37IndexPath(s, dir))
+    val members = s.read.parquet(idx.resolve("members").toString)
+    // a compacted (or never-deleted-from) index has no tombstone
+    // files — the serve is the plain fold, no anti-join in the plan
+    val hasTombs = Option(idx.resolve("tombstones").toFile.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val alive =
+      if (!hasTombs) members
+      else members.join(
+        s.read.parquet(idx.resolve("tombstones").toString)
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+    alive.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+  }
+
+  /** t37: takedown + re-election, served — build the membership
+    * artifact, apply the deterministic takedown (every multi-member
+    * bucket's canon dies), serve the re-elected bucket relation. The
+    * oracle is the REBUILD over corpus-minus-deleted: deletion must
+    * be exactly as if the docs had never been ingested, which holds
+    * because dropping a doc's membership rows is precisely what
+    * re-banding the corpus without it would have produced. The
+    * compaction complement ([[compactTombstoneIndex]]) folds the
+    * tombstones into the membership files and drops the delete-*
+    * generation — byte-identical serve, pinned in TombstoneSpec. */
+  def tombstoneReelect(s: SparkSession, dir: String): DataFrame = {
+    buildMembersIndex(s, dir)
+    tombstoneTakedown(s, dir)
+    tombstoneServedBuckets(s, dir).orderBy(col("band"), col("sig"))
+  }
+
+  /** Fold the tombstones in: rewrite `members` minus the tombstoned
+    * docs as one fresh generation and DROP the delete-* files — the
+    * deletion-side analogue of [[compactArtifact]], under the same
+    * marker-last contract (materialize first, nonce off, swap, nonce
+    * last; a crash degrades to rebuild). After it, the anti-join's
+    * build side is empty — the serve is a plain scan-and-fold again —
+    * and a LATER takedown starts a fresh tombstone generation against
+    * the compacted membership. */
+  private[graft] def compactTombstoneIndex(s: SparkSession,
+      out: java.nio.file.Path): Boolean = artifactLock(out).synchronized {
+    val tombs = out.resolve("tombstones")
+    val hasTombs = Option(tombs.toFile.listFiles())
+      .exists(_.exists(_.getName.startsWith("delete-")))
+    if (!hasTombs) false
+    else {
+      val dst = out.resolve("members")
+      val tmp = out.resolve("members_compact")
+      s.read.parquet(dst.toString)
+        .join(s.read.parquet(tombs.toString).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("band"), col("sig"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val marker = out.resolve("_INDEX_READY")
+      java.nio.file.Files.deleteIfExists(marker)
+      deleteRecursively(dst.toFile)
+      deleteRecursively(tombs.toFile)
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.createDirectories(tombs)
+      tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            dst.resolve(f"compact-0-$i%03d.parquet"))
+        }
+      deleteRecursively(tmp.toFile)
+      java.nio.file.Files.write(marker,
+        System.nanoTime().toString.getBytes("UTF-8"))
+      true
+    }
+  }
+
   /** t29: leakage-safe train/eval split — the assignment rule a
     * decontaminated pipeline needs: near-duplicate docs must NEVER
     * straddle the split (a t13 cluster member in train with its twin
@@ -1574,6 +1755,7 @@ object DedupOps {
     "t34_incremental_dedup" -> (incrementalDedup _),
     "t35_index_append" -> (indexAppendServe _),
     "t36_index_compact" -> (indexCompactServe _),
+    "t37_tombstone_reelect" -> (tombstoneReelect _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -2002,5 +2184,19 @@ object DedupOps {
       s"""$bandsCtes
          |SELECT band, sig, min(doc_id) AS canon
          |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // deletion must be exactly as if the taken-down docs had never
+    // been ingested: the oracle REBUILDS over corpus-minus-deleted
+    // (deleted = every multi-member bucket's canon, the deterministic
+    // worst-case takedown). Buckets with no surviving member vanish
+    "t37_tombstone_reelect" ->
+      s"""$bandsCtes,
+         |del AS (
+         | SELECT DISTINCT canon AS doc_id FROM (
+         |   SELECT band, sig, min(doc_id) AS canon, count(*) AS n
+         |   FROM bands GROUP BY 1, 2)
+         | WHERE n >= 2)
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands WHERE doc_id NOT IN (SELECT doc_id FROM del)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t29_leakage_safe_split" -> leakageSplitOracle)
 }

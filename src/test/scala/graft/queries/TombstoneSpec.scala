@@ -1,0 +1,120 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** t37 deletion contract: canon = min is not invertible, so the
+  * deletable index persists MEMBERSHIP and a takedown is an
+  * O(deleted) tombstone write — re-election is the serve path's
+  * existing min fold over the surviving members. Pins: (1) a taken-
+  * down canon re-elects the next-min twin and a probe resolves to it;
+  * (2) deletion ≡ the rebuild over corpus-minus-deleted (the gate's
+  * oracle, asserted here on a crafted corpus where the re-election is
+  * hand-checkable); (3) tombstone compaction folds the deletions into
+  * the membership files byte-identically and drops the delete-*
+  * generation; (4) the whole family is idempotent across serves.
+  */
+class TombstoneSpec extends SparkSpec {
+
+  /** Crafted corpus: bucket A {1, 100} — the takedown kills canon 1
+    * and 100 must be re-elected; bucket B {2} — singleton, untouched;
+    * C {150} — singleton. The deterministic takedown set is exactly
+    * {1} (the only multi-member bucket's canon). */
+  private def craft(): String = {
+    val tmp = Files.createTempDirectory("t37_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (150L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t37 takedown of a canon re-elects the next-min twin; a probe resolves to it") {
+    val dir = craft()
+    val served = DedupOps.tombstoneReelect(spark, dir).collect()
+    val canons = served.map(_.getAs[Long]("canon")).distinct.sorted
+    // doc 1 is GONE from the index: every A-bucket re-elected 100
+    assert(canons.toSeq === Seq(2L, 100L, 150L), canons.toSeq)
+    // a probe for doc 1's text must resolve to the re-elected canon,
+    // never the ghost
+    import spark.implicits._
+    val probe = Seq((999L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.bandedSignaturesOf(probe)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(DedupOps.tombstoneServedBuckets(spark, dir), Seq("band", "sig"))
+      .groupBy(col("doc_id")).agg(min(col("canon")).as("dup_of"))
+      .collect()
+    assert(hits.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+      .toSeq === Seq((999L, 100L)))
+    // deletion ≡ rebuild over corpus-minus-deleted, bit for bit
+    val rebuild = DedupOps.bandedSignaturesOf(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") =!= 1L))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(DedupOps.tombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq === rebuild)
+    // the tombstone generation is on disk; the members are NOT
+    // rewritten at takedown time (that is compaction's job)
+    val idx = DedupOps.t37IndexPath(spark, dir)
+    assert(idx.resolve("tombstones").toFile.listFiles()
+      .exists(_.getName.startsWith("delete-000-")))
+    assert(idx.resolve("members").toFile.listFiles()
+      .exists(_.getName.startsWith("part-")))
+  }
+
+  test("t37 compaction folds the tombstones in byte-identically and drops them") {
+    val dir = craft()
+    val before = DedupOps.tombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val idx = DedupOps.t37IndexPath(spark, dir)
+    assert(DedupOps.compactTombstoneIndex(spark, idx),
+      "an index holding tombstones must compact")
+    val after = DedupOps.tombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(after === before, "compaction must be invisible in the serve")
+    // the delete-* generation is gone and the members are one fresh
+    // compacted generation — the serve plans NO anti-join now
+    assert(!idx.resolve("tombstones").toFile.listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    val memberFiles = idx.resolve("members").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(memberFiles.forall(_.startsWith("compact-")), memberFiles.toSeq)
+    val plan = DedupOps.tombstoneServedBuckets(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      s"the compacted serve must be a plain scan-and-fold:\n$plan")
+    // a second compaction is a structural no-op
+    assert(!DedupOps.compactTombstoneIndex(spark, idx))
+  }
+
+  test("t37 is idempotent across serves and crash-safe at the takedown window") {
+    val dir = craft()
+    DedupOps.tombstoneReelect(spark, dir).collect()
+    val idx = DedupOps.t37IndexPath(spark, dir)
+    val marker = idx.resolve("_INDEX_READY")
+    val nonce0 = new String(Files.readAllBytes(marker), "UTF-8")
+    val first = DedupOps.tombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0,
+      "a second serve must not re-apply the takedown")
+    // crash inside the takedown window: marker removed, artifact on
+    // disk — recovery rebuilds from scratch and re-applies the
+    // takedown deterministically
+    Files.delete(marker)
+    val recovered = DedupOps.tombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(recovered === first)
+    assert(Files.size(marker) > 0, "recovery must re-stamp a fresh nonce")
+  }
+}
