@@ -390,6 +390,73 @@ object ScaleDemo {
           .write.mode(SaveMode.Overwrite).parquet(rebuildScratch.toString)
       }
       rmInc(rebuildScratch.toFile)
+      // t36: MULTI-GENERATION read amplification + the compaction that
+      // resets it — the t35 evidence is one append; a month of nightly
+      // batches is N. Build the base on t36's own artifact, absorb the
+      // delta as 10 equal nightly tranches (10 appended generations),
+      // measure the serve and a one-batch probe at N generations, then
+      // COMPACT and re-measure: the read-side cost the LSM idiom
+      // accrues (a re-appended key matches once per generation it
+      // appears in) and the one relation-sized fold that collapses it.
+      spark.catalog.clearCache()
+      val t36Idx = queries.DedupOps.t36BandIndexPath(spark, docsDir.toString)
+      rmInc(t36Idx.toFile)
+      time("t36 band-index BUILD (base tranche)") {
+        queries.DedupOps.buildBandIndexAt(spark, docsDir.toString, t36Idx)
+      }
+      locally {
+        val b = spark.read.parquet(docsParquet.toString)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mid = (lo + hi) / 2
+        val gens = 10
+        time(s"t36 APPEND $gens nightly batches (equal tranches of the delta)") {
+          (1 to gens).foreach { g =>
+            queries.DedupOps.appendBandIndexAt(spark, docsDir.toString,
+              t36Idx, upTo =
+                if (g == gens) hi else mid + (hi - mid) * g / gens)
+          }
+        }
+        def bucketStats(tag: String): Unit = {
+          val fs = t36Idx.resolve("buckets").toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+          println(s"SCALE t36 $tag bucket bytes: ${fs.map(_.length).sum} B " +
+            s"(${fs.length} files, " +
+            s"${fs.map(_.getName.split("-")(0)).distinct.length} kinds)")
+        }
+        def serveWall(tag: String): Unit = {
+          spark.catalog.clearCache()
+          time(s"t36 serve (min-merge read) of the $tag index") {
+            noop(spark.read.parquet(t36Idx.resolve("buckets").toString)
+              .groupBy(col("band"), col("sig"))
+              .agg(min(col("canon")).as("canon")))
+          }
+        }
+        def probeWall(tag: String): Unit = {
+          spark.catalog.clearCache()
+          time(s"t36 probe one nightly batch vs the $tag index") {
+            val batch = spark.read.parquet(docsParquet.toString)
+              .filter(col("doc_id") > mid + (hi - mid) * (gens - 1) / gens)
+              .select(col("doc_id"), col("text"))
+            noop(queries.DedupOps.bandedSignaturesOf(batch)
+              .select(col("doc_id"), col("band"), col("sig"))
+              .join(spark.read.parquet(t36Idx.resolve("buckets").toString),
+                Seq("band", "sig"))
+              .groupBy(col("doc_id"))
+              .agg(min(col("band")).as("band"),
+                min(col("canon")).as("dup_of")))
+          }
+        }
+        bucketStats(s"$gens-generation")
+        serveWall(s"$gens-generation")
+        probeWall(s"$gens-generation")
+        time(s"t36 COMPACT (fold ${gens + 1} generations into one)") {
+          queries.DedupOps.compactBandIndex(spark, t36Idx)
+        }
+        bucketStats("compacted")
+        serveWall("compacted")
+        probeWall("compacted")
+      }
       // m8: the media family's absorb-the-delta economics (t34's idiom
       // on perceptual hashes) — build, probe, and the full-corpus m5
       // recompute the probe replaces

@@ -227,10 +227,15 @@ class IndexAppendSpec extends SparkSpec {
       "no appended generation -> compaction must no-op")
     assert(new String(Files.readAllBytes(marker), "UTF-8") === nonce0)
     // and the registered gate serves the full-corpus relation (t35's
-    // oracle) from the compacted artifact
-    val gated = DedupOps.indexCompactServe(spark, dir)
-      .collect().map(_.toSeq.toVector).toSeq
+    // oracle) from the compacted artifact — without the corpus ever
+    // rejoining the plan
+    val gatedDf = DedupOps.indexCompactServe(spark, dir)
+    val gated = gatedDf.collect().map(_.toSeq.toVector).toSeq
     assert(gated === rebuildOverFullCorpus(dir))
+    val plan = gatedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("band_index_t36") &&
+      !plan.contains("documents.parquet"),
+      s"the converged t36 serve must be artifact-only:\n$plan")
   }
 
   test("t36 crash mid-compaction degrades to rebuild; appends resume after compaction") {

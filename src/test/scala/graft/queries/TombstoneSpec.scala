@@ -98,6 +98,17 @@ class TombstoneSpec extends SparkSpec {
     assert(!DedupOps.compactTombstoneIndex(spark, idx))
   }
 
+  test("t37 serve is artifact-only: the corpus never rejoins the plan") {
+    val dir = craft()
+    DedupOps.tombstoneReelect(spark, dir).collect()
+    val plan = DedupOps.tombstoneServedBuckets(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("band_members_t37"),
+      "serve must read the persisted membership artifact")
+    assert(!plan.contains("documents.parquet"),
+      s"serve must never re-scan the corpus:\n$plan")
+  }
+
   test("t37 is idempotent across serves and crash-safe at the takedown window") {
     val dir = craft()
     DedupOps.tombstoneReelect(spark, dir).collect()
