@@ -457,6 +457,46 @@ object ScaleDemo {
         serveWall("compacted")
         probeWall("compacted")
       }
+      // t37: deletion economics — the membership build (the
+      // invertibility premium over the folded index), the O(deleted)
+      // takedown, the tombstone-aware serve (anti-join + fold), and
+      // the compaction that folds the deletions in. The comparator is
+      // the cost deletion would otherwise pay: re-banding the corpus
+      // minus the deleted docs (t7's map side), measured above as the
+      // t7 row.
+      spark.catalog.clearCache()
+      val t37Idx = queries.DedupOps.t37IndexPath(spark, docsDir.toString)
+      rmInc(t37Idx.toFile)
+      time("t37 MEMBERSHIP index BUILD (full corpus, unfolded)") {
+        queries.DedupOps.buildMembersIndex(spark, docsDir.toString)
+      }
+      spark.catalog.clearCache()
+      time("t37 TAKEDOWN (derive + write tombstones, index-local)") {
+        queries.DedupOps.tombstoneTakedown(spark, docsDir.toString)
+      }
+      locally {
+        val tombBytes = Option(t37Idx.resolve("tombstones").toFile
+          .listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        val memBytes = t37Idx.resolve("members").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        println(s"SCALE t37 members ${memBytes.map(_.length).sum} B " +
+          s"(${memBytes.length} files), tombstones " +
+          s"${tombBytes.map(_.length).sum} B (${tombBytes.size} files)")
+      }
+      spark.catalog.clearCache()
+      time("t37 tombstone-aware serve (anti-join + re-election fold)") {
+        noop(queries.DedupOps
+          .tombstoneServedBuckets(spark, docsDir.toString))
+      }
+      spark.catalog.clearCache()
+      time("t37 COMPACT (fold tombstones into the membership)") {
+        queries.DedupOps.compactTombstoneIndex(spark, t37Idx)
+      }
+      spark.catalog.clearCache()
+      time("t37 serve after compaction (plain scan-and-fold)") {
+        noop(queries.DedupOps
+          .tombstoneServedBuckets(spark, docsDir.toString))
+      }
       // m8: the media family's absorb-the-delta economics (t34's idiom
       // on perceptual hashes) — build, probe, and the full-corpus m5
       // recompute the probe replaces
