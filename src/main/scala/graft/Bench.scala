@@ -191,7 +191,24 @@ object Bench {
         (() => { graft.queries.MultimodalOps.buildMediaIndex(spark, sfDir); () }),
       Set("m9_media_index_append") ->
         (() => { graft.queries.MultimodalOps.buildRwMediaIndex(spark, sfDir)
-                 graft.queries.MultimodalOps.appendMediaIndex(spark, sfDir); () }))
+                 graft.queries.MultimodalOps.appendMediaIndex(spark, sfDir); () }),
+      // the compaction/retraction families' build/append/compact (or
+      // build/append/retract) are maintenance-time — their walls are
+      // ScaleDemo inc-phase rows; the timed reps measure the
+      // steady-state serve of the compacted/retracted artifact
+      Set("q37_partials_compact") ->
+        (() => { graft.queries.Relational.q37Append(spark, sfDir)
+                 graft.queries.Relational.q37Compact(spark, sfDir); () }),
+      Set("q38_sketch_compact") ->
+        (() => { graft.queries.Relational.q38CompactedEstimates(spark, sfDir); () }),
+      Set("q39_agg_retract") ->
+        (() => { graft.queries.Relational.q39Retract(spark, sfDir); () }),
+      Set("m10_media_index_compact") ->
+        (() => { graft.queries.MultimodalOps.mediaIndexCompactServe(spark, sfDir); () }),
+      Set("m11_media_tombstone_reelect") ->
+        (() => { graft.queries.MultimodalOps.stageMediaTombstones(spark, sfDir); () }),
+      Set("v21_vector_forget") ->
+        (() => { graft.queries.VectorOps.stageVectorForget(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with
     // in-query operators (buildNearDupIndex populates t9/v15's
     // centroid memo, buildCcIndex populates t13's label memo) — that

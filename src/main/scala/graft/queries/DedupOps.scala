@@ -822,14 +822,19 @@ object DedupOps {
     * write-back family (t35 band buckets, m9 media hashes, q35/q36
     * history partials). The caller — holding [[artifactLock]]`(out)`
     * — has already written the delta's relation to `tmp`; this moves
-    * its part files into `rel/` as `append-<newCut>-NNN.parquet`,
+    * its part files into `rel/` as `<kind>-<newCut>-NNN.parquet`,
     * advances `_CUT`, and re-stamps the nonce, with the
     * `_INDEX_READY` marker REMOVED across the whole mutation window:
     * a crash anywhere inside leaves a marker-less (rebuildable)
-    * directory, never a half-appended "ready" one. */
+    * directory, never a half-appended "ready" one. `kind`
+    * distinguishes generation FAMILIES sharing one relation — q39's
+    * retraction commits NEGATED partials at the UNCHANGED watermark,
+    * so its `retract-<cut>-NNN` files must not collide with (or be
+    * cleared as a presumed crashed retry of) the `append-<cut>-NNN`
+    * generation the same watermark already owns. */
   private[graft] def commitArtifactAppend(out: java.nio.file.Path,
       tmp: java.nio.file.Path, newCut: Long,
-      rel: String = "buckets"): Unit = {
+      rel: String = "buckets", kind: String = "append"): Unit = {
     val marker = out.resolve("_INDEX_READY")
     java.nio.file.Files.deleteIfExists(marker)
     val dst = out.resolve(rel)
@@ -845,14 +850,14 @@ object DedupOps {
     // normal recovery path — a build — wipes the marker-less dir, but
     // the contract doesn't require one.)
     Option(dst.toFile.listFiles()).foreach(
-      _.filter(_.getName.startsWith(f"append-$newCut%d-"))
+      _.filter(_.getName.startsWith(f"$kind%s-$newCut%d-"))
         .foreach(f => { f.delete(); () }))
     tmp.toFile.listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.move(f.toPath,
-          dst.resolve(f"append-$newCut%d-$i%03d.parquet"),
+          dst.resolve(f"$kind%s-$newCut%d-$i%03d.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     deleteRecursively(tmp.toFile)
@@ -1009,8 +1014,12 @@ object DedupOps {
       merge: DataFrame => DataFrame): Boolean =
     artifactLock(out).synchronized {
       val dst = out.resolve(rel)
+      // retract-* generations (q39's negated partials) compact the
+      // same way appends do: the fold nets them against the mass they
+      // cancel, so the compacted base carries the retraction folded in
       val hasAppends = Option(dst.toFile.listFiles())
-        .exists(_.exists(_.getName.startsWith("append-")))
+        .exists(_.exists(f => f.getName.startsWith("append-") ||
+          f.getName.startsWith("retract-")))
       if (!hasAppends) false
       else {
         val cut = cutOf(out)
@@ -1120,32 +1129,35 @@ object DedupOps {
       .filter(col("n") >= 2)
       .select(col("doc_id")).distinct()
 
-  /** Apply the takedown ONCE per artifact: the doc_id tombstones land
-    * as `delete-000-NNN.parquet` under `tombstones/`, committed with
-    * the same marker-last discipline as every artifact mutation (the
-    * nonce is off across the window; a crash degrades to rebuild).
-    * O(deleted) at takedown time — the serve pays the anti-join.
-    * Idempotent: an existing tombstone generation short-circuits, so
-    * repeated gate invocations serve one stable relation. */
-  private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit = {
-    val out = t37IndexPath(s, dir)
+  /** Apply a takedown ONCE per membership artifact — the deletion
+    * mechanics SHARED by every family that buys invertibility by
+    * persisting membership unfolded (t37 band members, m11 media
+    * members, v21 vector members): derive the id list via
+    * `takedownOf` from the members relation ALONE (index-local — the
+    * corpus is never touched), land it as `delete-000-NNN.parquet`
+    * under `tombstones/` with the same marker-last discipline as
+    * every artifact mutation (the nonce is off across the window; a
+    * crash degrades to rebuild), and record `_TAKEDOWN` — which
+    * SURVIVES compaction (compaction folds the tombstone FILES away),
+    * so a compacted index doesn't silently re-derive a takedown
+    * against its own re-elected canons. O(deleted) at takedown time —
+    * the serve pays the anti-join. Idempotent: an applied takedown
+    * short-circuits; an EMPTY takedown mutates nothing (no marker
+    * window, no empty generation on disk). */
+  private[graft] def applyTakedown(s: SparkSession,
+      out: java.nio.file.Path)(
+      takedownOf: DataFrame => DataFrame): Unit = {
     artifactLock(out).synchronized {
       val tombs = out.resolve("tombstones")
-      // a takedown applies ONCE per artifact: the _TAKEDOWN marker
-      // survives compaction (which folds the tombstone FILES away),
-      // so a compacted index doesn't silently re-derive a takedown
-      // against its own re-elected canons
       val done = out.resolve("_TAKEDOWN")
       val applied = java.nio.file.Files.exists(done) ||
         Option(tombs.toFile.listFiles())
           .exists(_.exists(_.getName.startsWith("delete-")))
       if (!applied) {
         val tmp = out.resolve("tombstones_tmp")
-        t37TakedownSet(s.read.parquet(out.resolve("members").toString))
+        takedownOf(s.read.parquet(out.resolve("members").toString))
           .write.mode("overwrite").parquet(tmp.toString)
         if (s.read.parquet(tmp.toString).isEmpty) {
-          // an empty takedown mutates nothing — no marker window, no
-          // empty tombstone generation on disk
           deleteRecursively(tmp.toFile)
           java.nio.file.Files.write(done, Array.emptyByteArray)
         } else {
@@ -1169,29 +1181,35 @@ object DedupOps {
     }
   }
 
-  /** The tombstone-aware serve: membership anti-join the tombstones,
-    * then the usual min fold — RE-ELECTION is nothing extra, it IS
-    * the fold over the surviving members (a bucket whose canon died
-    * yields its next-min member; a bucket with no survivors vanishes,
-    * rows and all). One keyed anti-join + one map-side-combinable
-    * aggregate over index-cardinality relations — the corpus never
-    * rejoins the plan. */
-  private[graft] def tombstoneServedBuckets(s: SparkSession, dir: String)
-      : DataFrame = {
-    val idx = requireReady(t37IndexPath(s, dir))
+  private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit =
+    applyTakedown(s, t37IndexPath(s, dir))(t37TakedownSet)
+
+  /** The tombstone-aware membership read, shared by the deletable
+    * families' serves: anti-join the tombstones on `idCol` when a
+    * delete generation exists — a compacted (or never-deleted-from)
+    * index plans NO anti-join at all. One keyed anti-join over
+    * index-cardinality relations; the corpus never rejoins the
+    * plan. */
+  private[graft] def aliveMembers(s: SparkSession,
+      idx: java.nio.file.Path, idCol: String = "doc_id"): DataFrame = {
     val members = s.read.parquet(idx.resolve("members").toString)
-    // a compacted (or never-deleted-from) index has no tombstone
-    // files — the serve is the plain fold, no anti-join in the plan
     val hasTombs = Option(idx.resolve("tombstones").toFile.listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
-    val alive =
-      if (!hasTombs) members
-      else members.join(
-        s.read.parquet(idx.resolve("tombstones").toString)
-          .select(col("doc_id")), Seq("doc_id"), "left_anti")
-    alive.groupBy(col("band"), col("sig"))
-      .agg(min(col("doc_id")).as("canon"))
+    if (!hasTombs) members
+    else members.join(
+      s.read.parquet(idx.resolve("tombstones").toString)
+        .select(col(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** The tombstone-aware serve: surviving membership, then the usual
+    * min fold — RE-ELECTION is nothing extra, it IS the fold over the
+    * surviving members (a bucket whose canon died yields its next-min
+    * member; a bucket with no survivors vanishes, rows and all). */
+  private[graft] def tombstoneServedBuckets(s: SparkSession, dir: String)
+      : DataFrame =
+    aliveMembers(s, requireReady(t37IndexPath(s, dir)))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
 
   /** t37: takedown + re-election, served — build the membership
     * artifact, apply the deterministic takedown (every multi-member
@@ -1218,7 +1236,8 @@ object DedupOps {
     * and a LATER takedown starts a fresh tombstone generation against
     * the compacted membership. */
   private[graft] def compactTombstoneIndex(s: SparkSession,
-      out: java.nio.file.Path): Boolean = artifactLock(out).synchronized {
+      out: java.nio.file.Path, idCol: String = "doc_id")
+      : Boolean = artifactLock(out).synchronized {
     val tombs = out.resolve("tombstones")
     val hasTombs = Option(tombs.toFile.listFiles())
       .exists(_.exists(_.getName.startsWith("delete-")))
@@ -1227,9 +1246,8 @@ object DedupOps {
       val dst = out.resolve("members")
       val tmp = out.resolve("members_compact")
       s.read.parquet(dst.toString)
-        .join(s.read.parquet(tombs.toString).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
-        .select(col("band"), col("sig"), col("doc_id"))
+        .join(s.read.parquet(tombs.toString).select(col(idCol)),
+          Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(tmp.toString)
       val marker = out.resolve("_INDEX_READY")
       java.nio.file.Files.deleteIfExists(marker)
@@ -1895,7 +1913,17 @@ object DedupOps {
     * cosine pairs — ends at `p(vec_a, vec_b, cell, cos)`. The t9
     * oracle takes the global top-20 off it; the v15 kNN-graph oracle
     * directs the same pairs and windows per source. */
-  private[queries] lazy val nearDupPairsCtes: String = {
+  private[queries] lazy val nearDupPairsCtes: String =
+    nearDupPairsCtesWhere("TRUE")
+
+  /** The t9/v15 oracle chain with a membership predicate injected
+    * AFTER the learned assignment and BEFORE the bucket-size/sub-split
+    * computation — v21's oracle shape: the learned state (k, seeds,
+    * centroids) comes from the FULL corpus (frozen, exactly what the
+    * persisted index holds), while bucket sizes, sub-splits, pairs and
+    * ranks all see only the SURVIVING members — precisely what the
+    * engine's anti-join before [[cellBlockedPairs]] produces. */
+  private[queries] def nearDupPairsCtesWhere(memberWhere: String): String = {
     val kp =
       s"""kp AS (
          | SELECT least($NearDupKCap, greatest(8,
@@ -1919,7 +1947,7 @@ object DedupOps {
        | SELECT vec_id, cluster FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY d, cluster) AS rn
-       |  FROM $raw) WHERE rn <= $NearDupProbes),
+       |  FROM $raw) WHERE rn <= $NearDupProbes AND ($memberWhere)),
        |cs AS (SELECT cluster, count(*) AS cnt FROM probed GROUP BY 1),
        |cells AS (
        | SELECT a.vec_id, o.embedding, a.cluster,

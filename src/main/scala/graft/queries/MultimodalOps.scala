@@ -270,8 +270,11 @@ object MultimodalOps {
     * merge-associative, so append ≡ rebuild exactly. Idempotent: an
     * absorbed tranche yields an empty delta and no-ops. */
   private[graft] def appendMediaIndex(s: SparkSession, dir: String,
-      upTo: Long = Long.MaxValue): Long = {
-    val out = rwMediaIndexPath(s, dir)
+      upTo: Long = Long.MaxValue): Long =
+    appendMediaIndexAt(s, dir, rwMediaIndexPath(s, dir), upTo)
+
+  private[graft] def appendMediaIndexAt(s: SparkSession, dir: String,
+      out: java.nio.file.Path, upTo: Long): Long = {
     DedupOps.artifactLock(out).synchronized {
       val cut = DedupOps.cutOf(out)
       val delta = mediaTable(s, dir)
@@ -305,6 +308,109 @@ object MultimodalOps {
       .groupBy(col("ahash"))
       .agg(min(col("canon")).as("canon"))
       .orderBy(col("ahash"))
+  }
+
+  // ---------------- m10: media-index COMPACTION (t36's fold here)
+
+  /** m10's OWN artifact copy (m8 read-only / m9 rw / m10 compacted —
+    * the gates stay order-independent by never sharing a mutable
+    * artifact, t36's rule). */
+  private[graft] def m10IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_index_m10",
+      s"mediaindexm10:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** m10: COMPACT the living media index — build the base, absorb the
+    * delta (two `(ahash, canon)` generations on disk, the m9 state),
+    * then fold them into one fresh generation and drop the `append-*`
+    * files via [[DedupOps.compactArtifact]] (min per hash — the same
+    * merge the serve path applies on read, materialized once). With
+    * t36 (band index) and q37/q38 (partials), every append family now
+    * has its compaction path. Gated by m9's oracle UNCHANGED;
+    * serve-before ≡ serve-after and the generation drop pinned in
+    * PartialsCompactSpec. */
+  def mediaIndexCompactServe(s: SparkSession, dir: String): DataFrame = {
+    val out = m10IndexPath(s, dir)
+    buildMediaIndexAt(s, dir, out)
+    appendMediaIndexAt(s, dir, out, Long.MaxValue)
+    DedupOps.compactArtifact(s, out)(
+      _.groupBy(col("ahash")).agg(min(col("canon")).as("canon")))
+    s.read.parquet(DedupOps.requireReady(out).resolve("buckets").toString)
+      .groupBy(col("ahash"))
+      .agg(min(col("canon")).as("canon"))
+      .orderBy(col("ahash"))
+  }
+
+  // ---------------- m11: media-index DELETION (t37's tombstones here)
+
+  /** Where m11's MEMBERSHIP media-hash index lives. Like the band
+    * index (t37), the folded `(ahash, canon)` relation m8/m9/m10
+    * serve is not invertible — a takedown of a canon would leave it
+    * pointing at a ghost, and re-deriving the next-min needs the
+    * payload bytes an erasure request means you no longer hold. The
+    * deletable media index persists membership `(ahash, doc_id)`
+    * unfolded instead; for the mostly-singleton hash distribution the
+    * row count is nearly the folded relation's — only duplicated
+    * payloads add rows (the invertibility premium, measured for the
+    * band family in BASELINE.md). */
+  private[graft] def m11IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_members_m11",
+      s"mediamembers:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** BUILD the media membership artifact: every doc's perceptual
+    * hash, unfolded — one `(ahash, doc_id)` row per doc, the relation
+    * every later takedown anti-joins against. Nonce-marker
+    * idempotent. */
+  private[graft] def buildMediaMembers(s: SparkSession, dir: String): String = {
+    val out = m11IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      mediaAhashOf(mediaTable(s, dir)
+          .select(col("doc_id"), col("payload")))
+        .select(col("ahash"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+  }
+
+  /** m11's deterministic takedown list (production receives it from
+    * outside): every canon of a multi-member hash bucket — the worst
+    * case, each forcing a re-election. Index-only; the corpus and the
+    * payload bytes are never touched. */
+  private def m11TakedownSet(members: DataFrame): DataFrame =
+    members.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id")).distinct()
+
+  /** The tombstone-aware media serve: surviving membership, min fold
+    * — re-election IS the fold (t37's rule on the hash shelf). */
+  private[graft] def mediaTombstoneServed(s: SparkSession, dir: String)
+      : DataFrame =
+    DedupOps.aliveMembers(s, DedupOps.requireReady(m11IndexPath(s, dir)))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+
+  /** m11: DELETION from the media index — build the membership
+    * artifact, apply the deterministic takedown through the SHARED
+    * [[DedupOps.applyTakedown]] mechanics (O(deleted) tombstone
+    * write, `_TAKEDOWN` once-per-artifact, marker-last), serve the
+    * re-elected `(ahash, canon)` relation. Oracle = the rebuild over
+    * corpus-minus-deleted: dropping a doc's membership row is exactly
+    * what re-hashing the corpus without it would produce (the decode
+    * is per-doc). [[DedupOps.compactTombstoneIndex]] folds the
+    * tombstones in; re-election + compaction pinned in
+    * TombstoneSpec. */
+  def mediaTombstoneReelect(s: SparkSession, dir: String): DataFrame = {
+    stageMediaTombstones(s, dir)
+    mediaTombstoneServed(s, dir).orderBy(col("ahash"))
+  }
+
+  /** m11's maintenance path alone (build + takedown), exposed for the
+    * bench pre-stager: the timed reps measure the tombstone-aware
+    * serve. */
+  private[graft] def stageMediaTombstones(s: SparkSession, dir: String): Unit = {
+    buildMediaMembers(s, dir)
+    DedupOps.applyTakedown(s, m11IndexPath(s, dir))(m11TakedownSet)
   }
 
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -372,7 +478,9 @@ object MultimodalOps {
     "m3_media_resize" -> (mediaResize _),
     "m4_frame_sample" -> (frameSample _),
     "m8_media_index_probe" -> (mediaIndexProbe _),
-    "m9_media_index_append" -> (mediaIndexAppendServe _))
+    "m9_media_index_append" -> (mediaIndexAppendServe _),
+    "m10_media_index_compact" -> (mediaIndexCompactServe _),
+    "m11_media_tombstone_reelect" -> (mediaTombstoneReelect _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -418,6 +526,23 @@ object MultimodalOps {
       s"""WITH $ahashCtes
          |SELECT ahash, min(doc_id) AS canon
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction must be invisible in the result — m10 is gated by
+    // the same from-scratch rebuild as the append family it folds
+    "m10_media_index_compact" ->
+      s"""WITH $ahashCtes
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m11: the rebuild over corpus-minus-deleted, deleted = every
+    // multi-member hash bucket's canon (t37's worst case on this
+    // shelf — each takedown forces a re-election)
+    "m11_media_tombstone_reelect" ->
+      s"""WITH $ahashCtes,
+         |dels AS (
+         | SELECT min(doc_id) AS doc_id FROM a
+         | GROUP BY ahash HAVING count(*) >= 2)
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m5_phash_dedup" -> {
       s"""WITH $ahashCtes,
          |g AS (

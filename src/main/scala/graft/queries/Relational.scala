@@ -1059,6 +1059,176 @@ object Relational {
   def q36SketchAppend(s: SparkSession, dir: String): DataFrame =
     q34Audit(s, dir, q36MergedEstimates(s, dir))
 
+  // ----------- q37/q38: partials COMPACTION (t36's fold on the
+  // maintenance shelf) + q39: RETRACTION (the sum family's deletion)
+
+  /** The per-key re-fold that compacts a family's partials relation:
+    * partial-merge associativity — the property q33/q34 chose their
+    * partials FOR — is exactly what makes the fold semantics-free, so
+    * one (event_type) group of the generation pile replaces N
+    * generations of per-key rows with one. */
+  private def q35Fold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("pn"), sum(col("pc")).as("pc"))
+
+  private def q36Fold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Build + append a family's OWN artifact copy (two generations on
+    * disk — the q35 state), then COMPACT it: the merge-folded
+    * partials rewrite as one fresh generation and the `append-*`
+    * files drop, under [[DedupOps.compactArtifact]]'s marker-last +
+    * per-path-lock contract. `_CUT` untouched — appends resume on the
+    * compacted base where they left off. */
+  private def buildAppendCompact(s: SparkSession, dir: String,
+      fam: String)(partialOf: DataFrame => DataFrame)(
+      fold: DataFrame => DataFrame): java.nio.file.Path = {
+    buildRwPartials(s, dir, fam)(partialOf)
+    appendPartials(s, dir, fam)(partialOf)
+    val out = rwPartialsPath(s, dir, fam)
+    DedupOps.compactArtifact(s, out, rel = "partials")(fold)
+    out
+  }
+
+  private[graft] def q37RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q37agg")
+
+  private[graft] def q37Append(s: SparkSession, dir: String,
+      upToNanos: Long = Long.MaxValue): Long = {
+    buildRwPartials(s, dir, "q37agg")(q33Partial)
+    appendPartials(s, dir, "q37agg", upToNanos)(q33Partial)
+  }
+
+  private[graft] def q37Compact(s: SparkSession, dir: String): Boolean =
+    DedupOps.compactArtifact(s, q37RwPath(s, dir), rel = "partials")(q35Fold)
+
+  /** q37: COMPACT the sum-partials artifact — t36's LSM major
+    * compaction on the maintenance shelf. q35 keeps the living
+    * aggregate O(batch) per refresh, but its generations accumulate:
+    * after N nightly batches every merge re-reads N per-key partial
+    * rows per key and the relation holds N part-file generations. The
+    * compaction folds them to one row per key in one tiny
+    * relation-sized job (the partials relation is O(keys), NOT
+    * O(corpus) — this is the cheapest compaction in the engine), and
+    * is semantics-free because integer-cent sums are associative:
+    * gated by q33's full-table oracle UNCHANGED, serve-before ≡
+    * serve-after pinned in PartialsCompactSpec. Idempotent: a
+    * compacted artifact no-ops (no append generation). */
+  def q37PartialsCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = buildAppendCompact(s, dir, "q37agg")(q33Partial)(q35Fold)
+    q33Merge(s.read.parquet(DedupOps.requireReady(out)
+      .resolve("partials").toString))
+  }
+
+  private[graft] def q38RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q38hll")
+
+  /** The q38 maintenance path alone (exposed for SketchGateSpec's
+    * estimate-identity pin against [[q36MergedEstimates]]). */
+  private[graft] def q38CompactedEstimates(s: SparkSession, dir: String)
+      : DataFrame = {
+    val out = buildAppendCompact(s, dir, "q38hll")(q34Sketch)(q36Fold)
+    q34Estimate(s.read.parquet(DedupOps.requireReady(out)
+      .resolve("partials").toString))
+  }
+
+  /** q38: COMPACT the HLL-partials artifact — q37's dual on the
+    * sketch shelf. The fold is one `hll_union_agg` per key:
+    * DataSketches HLL union is a per-register max, associative and
+    * idempotent, so folding N generations' sketches into one changes
+    * NO estimate — union-of-unions ≡ one union ≡ single-pass
+    * sketching (the q34/q36 exactness chain, extended one fold
+    * deeper; estimate identity pinned in SketchGateSpec). Gated by
+    * q34's oracle + in-bound audit unchanged. */
+  def q38SketchCompact(s: SparkSession, dir: String): DataFrame =
+    q34Audit(s, dir, q38CompactedEstimates(s, dir))
+
+  private[graft] def q39RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q39agg")
+
+  /** q37's fold applied to q39's artifact: compaction nets the
+    * retract-* generation's negative mass into the base — a
+    * fully-retracted key survives as an explicit (pn = 0, pc = 0)
+    * row, which is why the serve's `n_events > 0` filter is part of
+    * the family's read contract, not a pre-compaction nicety
+    * (pinned in PartialsCompactSpec). */
+  private[graft] def q39Compact(s: SparkSession, dir: String): Boolean =
+    DedupOps.compactArtifact(s, q39RwPath(s, dir), rel = "partials")(q35Fold)
+
+  /** q39's deterministic retraction window over the event-time span:
+    * `(lo + 2/5·span, lo + 3/5·span]` in epoch NANOS, pure Long
+    * arithmetic — the oracle computes the identical bounds with
+    * DuckDB's `epoch_ns` + integer `//`, so both sides classify every
+    * event identically at full nanosecond precision regardless of the
+    * parquet encoding (micros values compare exactly through
+    * [[tsCutLit]]'s DIV-1000 argument). In production the window is
+    * an INPUT (the known-bad ingest span being corrected); the
+    * min/max derivation here exists only to make the fixture's window
+    * reproducible inside static oracle SQL. */
+  private def q39Window(s: SparkSession, dir: String): (Long, Long) = {
+    val Array(lo, hi) = t(s, dir, "events")
+      .agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+  }
+
+  /** Apply the retraction ONCE per artifact: scan ONLY the bad window
+    * (both bounds pushed to the parquet scan), fold it through the
+    * SAME per-key partial, NEGATE, and commit as a `retract-*`
+    * generation at the unchanged watermark. The serve path needs no
+    * new code — sum-merge nets the negative mass out, which is the
+    * point: unlike min (t37's re-election machinery) or HLL union
+    * (strictly monotone — a sketch cannot forget; retraction there
+    * means re-sketching the surviving tranche, q34's documented
+    * trade), SUM IS INVERTIBLE, so the relational family's deletion
+    * is an O(retracted-window) append rather than an O(corpus)
+    * rebuild or an O(members) membership index. Marker-file
+    * idempotent under the artifact lock; a crash between the commit
+    * and the marker retries the commit, which [[DedupOps
+    * .commitArtifactAppend]] makes exact by clearing the retry's own
+    * `retract-<cut>-*` generation first. */
+  private[graft] def q39Retract(s: SparkSession, dir: String): Unit = {
+    buildRwPartials(s, dir, "q39agg")(q33Partial)
+    appendPartials(s, dir, "q39agg")(q33Partial)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = q39RwPath(s, dir)
+    DedupOps.artifactLock(out).synchronized {
+      val marker = out.resolve("_RETRACTED")
+      if (!java.nio.file.Files.exists(marker)) {
+        val (a, b) = q39Window(s, dir)
+        val window = raw.filter(col("ts") > tsCutLit(raw, a) &&
+          col("ts") <= tsCutLit(raw, b))
+        val tmp = out.resolve("partials_retract")
+        q33Partial(window)
+          .select(col("event_type"), (-col("pn")).as("pn"),
+            (-col("pc")).as("pc"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+          rel = "partials", kind = "retract")
+        java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+        ()
+      }
+    }
+  }
+
+  /** q39: RETRACTION from the living aggregate — a bad ingest window
+    * is corrected by appending its NEGATED partials, and the ordinary
+    * merge-on-read serves the aggregate as if the window never
+    * happened. Gated against the oracle computing q33's statistics
+    * over the corpus MINUS the window. A key whose every event fell
+    * inside the window nets to a zero count and drops from the
+    * result (SQL semantics: a group with no surviving rows does not
+    * exist) — the `n_events > 0` filter, pinned on a crafted corpus
+    * in PartialsCompactSpec. Compaction (q37's fold) later nets the
+    * negative generation into the base for free. */
+  def q39AggRetract(s: SparkSession, dir: String): DataFrame = {
+    q39Retract(s, dir)
+    q33Merge(s.read.parquet(DedupOps.requireReady(q39RwPath(s, dir))
+      .resolve("partials").toString))
+      .filter(col("n_events") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
@@ -1066,6 +1236,9 @@ object Relational {
     "q34_incremental_distinct" -> (q34IncrementalDistinct _),
     "q35_agg_append" -> (q35AggAppend _),
     "q36_sketch_append" -> (q36SketchAppend _),
+    "q37_partials_compact" -> (q37PartialsCompact _),
+    "q38_sketch_compact" -> (q38SketchCompact _),
+    "q39_agg_retract" -> (q39AggRetract _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -1251,6 +1424,26 @@ object Relational {
     // formulations alike (the t33/t13 shared-oracle pattern)
     "q35_agg_append" -> q33Oracle,
     "q36_sketch_append" -> q34Oracle,
+    // compaction must be invisible in the result: q37/q38 are gated
+    // by the SAME full-table oracles as the append families they fold
+    "q37_partials_compact" -> q33Oracle,
+    "q38_sketch_compact" -> q34Oracle,
+    // q39: q33's statistics over the corpus MINUS the retracted
+    // window. Bounds in epoch NANOS with integer `//` division —
+    // bit-for-bit the engine's Long arithmetic (q39Window), and
+    // epoch_ns matches Tables' nanos normalization for BOTH shipped
+    // ts encodings (micros × 1000 is exact)
+    "q39_agg_retract" ->
+      """WITH b AS (
+        | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 2) AS sum_value
+        |FROM events, b
+        |WHERE NOT (epoch_ns(ts) > lo + ((hi - lo) * 2) // 5
+        |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

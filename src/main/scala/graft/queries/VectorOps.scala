@@ -846,7 +846,7 @@ object VectorOps {
   /** The shared v15/v19 tail: direct each undirected within-cell pair
     * both ways and keep the top-3 per SOURCE vector (cardinality n —
     * full reducer parallelism, no per-query hotspot). */
-  private def knnDirectedTop3(pairsIn: DataFrame): DataFrame = {
+  private[queries] def knnDirectedTop3(pairsIn: DataFrame): DataFrame = {
     val pairs = pairsIn.select(col("vec_a"), col("vec_b"), col("cos"))
     val directed = pairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
@@ -899,6 +899,75 @@ object VectorOps {
     val (assigned, _) = DedupOps.nearDupSplitAssign(s, dir)
     knnDirectedTop3(DedupOps.cellBlockedPairs(
       assigned, DedupOps.NearDupCellCap))
+  }
+
+  // ------------- v21: vector FORGET (t37's tombstones on the kNN shelf)
+
+  /** v21's deterministic erasure batch: every 13th vector — a
+    * "random" GDPR/takedown slice, index-derivable (production
+    * receives the list from outside) and SQL-expressible so the
+    * oracle can model it. ~7.7 % of the corpus, dense enough that
+    * many survivors lose a top-3 neighbor and must re-rank. */
+  private[graft] val V21ForgetMod = 13L
+
+  /** Where v21's membership vector index lives — its OWN copy of the
+    * v19 `assign` inverted file (the rw-family rule: v19's read-only
+    * artifact must stay untouched so the gates are
+    * order-independent). The assign relation is ALREADY unfolded —
+    * one (cluster, vec_id, embedding) row per probe — so unlike the
+    * folded band/media indexes (t37/m11 pay a membership premium for
+    * invertibility), the vector index is invertible for free:
+    * deletion needs no new state, only tombstones. */
+  private[graft] def v21IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("vec_members_v21",
+      s"vecmembers:$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}")
+
+  private[graft] def buildVecMembers(s: SparkSession, dir: String): String = {
+    val out = v21IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val idx = DedupOps.buildNearDupIndex(s, dir)
+      s.read.parquet(s"$idx/assign")
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+  }
+
+  private def v21ForgetSet(members: DataFrame): DataFrame =
+    members.filter(col("vec_id") % V21ForgetMod === 0)
+      .select(col("vec_id")).distinct()
+
+  /** v21: FORGET vectors from the living kNN index — tombstone the
+    * erasure batch through the SHARED [[DedupOps.applyTakedown]]
+    * mechanics (O(deleted) write, `_TAKEDOWN` once-per-artifact,
+    * marker-last), then serve the graph over the SURVIVING members:
+    * one anti-join before the identical within-cell pair join +
+    * directed top-3 tail. Re-election here is RE-RANKING — a survivor
+    * whose top-3 neighbor was forgotten pulls up its next-best
+    * within-cell candidate, which falls out of the existing
+    * row_number tail over the shrunken candidate set. The learned
+    * state (cells) stays FROZEN — v20's maintenance rule: forgetting
+    * a member must not relearn the quantizer — so the oracle runs the
+    * full-corpus Lloyd chain and filters membership AFTER assignment,
+    * exactly the engine's dataflow ([[DedupOps
+    * .nearDupPairsCtesWhere]]). Bucket sub-splits recompute over
+    * survivors on both sides. Compaction
+    * ([[DedupOps.compactTombstoneIndex]]) folds the tombstones into
+    * the members; re-rank + compaction pinned in TombstoneSpec. */
+  def vectorForget(s: SparkSession, dir: String): DataFrame = {
+    stageVectorForget(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      DedupOps.aliveMembers(s,
+        DedupOps.requireReady(v21IndexPath(s, dir)), idCol = "vec_id"),
+      DedupOps.NearDupCellCap))
+  }
+
+  /** v21's maintenance path alone (members copy + forget tombstones),
+    * exposed for the bench pre-stager: the timed reps measure the
+    * surviving-members graph serve. */
+  private[graft] def stageVectorForget(s: SparkSession, dir: String): Unit = {
+    graft.functions.VectorDotProduct.register(s)
+    buildVecMembers(s, dir)
+    DedupOps.applyTakedown(s, v21IndexPath(s, dir))(v21ForgetSet)
   }
 
   private lazy val knnGraphScaledOracle: String =
@@ -1591,7 +1660,8 @@ object VectorOps {
     "v17_ann_index_load" -> (annIndexServe _),
     "v18_int8_rerank" -> (annInt8Rerank _),
     "v19_knn_index_load" -> (knnGraphServe _),
-    "v20_knn_delta_append" -> (knnGraphDeltaAppend _))
+    "v20_knn_delta_append" -> (knnGraphDeltaAppend _),
+    "v21_vector_forget" -> (vectorForget _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1691,7 +1761,25 @@ object VectorOps {
     // BASE tranche only, a separate final probe assigns ALL vectors —
     // a hash match proves no relearn happened on the delta
     "v20_knn_delta_append" -> knnDeltaOracle,
+    "v21_vector_forget" -> v21ForgetOracle,
     "v16_range_search" -> rangeSearchOracle)
+
+  /** v21's oracle: the v15 chain with the forgotten slice filtered
+    * out AFTER the (full-corpus, frozen) learned assignment — cell
+    * sizes, sub-splits, pairs and ranks all computed over survivors,
+    * the engine's exact dataflow. */
+  private lazy val v21ForgetOracle: String =
+    s"""${DedupOps.nearDupPairsCtesWhere(s"vec_id % $V21ForgetMod <> 0")},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
 
   private lazy val knnDeltaOracle: String =
     s"""${DedupOps.nearDupDeltaPairsCtes},

@@ -1,0 +1,163 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The maintenance shelf's compaction + retraction contracts.
+  *
+  * q37/q38 (t36's fold on the partials families): compaction must be
+  * INVISIBLE in the result — sum and HLL-union partials are
+  * merge-associative, so folding N generations into one changes no
+  * aggregate and no estimate — while the READ side collapses to a
+  * single `compact-*` generation with `_CUT` untouched and a second
+  * compaction a no-op.
+  *
+  * q39 (retraction — the sum family's deletion): SUM IS INVERTIBLE,
+  * so retracting a bad ingest window is an O(window) `retract-*`
+  * append of NEGATED partials, and the ordinary merge-on-read nets it
+  * out. A key whose every event fell inside the window nets to zero
+  * and must DROP (a group with no surviving rows does not exist);
+  * compaction folds the negative generation into the base, leaving an
+  * explicit (0, 0) row the serve filter still hides — the filter is
+  * the read contract, not a transient.
+  */
+class PartialsCompactSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def generationKinds(p: java.nio.file.Path): Set[String] =
+    p.toFile.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.takeWhile(_ != '-')).toSet
+
+  test("q37 compaction is invisible: serve equals the full-table aggregate; generations fold to one; _CUT untouched") {
+    val served = Relational.q37PartialsCompact(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val expected = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("cents")).cast("double") / 100d, 2).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === expected)
+    val out = Relational.q37RwPath(spark, dir)
+    // the append-* generation is gone; ONLY the compacted one remains
+    assert(generationKinds(out.resolve("partials")) === Set("compact"))
+    // _CUT is a watermark, not a layout property: compaction leaves it
+    // at the corpus max, so appends resume where they left off
+    val hi = Tables(spark, dir, "events")
+      .agg(max(col("ts"))).head().getLong(0)
+    assert(new String(Files.readAllBytes(out.resolve("_CUT")), "UTF-8")
+      .trim.toLong === hi)
+    // a converged (already-compacted) artifact must not be rewritten
+    assert(!Relational.q37Compact(spark, dir),
+      "compaction of a single-generation artifact must no-op")
+  }
+
+  test("q38 compaction changes no estimate: compacted equals appended-merged bit-identically") {
+    val compacted = Relational.q38CompactedEstimates(spark, dir)
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toVector).toSeq
+    // the q36 family keeps its own (uncompacted, two-generation)
+    // artifact: union-of-unions ≡ one union per key, so the folded
+    // sketches estimate EXACTLY what the generation pile does
+    val appended = Relational.q36MergedEstimates(spark, dir)
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(compacted === appended)
+    assert(generationKinds(
+      Relational.q38RwPath(spark, dir).resolve("partials")) ===
+      Set("compact"))
+  }
+
+  test("q39 retraction serves the corpus minus the window; the retract generation lands beside the appends") {
+    val served = Relational.q39AggRetract(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val ev = Tables(spark, dir, "events")
+    val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (a, b) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+    val expected = ev
+      .filter(!(col("ts") > lit(a) && col("ts") <= lit(b)))
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("cents")).cast("double") / 100d, 2).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === expected)
+    val out = Relational.q39RwPath(spark, dir)
+    val kinds = generationKinds(out.resolve("partials"))
+    assert(kinds.contains("retract"), s"retract generation missing: $kinds")
+    assert(Files.exists(out.resolve("_RETRACTED")))
+    // idempotent: a second serve re-retracts nothing — same files
+    val names0 = out.resolve("partials").toFile.listFiles()
+      .map(_.getName).toSet
+    val again = Relational.q39AggRetract(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(again === served)
+    assert(out.resolve("partials").toFile.listFiles()
+      .map(_.getName).toSet === names0,
+      "a second retraction must not write a new generation")
+  }
+
+  test("q39 ghost-key pin: a fully-retracted key drops; compaction folds the negative mass to an explicit zero row") {
+    // crafted corpus in BIGINT-nanos ts: span 10 s, window (4 s, 6 s].
+    // "ghost" lives ENTIRELY inside the window (one event in the base
+    // tranche, one in the appended tranche — the retraction must net
+    // across generations); "mixed" straddles it; "keep" never enters.
+    val tmp = Files.createTempDirectory("q39_spec_").toString
+    import spark.implicits._
+    val lo = 1_000_000_000_000_000L
+    def at(sec: Double): Long = lo + (sec * 1e9).toLong
+    Seq(
+      (at(0.0), "keep", 1.00), (at(10.0), "keep", 2.00),
+      (at(4.4), "ghost", 5.00), (at(5.5), "ghost", 7.00),
+      (at(1.0), "mixed", 4.00), (at(5.0), "mixed", 3.00),
+      (at(9.0), "mixed", 6.00))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val served = Relational.q39AggRetract(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === Seq(
+      Vector("keep", 2L, 3.00),
+      Vector("mixed", 2L, 10.00)),
+      s"ghost must drop entirely, mixed must keep only its out-of-window events: $served")
+    // compaction nets the retract-* generation into the base …
+    assert(Relational.q39Compact(spark, tmp))
+    val out = Relational.q39RwPath(spark, tmp)
+    assert(generationKinds(out.resolve("partials")) === Set("compact"))
+    // … leaving the fully-retracted key as an explicit zero row in the
+    // folded partials — the serve's n_events > 0 filter is what hides
+    // it, before AND after compaction
+    val ghostRow = spark.read
+      .parquet(out.resolve("partials").toString)
+      .filter(col("event_type") === "ghost")
+      .collect()
+    assert(ghostRow.length === 1 &&
+      ghostRow.head.getAs[Long]("pn") === 0L &&
+      ghostRow.head.getAs[Long]("pc") === 0L,
+      "the folded base must carry the netted-to-zero key explicitly")
+    val afterCompact = Relational.q39AggRetract(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(afterCompact === served,
+      "compaction must be invisible through the retraction serve")
+  }
+
+  test("m10 media-index compaction serves m9's result from a single generation") {
+    val compacted = MultimodalOps.mediaIndexCompactServe(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val appended = MultimodalOps.mediaIndexAppendServe(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(compacted === appended)
+    assert(generationKinds(
+      MultimodalOps.m10IndexPath(spark, dir).resolve("buckets")) ===
+      Set("compact"))
+  }
+}

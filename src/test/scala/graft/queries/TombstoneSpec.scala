@@ -109,6 +109,74 @@ class TombstoneSpec extends SparkSpec {
       s"serve must never re-scan the corpus:\n$plan")
   }
 
+  test("m11 takedown re-elects on the media shelf via the shared machinery") {
+    val dir = craft()
+    // identical text ⇒ identical synthesized payload ⇒ identical
+    // ahash: bucket {1, 100}'s canon 1 is taken down, 100 re-elects
+    val served = MultimodalOps.mediaTombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    val canons = served.map(_(1).asInstanceOf[Long])
+    assert(!canons.contains(1L), "the taken-down canon must be gone")
+    assert(canons.contains(100L), "the next-min twin must be re-elected")
+    // deletion ≡ re-hashing the corpus without the deleted doc
+    val rebuild = MultimodalOps.mediaAhashOf(
+        MultimodalOps.mediaTable(spark, dir)
+          .filter(col("doc_id") =!= 1L)
+          .select(col("doc_id"), col("payload")))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === rebuild)
+    // compaction folds the tombstones in; the serve plans no anti-join
+    val idx = MultimodalOps.m11IndexPath(spark, dir)
+    assert(DedupOps.compactTombstoneIndex(spark, idx))
+    val after = MultimodalOps.mediaTombstoneReelect(spark, dir)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(after === served)
+    assert(!MultimodalOps.mediaTombstoneServed(spark, dir)
+      .queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("v21 forget re-ranks survivors and never serves a forgotten vector") {
+    val dir = "/root/testdata/sf0.001"
+    // the artifact is fingerprint-keyed and persists across test
+    // runs; a prior run's compaction would have folded the tombstones
+    // this test pins — start from a fresh lifecycle
+    DedupOps.deleteRecursively(VectorOps.v21IndexPath(spark, dir).toFile)
+    val served = VectorOps.vectorForget(spark, dir).collect()
+    // no forgotten vec appears on either side of the graph
+    assert(served.forall(r => r.getAs[Long]("src") % 13L != 0 &&
+      r.getAs[Long]("dst") % 13L != 0))
+    // serve ≡ the graph over the surviving members of the SAME frozen
+    // assignment (cells never relearn on a forget)
+    val idx = DedupOps.buildNearDupIndex(spark, dir)
+    val expected = VectorOps.knnDirectedTop3(DedupOps.cellBlockedPairs(
+        spark.read.parquet(s"$idx/assign")
+          .filter(col("vec_id") % 13L =!= 0),
+        DedupOps.NearDupCellCap))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served.map(_.toSeq.toVector).toSeq === expected)
+    // re-election here is RE-RANKING: at least one survivor whose
+    // top-1 neighbor was forgotten must pull up its next-best
+    val v19 = VectorOps.knnGraphServe(spark, dir).collect()
+    val before = v19.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst")).toMap
+    val afterTop = served.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst")).toMap
+    val reranked = afterTop.exists { case (src, dst) =>
+      before.get(src).exists(d0 => d0 % 13L == 0 && d0 != dst)
+    }
+    assert(reranked,
+      "some survivor must have lost its rank-1 neighbor and re-ranked")
+    // compaction folds the tombstones in, serve unchanged, no anti-join
+    val out = VectorOps.v21IndexPath(spark, dir)
+    assert(DedupOps.compactTombstoneIndex(spark, out, idCol = "vec_id"))
+    val after = VectorOps.vectorForget(spark, dir)
+    assert(after.collect().map(_.toSeq.toVector).toSeq === expected)
+    assert(!after.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
   test("t37 is idempotent across serves and crash-safe at the takedown window") {
     val dir = craft()
     DedupOps.tombstoneReelect(spark, dir).collect()
