@@ -1102,6 +1102,52 @@ object ScaleDemo {
         }
         println(s"SCALE v19 served edges: $servedEdges (expect $edges)")
       }
+      // v21: deletion economics on the vector shelf — the assign
+      // relation is already unfolded, so forgetting is tombstones
+      // alone (no membership premium): measure the members copy, the
+      // O(deleted) forget write, the surviving-members graph serve
+      // (re-election = re-ranking), and the compaction fold. The
+      // comparator is what deletion would cost WITHOUT the frozen
+      // cells: relearning the quantizer — the cold v15 cascade
+      // measured at the top of this phase.
+      locally {
+        val out = queries.VectorOps.v21IndexPath(spark, docsDir.toString)
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(out.toFile)
+        time(s"v21 members copy (the v19 assign relation, re-persisted)") {
+          queries.VectorOps.buildVecMembers(spark, docsDir.toString)
+        }
+        spark.catalog.clearCache()
+        time("v21 FORGET (derive + write tombstones, index-local)") {
+          queries.VectorOps.stageVectorForget(spark, docsDir.toString)
+        }
+        locally {
+          val tombBytes = Option(out.resolve("tombstones").toFile
+            .listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+          println(s"SCALE v21 tombstones ${tombBytes.map(_.length).sum} B " +
+            s"(${tombBytes.size} files)")
+        }
+        spark.catalog.clearCache()
+        var fEdges = 0L
+        time("v21 surviving-members graph serve (anti-join + re-rank)") {
+          fEdges = queries.VectorOps
+            .vectorForget(spark, docsDir.toString).count()
+        }
+        println(s"SCALE v21 served edges over survivors: $fEdges " +
+          s"(v19 full graph: $edges)")
+        spark.catalog.clearCache()
+        time("v21 COMPACT (fold tombstones into the members)") {
+          queries.DedupOps.compactTombstoneIndex(spark, out,
+            idCol = "vec_id")
+        }
+        spark.catalog.clearCache()
+        time("v21 serve after compaction (plain members scan)") {
+          noop(queries.VectorOps.vectorForget(spark, docsDir.toString))
+        }
+      }
     }
     }
 

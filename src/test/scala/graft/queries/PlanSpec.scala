@@ -374,6 +374,30 @@ class PlanSpec extends SparkSpec {
       "both scans must read the bucketed layout")
   }
 
+  test("q37/q38/q39/m11/v21: lifecycle serves are artifact-only — the corpus never rejoins the plan") {
+    // compaction and retraction change the artifact's READ side; the
+    // published result must still come from the artifact alone (the
+    // build/append/compact/retract side effects are maintenance-time,
+    // not part of the served plan)
+    for ((q, art, corpus) <- Seq(
+        ("q37_partials_compact", "q37agg_rw", "events.parquet"),
+        ("q39_agg_retract", "q39agg_rw", "events.parquet"),
+        ("m11_media_tombstone_reelect", "media_members_m11",
+          "documents.parquet"),
+        ("v21_vector_forget", "vec_members_v21", "embeddings.parquet"))) {
+      val p = plan(q)
+      assert(p.contains(art), s"$q must read its persisted artifact:\n$p")
+      assert(!p.contains(corpus), s"$q must never re-scan the corpus:\n$p")
+    }
+    // q38's GATE joins the exact full-table audit comparator (the t32
+    // pattern), so the corpus-free pin applies to its maintenance
+    // subplan alone
+    val m = Relational.q38CompactedEstimates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(m.contains("q38hll_rw") && !m.contains("events.parquet"),
+      s"q38's maintenance path must be artifact-only:\n$m")
+  }
+
   test("q33: the incremental query scans ONLY the delta — cut pushed down, no bounds re-scan") {
     // the cut point is maintenance state read from the history
     // artifact, so the events scan must carry the pushed ts > cut
