@@ -831,10 +831,23 @@ object DedupOps {
     * retraction commits NEGATED partials at the UNCHANGED watermark,
     * so its `retract-<cut>-NNN` files must not collide with (or be
     * cleared as a presumed crashed retry of) the `append-<cut>-NNN`
-    * generation the same watermark already owns. */
+    * generation the same watermark already owns.
+    *
+    * `beforeReady` runs INSIDE the mutation window — after `_CUT`,
+    * before the nonce re-stamp — for callers that must persist a
+    * family marker atomically with the commit (q39's `_RETRACTED`,
+    * q41's `_AGEOFF`): with the marker written post-commit there was
+    * a reachable state where the generation was committed-and-READY
+    * but the marker missing, and an intervening compaction folding
+    * the generation (or an append advancing `_CUT`) made the retry's
+    * own-generation clear match nothing — the negated partials then
+    * applied TWICE. Inside the window no such state exists: a crash
+    * anywhere before the nonce leaves a marker-less artifact that
+    * degrades to rebuild. */
   private[graft] def commitArtifactAppend(out: java.nio.file.Path,
       tmp: java.nio.file.Path, newCut: Long,
-      rel: String = "buckets", kind: String = "append"): Unit = {
+      rel: String = "buckets", kind: String = "append",
+      beforeReady: () => Unit = () => ()): Unit = {
     val marker = out.resolve("_INDEX_READY")
     java.nio.file.Files.deleteIfExists(marker)
     val dst = out.resolve(rel)
@@ -863,8 +876,10 @@ object DedupOps {
     deleteRecursively(tmp.toFile)
     java.nio.file.Files.write(out.resolve("_CUT"),
       newCut.toString.getBytes("UTF-8"))
+    beforeReady()
     java.nio.file.Files.write(marker,
       System.nanoTime().toString.getBytes("UTF-8"))
+    ()
   }
 
   /** APPEND the tranche `(_CUT, upTo]` into the rw band index and
@@ -1013,13 +1028,30 @@ object DedupOps {
       out: java.nio.file.Path, rel: String = "buckets")(
       merge: DataFrame => DataFrame): Boolean =
     artifactLock(out).synchronized {
+      // only a READY artifact compacts: a marker-less directory is
+      // mid-mutation (another process) or crash debris — folding it
+      // would bake half-committed state into the new base; rebuild
+      // owns that path. With family markers now written INSIDE the
+      // commit window ([[commitArtifactAppend]]'s beforeReady), a
+      // ready artifact can never hold a committed retract/age-off
+      // generation whose marker is missing — the interleave where
+      // compaction folded an unmarked retraction and the retry
+      // double-subtracted is unreachable.
+      requireReady(out)
       val dst = out.resolve(rel)
-      // retract-* generations (q39's negated partials) compact the
-      // same way appends do: the fold nets them against the mass they
-      // cancel, so the compacted base carries the retraction folded in
-      val hasAppends = Option(dst.toFile.listFiles())
-        .exists(_.exists(f => f.getName.startsWith("append-") ||
-          f.getName.startsWith("retract-")))
+      // retract*/ageoff* generations (q39/q41's negated partials)
+      // compact the same way appends do: the fold nets them against
+      // the mass they cancel, so the compacted base carries the
+      // retraction folded in. resketch-* generations (q40) do NOT
+      // fold — they REPLACE their keys' history and the read path
+      // prefers them; a flat fold would re-add the replaced rows.
+      val files = Option(dst.toFile.listFiles()).toSeq.flatten
+      require(!files.exists(_.getName.startsWith("resketch-")),
+        s"$out/$rel holds resketch-* generations: a flat fold would " +
+          "re-add the rows they replace — use the family's " +
+          "replacement-aware compaction (q40Compact)")
+      val hasAppends = files.exists(f => f.getName.startsWith("append-") ||
+        f.getName.startsWith("retract") || f.getName.startsWith("ageoff"))
       if (!hasAppends) false
       else {
         val cut = cutOf(out)
@@ -1108,8 +1140,11 @@ object DedupOps {
     * unfolded — one `(band, sig, doc_id)` row per doc per band, the
     * relation every later takedown anti-joins against. Idempotent
     * under the nonce-marker contract. */
-  private[graft] def buildMembersIndex(s: SparkSession, dir: String): String = {
-    val out = t37IndexPath(s, dir)
+  private[graft] def buildMembersIndex(s: SparkSession, dir: String): String =
+    buildMembersIndexAt(s, dir, t37IndexPath(s, dir))
+
+  private[graft] def buildMembersIndexAt(s: SparkSession, dir: String,
+      out: java.nio.file.Path): String = {
     ensureArtifact(out) {
       bandedSignaturesOf(docs(s, dir))
         .select(col("band"), col("sig"), col("doc_id"))
@@ -1129,54 +1164,66 @@ object DedupOps {
       .filter(col("n") >= 2)
       .select(col("doc_id")).distinct()
 
-  /** Apply a takedown ONCE per membership artifact — the deletion
+  /** Apply a takedown ONCE per (artifact, `marker`) — the deletion
     * mechanics SHARED by every family that buys invertibility by
     * persisting membership unfolded (t37 band members, m11 media
-    * members, v21 vector members): derive the id list via
-    * `takedownOf` from the members relation ALONE (index-local — the
-    * corpus is never touched), land it as `delete-000-NNN.parquet`
-    * under `tombstones/` with the same marker-last discipline as
-    * every artifact mutation (the nonce is off across the window; a
-    * crash degrades to rebuild), and record `_TAKEDOWN` — which
-    * SURVIVES compaction (compaction folds the tombstone FILES away),
-    * so a compacted index doesn't silently re-derive a takedown
-    * against its own re-elected canons. O(deleted) at takedown time —
-    * the serve pays the anti-join. Idempotent: an applied takedown
-    * short-circuits; an EMPTY takedown mutates nothing (no marker
-    * window, no empty generation on disk). */
+    * members, v21 vector members) and by the policy verbs composed on
+    * top (t38's TTL age-off, t39's external erasure list, the s16
+    * stream's canon takedown): derive the id list via `takedownOf`
+    * from the `rel` relation ALONE (index-local — the corpus is never
+    * touched; `takedownOf` may also ignore its argument entirely and
+    * return an EXTERNAL id relation, t39's shape), land it as
+    * `delete-<gen>-NNN.parquet` under `tombstones/` with the same
+    * marker-last discipline as every artifact mutation (the nonce is
+    * off across the window; a crash degrades to rebuild), and record
+    * the `marker` file — which SURVIVES compaction (compaction folds
+    * the tombstone FILES away), so a compacted index doesn't silently
+    * re-derive a takedown against its own re-elected canons.
+    *
+    * `gen`/`marker` key the takedown GENERATION: age-off advances a
+    * horizon repeatedly, so each horizon gets its own marker
+    * (idempotent PER HORIZON, not per artifact) and its own
+    * `delete-<gen>-*` files next to earlier generations' — the
+    * applied-check is marker-only for exactly this reason (a
+    * files-exist check would make every horizon after the first a
+    * silent no-op; crash robustness needs no file check — a crash
+    * inside the window leaves a marker-less artifact that degrades to
+    * rebuild). O(deleted) at takedown time — the serve pays the
+    * anti-join. Idempotent: an applied takedown short-circuits; an
+    * EMPTY takedown writes its marker but mutates nothing (no nonce
+    * window, no empty generation on disk — t39's absent-id no-op). */
   private[graft] def applyTakedown(s: SparkSession,
-      out: java.nio.file.Path)(
+      out: java.nio.file.Path, rel: String = "members",
+      gen: String = "000", marker: String = "_TAKEDOWN")(
       takedownOf: DataFrame => DataFrame): Unit = {
     artifactLock(out).synchronized {
       val tombs = out.resolve("tombstones")
-      val done = out.resolve("_TAKEDOWN")
-      val applied = java.nio.file.Files.exists(done) ||
-        Option(tombs.toFile.listFiles())
-          .exists(_.exists(_.getName.startsWith("delete-")))
-      if (!applied) {
+      val done = out.resolve(marker)
+      if (!java.nio.file.Files.exists(done)) {
         val tmp = out.resolve("tombstones_tmp")
-        takedownOf(s.read.parquet(out.resolve("members").toString))
+        takedownOf(s.read.parquet(out.resolve(rel).toString))
           .write.mode("overwrite").parquet(tmp.toString)
         if (s.read.parquet(tmp.toString).isEmpty) {
           deleteRecursively(tmp.toFile)
           java.nio.file.Files.write(done, Array.emptyByteArray)
         } else {
-          val marker = out.resolve("_INDEX_READY")
-          java.nio.file.Files.deleteIfExists(marker)
+          val ready = out.resolve("_INDEX_READY")
+          java.nio.file.Files.deleteIfExists(ready)
           java.nio.file.Files.createDirectories(tombs)
           tmp.toFile.listFiles()
             .filter(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet"))
             .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
               java.nio.file.Files.move(f.toPath,
-                tombs.resolve(f"delete-000-$i%03d.parquet"),
+                tombs.resolve(f"delete-$gen%s-$i%03d.parquet"),
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
           deleteRecursively(tmp.toFile)
           java.nio.file.Files.write(done, Array.emptyByteArray)
-          java.nio.file.Files.write(marker,
+          java.nio.file.Files.write(ready,
             System.nanoTime().toString.getBytes("UTF-8"))
         }
+        ()
       }
     }
   }

@@ -1184,10 +1184,16 @@ object Relational {
     * trade), SUM IS INVERTIBLE, so the relational family's deletion
     * is an O(retracted-window) append rather than an O(corpus)
     * rebuild or an O(members) membership index. Marker-file
-    * idempotent under the artifact lock; a crash between the commit
-    * and the marker retries the commit, which [[DedupOps
-    * .commitArtifactAppend]] makes exact by clearing the retry's own
-    * `retract-<cut>-*` generation first. */
+    * idempotent under the artifact lock, with `_RETRACTED` written
+    * INSIDE the commit's mutation window (the `beforeReady` hook —
+    * after the generation lands, before the nonce re-stamps): there
+    * is no reachable state where the retraction is committed-and-
+    * ready but unmarked, so the interleave where a compaction folded
+    * the unmarked generation (or an append advanced `_CUT`) and the
+    * retry's own-generation clear matched nothing — silently
+    * double-subtracting the window — cannot occur. A crash inside
+    * the window leaves a marker-less artifact that degrades to
+    * rebuild ([[DedupOps.ensureArtifact]] wipes and re-derives). */
   private[graft] def q39Retract(s: SparkSession, dir: String): Unit = {
     buildRwPartials(s, dir, "q39agg")(q33Partial)
     appendPartials(s, dir, "q39agg")(q33Partial)
@@ -1205,9 +1211,10 @@ object Relational {
             (-col("pc")).as("pc"))
           .write.mode("overwrite").parquet(tmp.toString)
         DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
-          rel = "partials", kind = "retract")
-        java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
-        ()
+          rel = "partials", kind = "retract",
+          beforeReady = () => {
+            java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
+          })
       }
     }
   }

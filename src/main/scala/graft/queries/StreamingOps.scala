@@ -720,22 +720,89 @@ object StreamingOps {
     Seq("_CUT", "_INDEX_READY").foreach { n =>
       Files.copy(base.resolve(n), work.resolve(n))
     }
+    // the replay fence starts BEFORE any batch, carrying the base cut
+    // as the fenced watermark (see [[s16Fence]])
+    Files.write(work.resolve("_BATCH"),
+      s"-1 ${DedupOps.cutOf(base)}".getBytes("UTF-8"))
     work
   }
 
   private[graft] val lastS16Work =
     new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
 
-  /** The last committed micro-batch id, the working index's replay
-    * fence: `-1` before any batch commits. */
-  private def s16LastBatch(work: java.nio.file.Path): Long = {
-    val f = work.resolve("_BATCH")
-    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim.toLong
-    else -1L
+  /** The replay fence: `(last committed micro-batch id, the index cut
+    * AS OF that commit)`, written as one `"<batch> <cut>"` file.
+    * Carrying the FENCED CUT (not just the batch id) is what makes
+    * the restart repair possible: after a crash inside a commit,
+    * `_CUT` may already have run ahead of the fence, so "which bucket
+    * generations belong to a batch that never fenced" is answerable
+    * only from the fence's own record — any `append-<tag>-*` with
+    * `tag > fencedCut` is un-fenced debris ([[s16ProcessBatch]]
+    * step 0). `(-1, baseCut)` before any batch commits. */
+  private def s16Fence(work: java.nio.file.Path): (Long, Long) = {
+    val parts = new String(Files.readAllBytes(work.resolve("_BATCH")),
+      "UTF-8").trim.split("\\s+")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** The working index's bucket relation as the PROBE sees it:
+    * every generation's rows read RAW, minus tombstoned canons when a
+    * takedown landed between batches ([[s16Takedown]]). The raw read
+    * deliberately skips a min(canon) pre-fold per (band, sig): the
+    * downstream per-doc `groupBy(doc_id).agg(min(...))` composes with
+    * min's associativity, so folding here would only add a shuffle —
+    * but that shape is CORRECT ONLY FOR ASSOCIATIVE-IDEMPOTENT merges
+    * like min; a future family with a non-associative flag rule must
+    * pre-fold the generations before the probe join, not copy this.
+    * The tombstone anti-join exists for the deletion composition: a
+    * mid-stream takedown of an absorbed batch's canon must make later
+    * batches flag against the RE-ELECTED canon — which here is the
+    * min over the SURVIVING generations' candidates (each generation
+    * row is that batch's min member, so deletion is generation-
+    * granular: a tombstoned canon's same-batch bucket-mates are not
+    * recoverable from the folded row — full-fidelity re-election is
+    * the t37 membership artifact's job; what s16 guarantees is that
+    * a taken-down doc never serves as `dup_of` again). */
+  private[graft] def s16AliveBuckets(s: SparkSession,
+      work: java.nio.file.Path): DataFrame = {
+    val buckets = s.read.parquet(work.resolve("buckets").toString)
+    val tombs = work.resolve("tombstones")
+    val hasTombs = Option(tombs.toFile.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!hasTombs) buckets
+    else buckets.join(
+      s.read.parquet(tombs.toString).select(col("doc_id").as("canon")),
+      Seq("canon"), "left_anti")
+  }
+
+  /** Take down docs from the s16 working index between absorbed
+    * batches — the stream × deletion composition: tombstones land
+    * through the SHARED [[DedupOps.applyTakedown]] mechanics (same
+    * nonce window, `_TAKEDOWN` marker), the `_BATCH` fence is
+    * untouched (a takedown is not a batch), and the next batch's
+    * probe reads [[s16AliveBuckets]] — so its flags point at the
+    * re-elected canon, never the erased doc. Pinned in
+    * StreamingGateSpec. */
+  private[graft] def s16Takedown(s: SparkSession,
+      work: java.nio.file.Path, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    DedupOps.applyTakedown(s, work, rel = "buckets")(
+      _ => ids.toDF("doc_id"))
   }
 
   /** ONE micro-batch of the s16 write-back — exposed for the spec's
     * replay pins. Probe-then-append against the working index:
+    *  0. RESTART REPAIR: bucket generations whose tag exceeds the
+    *     FENCED cut are a crashed attempt's leftovers — a partial
+    *     move, or a complete commit whose batch never fenced (the
+    *     crash landed between the nonce re-stamp and the fence
+    *     write). Left in place they would pollute this retry's probe
+    *     with the batch's OWN docs (within-batch twins would flag;
+    *     `dup_of` could point into the same batch). Clear them first;
+    *     the append in step 3 recreates exactly what a clean attempt
+    *     writes (`_CUT` may have run ahead of the fence — harmless:
+    *     nothing reads it between here and the commit overwriting
+    *     it).
     *  1. REPLAY FENCE: a batch id at or below `_BATCH` already
     *     committed fully — skip (the restart that re-delivers an
     *     absorbed batch must not double-absorb it).
@@ -746,37 +813,46 @@ object StreamingOps {
     *     [[DedupOps.commitArtifactAppend]] (which clears the
     *     generation first, so a retry after a crash between commit
     *     and fence-write is exact even mid-generation).
-    *  4. Advance the `_BATCH` fence LAST — the at-least-once window
-    *     is re-entered, never skipped.
+    *  4. Advance the `_BATCH` fence LAST — batch id plus this
+    *     commit's cut, the pair step 0 needs — so the at-least-once
+    *     window is re-entered, never skipped.
     * Steps 2-3 are per-batch Spark jobs over the micro-batch only:
     * O(batch) banding + a bucket-relation join + an O(batch) write —
     * the 100 TB shape where the stream absorbs a day in batch-sized
     * pieces. */
   private[graft] def s16ProcessBatch(s: SparkSession,
       work: java.nio.file.Path, batch: DataFrame, batchId: Long): Unit = {
-    if (batchId > s16LastBatch(work)) {
+    val (lastBatch, fencedCut) = s16Fence(work)
+    if (batchId > lastBatch) {
+      Option(work.resolve("buckets").toFile.listFiles()).foreach(
+        _.filter { f =>
+          val n = f.getName
+          n.startsWith("append-") && n.split("-")(1).toLong > fencedCut
+        }.foreach(f => { f.delete(); () }))
       val bands = DedupOps.bandedSignaturesOf(
         batch.select(col("doc_id"), col("text")))
       bands.select(col("doc_id"), col("band"), col("sig"))
-        .join(s.read.parquet(work.resolve("buckets").toString),
-          Seq("band", "sig"))
+        .join(s16AliveBuckets(s, work), Seq("band", "sig"))
         .groupBy(col("doc_id"))
         .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
         .write.mode("overwrite")
         .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
       val hiRow = batch.agg(max(col("doc_id"))).head()
-      if (!hiRow.isNullAt(0)) {
-        val newCut = hiRow.getLong(0)
-        val tmp = work.resolve("buckets_append")
-        bands.groupBy(col("band"), col("sig"))
-          .agg(min(col("doc_id")).as("canon"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.artifactLock(work).synchronized {
-          DedupOps.commitArtifactAppend(work, tmp, newCut)
+      val newCut =
+        if (hiRow.isNullAt(0)) fencedCut
+        else {
+          val c = hiRow.getLong(0)
+          val tmp = work.resolve("buckets_append")
+          bands.groupBy(col("band"), col("sig"))
+            .agg(min(col("doc_id")).as("canon"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          DedupOps.artifactLock(work).synchronized {
+            DedupOps.commitArtifactAppend(work, tmp, c)
+          }
+          c
         }
-      }
       Files.write(work.resolve("_BATCH"),
-        batchId.toString.getBytes("UTF-8"))
+        s"$batchId $newCut".getBytes("UTF-8"))
       ()
     }
   }
@@ -829,16 +905,29 @@ object StreamingOps {
     * cut — a flag row for a tranche-3 doc whose only twin sits in
     * tranche 2 exists ONLY if batch 2's write-back served batch 3's
     * probe. */
-  def streamedIndexWriteback(s: SparkSession, dir: String): DataFrame = {
-    val staged = stageS16Tail(s, dir)
-    val work = s16WorkingCopy(s, dir)
-    val old = lastS16Work.getAndSet(work)
-    if (old != null) DedupOps.deleteRecursively(old.toFile)
-    s16RunStream(s, work, staged, "t-*.parquet",
-      work.resolve("ckpt").toString)
-    s.read.parquet(work.resolve("flags").toString + "/b*")
-      .orderBy(col("doc_id"))
-  }
+  // serializes whole s16 invocations in this JVM: without it, two
+  // concurrent callers (a bench rep overlapping a test) could race
+  // getAndSet and delete a working directory out from under the
+  // other's in-flight stream — the same cross-fixture hazard the s10
+  // sweep comment documents. The previous invocation's directory is
+  // retired only AFTER the new run completes (not before it starts),
+  // so under the lock no in-flight stream can own the dir being
+  // deleted; the last invocation's dir survives the process — by
+  // design, since the returned DataFrame reads it lazily (the
+  // lastSink idiom).
+  private val s16EntryLock = new Object
+
+  def streamedIndexWriteback(s: SparkSession, dir: String): DataFrame =
+    s16EntryLock.synchronized {
+      val staged = stageS16Tail(s, dir)
+      val work = s16WorkingCopy(s, dir)
+      s16RunStream(s, work, staged, "t-*.parquet",
+        work.resolve("ckpt").toString)
+      val old = lastS16Work.getAndSet(work)
+      if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
+      s.read.parquet(work.resolve("flags").toString + "/b*")
+        .orderBy(col("doc_id"))
+    }
 
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The

@@ -343,7 +343,7 @@ class StreamingGateSpec extends SparkSpec {
     val work = StreamingOps.lastS16Work.get()
     assert(DedupOps.cutOf(work) === 163L)
     assert(new String(java.nio.file.Files.readAllBytes(
-      work.resolve("_BATCH")), "UTF-8").trim.toLong === 2L)
+      work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 2L)
     val gens = work.resolve("buckets").toFile.listFiles().map(_.getName)
       .filter(_.startsWith("append-")).map(_.split("-")(1)).distinct.sorted
     // the generation tag is the batch's ACTUAL max id, not the
@@ -361,10 +361,10 @@ class StreamingGateSpec extends SparkSpec {
     val ckpt = work.resolve("ckpt").toString
     StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
     assert(new String(java.nio.file.Files.readAllBytes(
-      work.resolve("_BATCH")), "UTF-8").trim.toLong === 1L)
+      work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 1L)
     StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet", ckpt)
     assert(new String(java.nio.file.Files.readAllBytes(
-      work.resolve("_BATCH")), "UTF-8").trim.toLong === 2L)
+      work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 2L)
     def flags(w: java.nio.file.Path) =
       spark.read.parquet(w.resolve("flags").toString + "/b*")
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
@@ -389,6 +389,102 @@ class StreamingGateSpec extends SparkSpec {
     assert(work.resolve("buckets").toFile.listFiles()
       .map(_.getName).sorted.toSeq === files0)
     assert(flags(work) === restarted)
+    DedupOps.deleteRecursively(work.toFile)
+  }
+
+  /** The s16 crafted corpus (shared by the crash-repair and deletion
+    * pins): lo=1 hi=163 → mid=82, tranche cuts c1=109 c2=136. Base
+    * {1, 2}; batch 0 = {100 "X"}; batch 1 = {120 "X"}; batch 2 =
+    * {150 "X", 151 (dup of base 1), 152/153 (within-batch twins),
+    * 163 new}. */
+  private def craftS16Corpus(): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory("s16_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "quick brown foxes vault lazy hounds"),
+      (120L, "quick brown foxes vault lazy hounds"),
+      (150L, "quick brown foxes vault lazy hounds"),
+      (151L, "alpha beta gamma delta epsilon zeta"),
+      (152L, "crimson lanterns drift over quiet harbors"),
+      (153L, "crimson lanterns drift over quiet harbors"),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    tmp
+  }
+
+  private def s16Flags(work: java.nio.file.Path): Seq[(Long, Long)] =
+    spark.read.parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSeq
+
+  test("s16 crash inside a commit: the restarted batch's probe is not polluted by its own half-committed generation") {
+    val tmp = craftS16Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s16WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    val fence1 = java.nio.file.Files.readAllBytes(work.resolve("_BATCH"))
+    assert(new String(fence1, "UTF-8").trim === "1 120")
+    // simulate a crash INSIDE batch 2's commit: run the batch to
+    // completion, then rewind the fence + flags and strip the nonce —
+    // on disk that is exactly "generation committed, _CUT advanced,
+    // batch never fenced", the state the ADVICE scenario describes
+    val batch2 = spark.read.parquet(staged.resolve("t-002.parquet").toString)
+    StreamingOps.s16ProcessBatch(spark, work, batch2, 2L)
+    DedupOps.deleteRecursively(work.resolve("flags").resolve("b2").toFile)
+    java.nio.file.Files.write(work.resolve("_BATCH"), fence1)
+    java.nio.file.Files.deleteIfExists(work.resolve("_INDEX_READY"))
+    assert(DedupOps.cutOf(work) === 163L,
+      "the simulated crash must leave _CUT ahead of the fence")
+    // the restart re-delivers batch 2; without the step-0 repair its
+    // probe would read the crashed attempt's own generation — the
+    // within-batch twins 152/153 would flag and 150 could resolve to
+    // a same-batch doc
+    StreamingOps.s16ProcessBatch(spark, work, batch2, 2L)
+    assert(s16Flags(work) === Seq((120L, 100L), (150L, 100L), (151L, 1L)))
+    // and the retried commit restored the full converged state
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "2 163")
+    assert(DedupOps.cutOf(work) === 163L)
+    assert(java.nio.file.Files.size(work.resolve("_INDEX_READY")) > 0)
+    DedupOps.deleteRecursively(work.toFile)
+  }
+
+  test("s16 × deletion: a mid-stream takedown of an absorbed canon re-elects before the next batch probes") {
+    val tmp = craftS16Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s16WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    // takedown of doc 100 — batch 0's absorbed canon — landing BETWEEN
+    // absorbed batches, through the shared tombstone mechanics
+    StreamingOps.s16Takedown(spark, work, Seq(100L))
+    assert(java.nio.file.Files.exists(work.resolve("_TAKEDOWN")),
+      "the takedown marker must land")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 120",
+      "a takedown is not a batch: the replay fence must be untouched")
+    // resume: batch 2's 150 must flag against the RE-ELECTED canon
+    // (batch 1's 120), never the erased 100; the untouched families
+    // (151 vs base 1) serve through the same read
+    StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    assert(s16Flags(work) ===
+      Seq((120L, 100L), (150L, 120L), (151L, 1L)),
+      "batch 2 must see the re-elected canon 120 for the X-family")
+    // idempotent: re-applying the same takedown is a marker no-op
+    val tombs0 = work.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    StreamingOps.s16Takedown(spark, work, Seq(100L))
+    assert(work.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === tombs0)
     DedupOps.deleteRecursively(work.toFile)
   }
 
