@@ -11,10 +11,20 @@ import org.apache.spark.sql.SparkSession
   *  "rep_times":{name: [rep1_sec, rep2_sec, ...], ...},
   *  "queries":{name: warm_median_sec, ...}}
   * {"metric":"warm_q","i":1,"of":K,"q":{shortname: sec3dp, ...}}   × K
+  * {"metric":"aux_q","i":1,"of":J,"q":{shortname: [gc_med, exec_med]}} × J
   * {"metric":"total_warm_median","value":<sum>,"unit":"sec",
   *  "cold_total":N,"failed":F,"errors":{...},"reps":R,"sf":dir,
-  *  "slow":{name: [rep1, rep2, rep3], ...}}
+  *  "slow":{name: [rep1, rep2, rep3], ...},
+  *  "slow_gc":{name: [...]},"slow_exec":{name: [...]}}
   * }}}
+  *
+  * `aux_q` / `rep_gc` / `rep_exec` / `slow_gc` / `slow_exec` carry the
+  * per-rep JVM GC seconds (driver beans — in local[N] they see every
+  * task's collections) and summed task executor-run seconds beside
+  * each wall time: a driver rep whose wall inflates while gc + exec
+  * stay flat at their local-calm values is box churn, not an engine
+  * regression — the adjudication rounds 14-16 had to argue from local
+  * reruns now reads off the driver artifact directly.
   *
   * The headline is printed last because the driver keeps only a
   * fixed-size tail of stdout: the ~3 KB detail line alone got its head
@@ -203,6 +213,19 @@ object Bench {
         (() => { graft.queries.Relational.q38CompactedEstimates(spark, sfDir); () }),
       Set("q39_agg_retract") ->
         (() => { graft.queries.Relational.q39Retract(spark, sfDir); () }),
+      // the r17 policy/deletion families: builds, takedowns, age-offs,
+      // auto-folds and re-sketches are maintenance-time (ScaleDemo inc
+      // phase); the timed reps measure the steady-state serves
+      Set("t38_index_ageoff") ->
+        (() => { graft.queries.DedupOps.indexAgeOff(spark, sfDir); () }),
+      Set("t39_takedown_external") ->
+        (() => { graft.queries.DedupOps.takedownExternal(spark, sfDir); () }),
+      Set("t40_auto_compact") ->
+        (() => { graft.queries.DedupOps.autoCompactServe(spark, sfDir); () }),
+      Set("q40_sketch_retract") ->
+        (() => { graft.queries.Relational.q40Retract(spark, sfDir); () }),
+      Set("q41_agg_ageoff") ->
+        (() => { graft.queries.Relational.q41AggAgeOff(spark, sfDir); () }),
       Set("m10_media_index_compact") ->
         (() => { graft.queries.MultimodalOps.mediaIndexCompactServe(spark, sfDir); () }),
       Set("m11_media_tombstone_reelect") ->
@@ -231,6 +254,30 @@ object Bench {
       }
     }
     if (staged) spark.catalog.clearCache()
+    // Per-rep environment telemetry (the box-vs-engine self-diagnosis
+    // the driver-side watchlist drift asked for): a driver rep whose
+    // WALL inflates while its gc + executor-run deltas stay flat is
+    // box churn (scheduler/page-cache/IO contention), inflated gc is
+    // heap pressure, inflated exec is genuine compute — readable from
+    // BENCH_r{N}.json alone, no local reproduction needed. In
+    // local[N] the driver JVM's GC beans see every task's collections,
+    // and the listener sums task executorRunTime across the rep.
+    val taskExecMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { taskExecMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    def gcMs(): Long = {
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      var total = 0L
+      beans.forEach(b => total += b.getCollectionTime.max(0L))
+      total
+    }
     // noop sink: every projection executes (a count() would let
     // Catalyst prune map-only queries down to a parquet row count).
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -238,9 +285,11 @@ object Bench {
       .map { case (name, fn) =>
       spark.catalog.clearCache()
       var err: Option[String] = None
-      // (elapsed_sec, succeeded) per rep; failed reps never enter the
-      // warm median — a fast crash must not deflate the headline.
+      // (elapsed_sec, succeeded, gc_sec, exec_sec) per rep; failed
+      // reps never enter the warm median — a fast crash must not
+      // deflate the headline.
       val times = (0 until reps).map { _ =>
+        val (gc0, ex0) = (gcMs(), taskExecMs.get())
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -252,21 +301,24 @@ object Bench {
                     .take(1).mkString.take(200))
               false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok,
+          (gcMs() - gc0) / 1e3, (taskExecMs.get() - ex0) / 1e3)
       }
       val cold = times.head._1
-      val warmOk = times.tail.collect { case (t, true) => t }
+      val warmOk = times.tail.collect { case (t, true, _, _) => t }
       val warm: Option[Double] =
         if (warmOk.nonEmpty) Some(median(warmOk))
         else if (times.length == 1 && times.head._2) Some(cold)
         else None
-      (name, cold, warm, err, times.map(_._1))
+      (name, cold, warm, err, times.map(_._1),
+        times.map(_._3), times.map(_._4))
     }
     def obj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val warmQ = obj(rows.collect { case (n, _, Some(w), _, _) => n -> w.toString })
+    val warmQ = obj(rows.collect {
+      case (n, _, Some(w), _, _, _, _) => n -> w.toString })
     // tail-survival chunks: shortened keys (prefix to first '_'; jh_*
     // stay full — every registry family q/t/v/s/m numbers its ops, so
     // the prefix is unique), greedily packed into short lines
@@ -282,7 +334,7 @@ object Bench {
         .mkString("; "))
     val ChunkLen = 360
     val warmChunks: Seq[String] = {
-      val entries = rows.collect { case (n, _, Some(w), _, _) =>
+      val entries = rows.collect { case (n, _, Some(w), _, _, _, _) =>
         jsonStr(shortKey(n)) + ":" + d3(w) }
       val acc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
       var cur = List.empty[String]; var len = 0
@@ -299,15 +351,49 @@ object Bench {
       }
     }
     val coldQ = obj(rows.map(r => r._1 -> r._2.toString))
-    val errQ = obj(rows.collect { case (n, _, _, Some(e), _) => n -> jsonStr(e) })
+    val errQ = obj(rows.collect {
+      case (n, _, _, Some(e), _, _, _) => n -> jsonStr(e) })
     val repQ = obj(rows.map(r =>
       r._1 -> r._5.map(d3).mkString("[", ",", "]")))
+    // full per-rep environment telemetry (detail line, expendable)
+    val gcQ = obj(rows.map(r =>
+      r._1 -> r._6.map(d3).mkString("[", ",", "]")))
+    val execQ = obj(rows.map(r =>
+      r._1 -> r._7.map(d3).mkString("[", ",", "]")))
     // per-rep times of the 3 most expensive queries, small enough for
-    // the guaranteed-survival headline line (box-vs-engine evidence)
-    val slowQ = obj(rows
-      .collect { case (n, _, Some(w), _, ts) => (n, w, ts) }
+    // the guaranteed-survival headline line (box-vs-engine evidence),
+    // with their per-rep gc + executor-run companions
+    val slow3 = rows
+      .collect { case (n, _, Some(w), _, ts, gs, xs) => (n, w, ts, gs, xs) }
       .sortBy(-_._2).take(3)
-      .map { case (n, _, ts) => n -> ts.map(d3).mkString("[", ",", "]") })
+    val slowQ = obj(slow3.map { case (n, _, ts, _, _) =>
+      n -> ts.map(d3).mkString("[", ",", "]") })
+    val slowGc = obj(slow3.map { case (n, _, _, gs, _) =>
+      n -> gs.map(d3).mkString("[", ",", "]") })
+    val slowExec = obj(slow3.map { case (n, _, _, _, xs) =>
+      n -> xs.map(d3).mkString("[", ",", "]") })
+    // aux_q chunks: per-query [gc_median, exec_median] over the warm
+    // reps, in the same short-key tail-survival format as warm_q — the
+    // watchlist trio (and any future driver drift) self-diagnoses from
+    // the driver artifact alone
+    val auxChunks: Seq[String] = {
+      val entries = rows.collect { case (n, _, Some(_), _, _, gs, xs) =>
+        def m(vs: Seq[Double]) = median(if (vs.tail.nonEmpty) vs.tail else vs)
+        jsonStr(shortKey(n)) + ":[" + d3(m(gs)) + "," + d3(m(xs)) + "]" }
+      val acc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]; var len = 0
+      entries.foreach { e =>
+        if (len + e.length + 1 > ChunkLen && cur.nonEmpty) {
+          acc += cur.reverse; cur = Nil; len = 0
+        }
+        cur = e :: cur; len += e.length + 1
+      }
+      if (cur.nonEmpty) acc += cur.reverse
+      acc.toSeq.zipWithIndex.map { case (es, i) =>
+        s"""{"metric":"aux_q","i":${i + 1},"of":${acc.length},""" +
+          s""""q":${es.mkString("{", ",", "}")}}"""
+      }
+    }
     val warmTotal = rows.flatMap(_._3).sum
     val coldTotal = rows.map(_._2).sum
     // Queries contributing nothing to the headline sum: their absence
@@ -316,7 +402,8 @@ object Bench {
     val headline =
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":$coldTotal,"failed":$failed,"errors":$errQ,""" +
-      s""""reps":$reps,"sf":${jsonStr(sfDir)},"slow":$slowQ}"""
+      s""""reps":$reps,"sf":${jsonStr(sfDir)},"slow":$slowQ,""" +
+      s""""slow_gc":$slowGc,"slow_exec":$slowExec}"""
     // Detail first (expendable), then the short warm_q chunks, compact
     // headline LAST: the driver stores a fixed-size stdout tail, so
     // only the small final lines are guaranteed to reach its parser
@@ -327,8 +414,10 @@ object Bench {
       s"""{"metric":"total_warm_median","value":$warmTotal,"unit":"sec",""" +
       s""""cold":$coldQ,"cold_total":$coldTotal,""" +
       s""""failed":$failed,"errors":$errQ,"reps":$reps,"sf":${jsonStr(sfDir)},""" +
-      s""""rep_times":$repQ,"queries":$warmQ}""")
+      s""""rep_times":$repQ,"rep_gc":$gcQ,"rep_exec":$execQ,""" +
+      s""""queries":$warmQ}""")
     warmChunks.foreach(println)
+    auxChunks.foreach(println)
     println(headline)
     spark.stop()
   }

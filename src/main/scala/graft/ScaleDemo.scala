@@ -497,6 +497,89 @@ object ScaleDemo {
         noop(queries.DedupOps
           .tombstoneServedBuckets(spark, docsDir.toString))
       }
+      // t38: retention age-off economics — the policy predicate flows
+      // through the same O(deleted) tombstone write t37 pays, once per
+      // horizon advance; the comparator is re-banding the surviving
+      // corpus (the t7 row above). The membership build is the same
+      // invertibility premium t37's row measures.
+      spark.catalog.clearCache()
+      val t38Idx = queries.DedupOps.t38IndexPath(spark, docsDir.toString)
+      rmInc(t38Idx.toFile)
+      time("t38 MEMBERSHIP index BUILD + horizon staging (full corpus)") {
+        queries.DedupOps.buildAgeOffIndex(spark, docsDir.toString)
+      }
+      locally {
+        val Array(h1, h2) = new String(java.nio.file.Files.readAllBytes(
+          t38Idx.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+")
+          .map(_.toLong)
+        spark.catalog.clearCache()
+        time("t38 AGE-OFF horizon 1 (first fifth of the id span)") {
+          queries.DedupOps.ageOffMembers(spark, t38Idx, h1)
+        }
+        spark.catalog.clearCache()
+        time("t38 AGE-OFF horizon 2 advance (second fifth)") {
+          queries.DedupOps.ageOffMembers(spark, t38Idx, h2)
+        }
+        val tombs = Option(t38Idx.resolve("tombstones").toFile.listFiles())
+          .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        println(s"SCALE t38 tombstones ${tombs.map(_.length).sum} B " +
+          s"(${tombs.size} files, " +
+          s"${tombs.map(_.getName.split("-")(1)).distinct.length} horizons)")
+        spark.catalog.clearCache()
+        time("t38 aged serve (anti-join + re-election fold)") {
+          noop(queries.DedupOps.aliveMembers(spark, t38Idx)
+            .groupBy(col("band"), col("sig"))
+            .agg(min(col("doc_id")).as("canon")))
+        }
+        spark.catalog.clearCache()
+        time("t38 COMPACT (fold BOTH horizon generations into the membership)") {
+          queries.DedupOps.compactTombstoneIndex(spark, t38Idx)
+        }
+        spark.catalog.clearCache()
+        time("t38 serve after compaction (plain scan-and-fold)") {
+          noop(queries.DedupOps.aliveMembers(spark, t38Idx)
+            .groupBy(col("band"), col("sig"))
+            .agg(min(col("doc_id")).as("canon")))
+        }
+      }
+      // t40: the auto-compact POLICY at fleet scale — t36 measured
+      // what an UNMANAGED month of nightly appends accrues (the
+      // 10-generation read amplification above) and the one manual
+      // fold that resets it; t40 runs the same 10 nightly batches
+      // under the threshold policy (fold when generations exceed 3)
+      // and prints the generation count after each append: bounded
+      // FOREVER (≤ 3 served), the fold amortized across every 3
+      // appends instead of deferred until an operator remembers.
+      spark.catalog.clearCache()
+      val t40Idx = queries.DedupOps.t40IndexPath(spark, docsDir.toString)
+      rmInc(t40Idx.toFile)
+      time("t40 band-index BUILD (base tranche)") {
+        queries.DedupOps.buildBandIndexAt(spark, docsDir.toString, t40Idx)
+      }
+      locally {
+        val b = spark.read.parquet(docsParquet.toString)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mid = (lo + hi) / 2
+        val gens = 10
+        time(s"t40 APPEND $gens nightly batches under auto-compact " +
+            "(threshold 3, folds amortized in-line)") {
+          (1 to gens).foreach { g =>
+            queries.DedupOps.appendBandIndexAt(spark, docsDir.toString,
+              t40Idx,
+              upTo = if (g == gens) hi else mid + (hi - mid) * g / gens,
+              autoCompactMax = 3)
+            println(s"SCALE t40 after batch $g: " +
+              s"${queries.DedupOps.generationCount(t40Idx)} generations")
+          }
+        }
+        spark.catalog.clearCache()
+        time("t40 steady-state serve (policy-bounded generation count)") {
+          noop(spark.read.parquet(t40Idx.resolve("buckets").toString)
+            .groupBy(col("band"), col("sig"))
+            .agg(min(col("canon")).as("canon")))
+        }
+      }
       // m8: the media family's absorb-the-delta economics (t34's idiom
       // on perceptual hashes) — build, probe, and the full-corpus m5
       // recompute the probe replaces

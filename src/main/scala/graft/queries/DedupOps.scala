@@ -909,8 +909,14 @@ object DedupOps {
       upTo: Long = Long.MaxValue): Long =
     appendBandIndexAt(s, dir, rwBandIndexPath(s, dir), upTo)
 
+  /** `autoCompactMax` > 0 arms the t40 policy: after the commit —
+    * still under the artifact lock, so no reader or mutator can land
+    * between the append and its triggered fold — a generation count
+    * exceeding the threshold fires [[compactBandIndex]]. Off (0) by
+    * default: t35/t36's gates pin the manual lifecycle. */
   private[graft] def appendBandIndexAt(s: SparkSession, dir: String,
-      out: java.nio.file.Path, upTo: Long): Long = {
+      out: java.nio.file.Path, upTo: Long,
+      autoCompactMax: Int = 0): Long = {
     artifactLock(out).synchronized {
       val cut = cutOf(out)
       val delta = docs(s, dir)
@@ -926,6 +932,9 @@ object DedupOps {
           .agg(min(col("doc_id")).as("canon"))
           .write.mode("overwrite").parquet(tmp.toString)
         commitArtifactAppend(out, tmp, newCut)
+        if (autoCompactMax > 0 && generationCount(out) > autoCompactMax) {
+          compactBandIndex(s, out); ()
+        }
         newCut
       }
     }
@@ -1314,6 +1323,205 @@ object DedupOps {
         System.nanoTime().toString.getBytes("UTF-8"))
       true
     }
+  }
+
+  // ------------ t38: RETENTION (TTL age-off — takedown by predicate)
+
+  /** t38's OWN membership artifact (t37 holds the canon-takedown's
+    * tombstones; gates stay order-independent by never sharing a
+    * mutable artifact). The build also persists `_HORIZONS` — the two
+    * deterministic age-off horizons (`lo + span/5`, `lo + 2·span/5`
+    * over the doc-id span) — so the steady-state gate never re-scans
+    * the corpus for bounds (q33's lesson: re-aggregating min/max per
+    * serve is itself a full-column scan at 100 TB). In production the
+    * horizon is an INPUT — the retention policy's cutoff, advanced by
+    * a scheduler; the derivation here exists only to make the
+    * fixture's horizons reproducible inside static oracle SQL. */
+  private[graft] def t38IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_members_t38",
+      s"bandmemberst38:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def buildAgeOffIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = t38IndexPath(s, dir)
+    ensureArtifact(out) {
+      val d = docs(s, dir)
+      // one-time bounds read, confined to the build
+      val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      bandedSignaturesOf(d)
+        .select(col("band"), col("sig"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+      java.nio.file.Files.write(out.resolve("_HORIZONS"),
+        s"${lo + (hi - lo) / 5} ${lo + (hi - lo) * 2 / 5}"
+          .getBytes("UTF-8"))
+    }
+    out
+  }
+
+  /** AGE OFF everything at or below `horizon` — a takedown whose id
+    * list is a PREDICATE over the index's own columns, composed
+    * through the SAME [[applyTakedown]] hook every erasure flows
+    * through: the predicate evaluates on the members relation alone
+    * (index-local — at 100 TB the nightly age-off never re-reads the
+    * corpus, and the expired docs' text — which a retention policy
+    * may require you no longer hold — never rejoins any plan). Each
+    * horizon is its own takedown GENERATION (`delete-h<horizon>-*`
+    * files, `_TAKEDOWN_<horizon>` marker), so advancing the horizon
+    * is idempotent PER HORIZON: re-running yesterday's cutoff
+    * short-circuits, today's lands beside it, and compaction folds
+    * any number of age-off generations into the membership base in
+    * one pass. */
+  private[graft] def ageOffMembers(s: SparkSession,
+      out: java.nio.file.Path, horizon: Long): Unit =
+    applyTakedown(s, out, gen = s"h$horizon",
+      marker = s"_TAKEDOWN_$horizon")(
+      _.filter(col("doc_id") <= horizon)
+        .select(col("doc_id")).distinct())
+
+  /** t38: retention/TTL age-off, served — build the membership
+    * artifact, advance the horizon TWICE (two age-off generations on
+    * disk — the steady state of a scheduled retention job), serve the
+    * re-elected bucket relation over the survivors. The oracle is the
+    * REBUILD over corpus-minus-expired (docs above the second
+    * horizon): age-off must be exactly as if the expired tranche had
+    * never been ingested. Re-election is the same min fold deletion
+    * already pays ([[aliveMembers]]); multi-generation fold +
+    * horizon idempotence pinned in TombstoneSpec. */
+  def indexAgeOff(s: SparkSession, dir: String): DataFrame = {
+    val out = buildAgeOffIndex(s, dir)
+    val Array(h1, h2) = new String(java.nio.file.Files.readAllBytes(
+      out.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+").map(_.toLong)
+    ageOffMembers(s, out, h1)
+    ageOffMembers(s, out, h2)
+    aliveMembers(s, requireReady(out))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+  }
+
+  // ------------ t39: EXTERNALLY-SUPPLIED takedown list, end-to-end
+
+  private[graft] def t39IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_members_t39",
+      s"bandmemberst39:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** Stage t39's EXTERNAL erasure list as an input relation — in
+    * production the ids arrive from outside (a legal-hold queue, a
+    * GDPR request log): a parquet relation beside the corpus, NOT
+    * derived from the index. The fixture's list is deterministic so
+    * the oracle can reproduce it: every corpus-range id divisible by
+    * 7, PLUS an id absent from the index (`hi + 1000` — the takedown
+    * must no-op on it, not error) and a REPEATED id (a re-submitted
+    * request must be idempotent). Staged once per fingerprint under
+    * the nonce-marker contract. */
+  private[graft] def stageT39Erasures(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = artifactDir("t39_erasures",
+      s"t39erasures:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+    ensureArtifact(out) {
+      val Array(lo, hi) = docs(s, dir)
+        .agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val first = ((lo + 6) / 7) * 7
+      import s.implicits._
+      s.range(first, hi + 1, 7).select(col("id").as("doc_id"))
+        .unionAll(Seq(hi + 1000L, first).toDF("doc_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out.resolve("erasures").toString)
+    }
+    out
+  }
+
+  /** t39: the takedown ids arrive as an INPUT RELATION and flow
+    * through [[applyTakedown]] unchanged — `takedownOf` simply
+    * ignores the members relation and returns the external list
+    * (production's shape; t37/t38 derive theirs index-side only for
+    * fixture reproducibility). The edge semantics fall out of the
+    * anti-join: an id absent from the index matches no member row
+    * (no-op, never an error), a repeated id matches the same rows
+    * once — both pinned in TombstoneSpec. Oracle = the rebuild over
+    * corpus minus the PRESENT listed docs. */
+  def takedownExternal(s: SparkSession, dir: String): DataFrame = {
+    val out = t39IndexPath(s, dir)
+    buildMembersIndexAt(s, dir, out)
+    val ext = stageT39Erasures(s, dir)
+    applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
+      _ => s.read.parquet(ext.resolve("erasures").toString))
+    aliveMembers(s, requireReady(out))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+  }
+
+  // ------------ t40: AUTO-COMPACTION policy (fold when generations
+  // exceed a threshold)
+
+  /** The artifact's current generation count: distinct `append-*`
+    * watermark tags plus one for the base (`part-*` build files or a
+    * prior fold's `compact-*`). What the auto-compact policy
+    * thresholds on. */
+  private[graft] def generationCount(out: java.nio.file.Path,
+      rel: String = "buckets"): Int = {
+    val names = Option(out.resolve(rel).toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    names.filter(_.startsWith("append-"))
+      .map(_.split("-")(1)).distinct.size +
+      (if (names.exists(n => n.startsWith("part-") ||
+        n.startsWith("compact-"))) 1 else 0)
+  }
+
+  /** t40's OWN band-index copy (t35 rw / t36 manual-compact / t40
+    * policy-compact — order-independent gates). The `_TRANCHES` file
+    * stages the two deterministic tail cuts (thirds of the above-mid
+    * span) so the gate's three appends are reproducible without a
+    * per-serve bounds scan. */
+  private[graft] def t40IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_index_t40",
+      s"bandindext40:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** t40: the auto-compact POLICY — t36's fold wired to a threshold
+    * instead of an operator invocation: when a committed append
+    * leaves MORE than `autoCompactMax` generations on disk, the
+    * append itself triggers the fold, still inside the artifact lock
+    * ([[appendBandIndexAt]]). This is the missing operational loop:
+    * without it a nightly append accumulates generations until
+    * someone remembers to compact — read amplification grows
+    * O(nights) unbounded; with it the generation count is bounded by
+    * the policy (≤ threshold + 1 transiently, ≤ threshold served)
+    * FOREVER, amortizing one relation-sized fold across every
+    * `threshold` appends. The gate runs three appends at threshold 2:
+    * append 1 leaves two generations (no fold — the policy must not
+    * fire AT the threshold), append 2 leaves three and auto-folds to
+    * one, append 3 lands beside the compacted base — and the serve is
+    * byte-identical to t35's full-corpus oracle throughout, because
+    * the fold is the same semantics-free min merge. Trigger exactness,
+    * `_CUT` untouched by the fold, and append-resumes pinned in
+    * IndexAppendSpec. */
+  def autoCompactServe(s: SparkSession, dir: String): DataFrame = {
+    val out = t40IndexPath(s, dir)
+    buildBandIndexAt(s, dir, out)
+    val cutsFile = out.resolve("_TRANCHES")
+    if (!java.nio.file.Files.exists(cutsFile)) {
+      // maintenance-time staging of the fixture's batch boundaries
+      val hi = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+      val mid = cutOf(out)
+      java.nio.file.Files.write(cutsFile,
+        s"${mid + (hi - mid) / 3} ${mid + (hi - mid) * 2 / 3}"
+          .getBytes("UTF-8"))
+    }
+    val Array(c1, c2) = new String(java.nio.file.Files.readAllBytes(
+      cutsFile), "UTF-8").trim.split("\\s+").map(_.toLong)
+    appendBandIndexAt(s, dir, out, c1, autoCompactMax = 2)
+    appendBandIndexAt(s, dir, out, c2, autoCompactMax = 2)
+    appendBandIndexAt(s, dir, out, Long.MaxValue, autoCompactMax = 2)
+    s.read.parquet(requireReady(out).resolve("buckets").toString)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("canon")).as("canon"))
+      .orderBy(col("band"), col("sig"))
   }
 
   /** t29: leakage-safe train/eval split — the assignment rule a
@@ -1821,6 +2029,9 @@ object DedupOps {
     "t35_index_append" -> (indexAppendServe _),
     "t36_index_compact" -> (indexCompactServe _),
     "t37_tombstone_reelect" -> (tombstoneReelect _),
+    "t38_index_ageoff" -> (indexAgeOff _),
+    "t39_takedown_external" -> (takedownExternal _),
+    "t40_auto_compact" -> (autoCompactServe _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -2273,5 +2484,32 @@ object DedupOps {
          |SELECT band, sig, min(doc_id) AS canon
          |FROM bands WHERE doc_id NOT IN (SELECT doc_id FROM del)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // age-off must be exactly as if the expired tranche had never been
+    // ingested: rebuild over docs above the SECOND horizon (the two
+    // horizons compose — h2 > h1, so survivors = ids > h2), horizons
+    // derived with the same integer arithmetic the build persists
+    "t38_index_ageoff" ->
+      s"""$bandsCtes,
+         |bounds AS (
+         | SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5 AS h2
+         | FROM documents)
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands CROSS JOIN bounds WHERE doc_id > h2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the external list holds every corpus-range multiple of 7 plus
+    // an absent id and a duplicate — the oracle sees only the effect
+    // on PRESENT docs (absent ids no-op; duplicates are idempotent)
+    "t39_takedown_external" ->
+      s"""$bandsCtes
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands WHERE doc_id % 7 <> 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the auto-compact policy must be INVISIBLE in the result — t35's
+    // full-corpus oracle verbatim; the trigger mechanics are pinned in
+    // IndexAppendSpec
+    "t40_auto_compact" ->
+      s"""$bandsCtes
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t29_leakage_safe_split" -> leakageSplitOracle)
 }

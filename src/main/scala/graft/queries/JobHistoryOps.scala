@@ -64,6 +64,12 @@ object JobHistoryOps {
         .split(" \\.\n", -1).toSeq.filter(_.nonEmpty)
         .zipWithIndex.map { case (r, i) => (i.toLong, r) }
       s.createDataset(recs).toDF("line_no", "record")
+        // coalesce(1) is a FIXTURE choice, not an engine idiom: the
+        // stream gate needs the 3,620 records in ONE file so the
+        // AvailableNow source delivers them as one deterministic
+        // batch. A production log corpus would stage multi-file (the
+        // s16 tranche stager's shape) — do not copy this single-file
+        // funnel anywhere a real volume flows.
         .coalesce(1).write.mode("overwrite").parquet(RecordsPath)
     }
     RecordsPath

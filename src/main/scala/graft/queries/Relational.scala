@@ -1236,6 +1236,203 @@ object Relational {
       .filter(col("n_events") > 0)
   }
 
+  // ----------- q40: HLL deletion by RE-SKETCH (the sketch shelf's
+  // documented trade, executable) + q41: TTL age-off on the sum shelf
+
+  private[graft] def q40RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q40hll")
+
+  /** q40's staged state — base + appended HLL partials, the q36 shape
+    * on q40's own artifact copy (exposed for SketchGateSpec's
+    * untouched-keys byte-identity pin, which snapshots the base
+    * generations BEFORE the retraction lands). */
+  private[graft] def q40Stage(s: SparkSession, dir: String): Unit = {
+    buildRwPartials(s, dir, "q40hll")(q34Sketch)
+    appendPartials(s, dir, "q40hll")(q34Sketch)
+    ()
+  }
+
+  /** Retract q39's window from the HLL family — the one shelf where
+    * deletion CANNOT invert or tombstone: DataSketches HLL union is a
+    * per-register max, strictly monotone, so a sketch cannot forget a
+    * value; the documented trade is RE-SKETCHING the surviving
+    * history — but only of the AFFECTED keys. One bounds-pushed
+    * window scan finds the keys with retracted events; one
+    * complement-scan (both window bounds pushed as `ts <= a OR
+    * ts > b`), semi-joined to that key set, re-sketches their
+    * survivors; the result commits as a `resketch-*` generation the
+    * merge-on-read PREFERS (base rows of affected keys are dropped
+    * via the `resketch_keys` relation, written INSIDE the same
+    * mutation window — so a fully-retracted key's stale base sketch
+    * can never ghost back). Untouched keys' sketches are never
+    * rewritten — the no-silent-global-re-sketch property the spec
+    * pins byte-identically. Cost is O(affected keys' history), the
+    * honest price of a monotone summary: cheaper than the O(corpus)
+    * rebuild whenever the retraction touches few keys, never hidden
+    * behind an "invertible" pretense. `_RESKETCHED`-idempotent via
+    * the beforeReady hook (q39's contract). */
+  private[graft] def q40Retract(s: SparkSession, dir: String): Unit = {
+    q40Stage(s, dir)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = q40RwPath(s, dir)
+    DedupOps.artifactLock(out).synchronized {
+      val marker = out.resolve("_RESKETCHED")
+      if (!java.nio.file.Files.exists(marker)) {
+        val (a, b) = q39Window(s, dir)
+        val inWindow = col("ts") > tsCutLit(raw, a) &&
+          col("ts") <= tsCutLit(raw, b)
+        val affected = raw.filter(inWindow)
+          .select(col("event_type")).distinct()
+        val surviving = raw.filter(!inWindow)
+          .join(affected, Seq("event_type"), "left_semi")
+        val tmp = out.resolve("partials_resketch")
+        q34Sketch(surviving).write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+          rel = "partials", kind = "resketch",
+          beforeReady = () => {
+            affected.coalesce(1).write.mode("overwrite")
+              .parquet(out.resolve("resketch_keys").toString)
+            java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
+          })
+      }
+    }
+  }
+
+  /** q40's merge-on-read: base generations MINUS the resketched keys,
+    * plus the resketch generation — the replacement-preferring read
+    * [[DedupOps.compactArtifact]] refuses to flat-fold (a fold would
+    * re-add the replaced rows; the refusal is spec-pinned). The
+    * anti-join's build side is the tiny persisted key list, never the
+    * corpus. */
+  private[graft] def q40MergedEstimates(s: SparkSession, dir: String)
+      : DataFrame = {
+    q40Retract(s, dir)
+    val out = DedupOps.requireReady(q40RwPath(s, dir))
+    val files = out.resolve("partials").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val (re, base) = files.partition(_.getName.startsWith("resketch-"))
+    val baseDf = s.read.parquet(base.map(_.toString).toIndexedSeq: _*)
+    val kept = baseDf.join(
+      s.read.parquet(out.resolve("resketch_keys").toString),
+      Seq("event_type"), "left_anti")
+    val merged =
+      if (re.isEmpty) kept
+      else kept.unionByName(
+        s.read.parquet(re.map(_.toString).toIndexedSeq: _*))
+    q34Estimate(merged)
+  }
+
+  /** q40's audit: q34's exact-beside-estimate gate over the corpus
+    * MINUS the window. A fully-retracted key appears on neither side
+    * (its base sketch is key-dropped, its exact group has no rows) —
+    * the ghost-key drop, SQL group semantics again. */
+  private def q40Audit(s: SparkSession, dir: String, merged: DataFrame)
+      : DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val (a, b) = q39Window(s, dir)
+    val exact = raw.filter(!(col("ts") > tsCutLit(raw, a) &&
+        col("ts") <= tsCutLit(raw, b)))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          lit(q34RelErr) * col("n_exact").cast("double")).as("within_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q40: DELETION from the sketch shelf, gated — retract the window
+    * by re-sketching only the affected keys' survivors, serve the
+    * replacement-preferring merge, audit against the exact distinct
+    * counts over corpus-minus-window (q34's oracle shape). */
+  def q40SketchRetract(s: SparkSession, dir: String): DataFrame =
+    q40Audit(s, dir, q40MergedEstimates(s, dir))
+
+  private[graft] def q41RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q41agg")
+
+  /** AGE OFF the events at or below `horizon` from the living sum
+    * aggregate — retention on the INVERTIBLE shelf: q39's negated-
+    * partials retraction driven by a policy predicate instead of a
+    * bad-window input, and advanced INCREMENTALLY — each call
+    * retracts only the `(prevHorizon, horizon]` increment (both
+    * bounds pushed to the scan), appends it as an
+    * `ageoff<horizon>-*` generation, and records the reached horizon
+    * in `_AGEOFF` inside the commit window (the beforeReady hook —
+    * same atomicity argument as q39's `_RETRACTED`). Monotone and
+    * idempotent per horizon: a re-submitted or lagging horizon at or
+    * below the recorded one no-ops; compaction folds any number of
+    * age-off generations ([[q41Compact]] — `ageoff*` files net out
+    * under the same q35 sum fold). At 100 TB this is the nightly
+    * retention job: O(increment) per advance, never a history
+    * rewrite. */
+  private[graft] def q41AgeOff(s: SparkSession, dir: String,
+      horizon: Long): Unit = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = q41RwPath(s, dir)
+    DedupOps.artifactLock(out).synchronized {
+      val mk = out.resolve("_AGEOFF")
+      val prev: Option[Long] =
+        if (java.nio.file.Files.exists(mk))
+          Some(new String(java.nio.file.Files.readAllBytes(mk), "UTF-8")
+            .trim.toLong)
+        else None
+      if (prev.forall(_ < horizon)) {
+        val window = prev match {
+          case Some(p) => raw.filter(col("ts") > tsCutLit(raw, p) &&
+            col("ts") <= tsCutLit(raw, horizon))
+          case None => raw.filter(col("ts") <= tsCutLit(raw, horizon))
+        }
+        val tmp = out.resolve("partials_ageoff")
+        q33Partial(window)
+          .select(col("event_type"), (-col("pn")).as("pn"),
+            (-col("pc")).as("pc"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+          rel = "partials", kind = s"ageoff$horizon",
+          beforeReady = () => {
+            java.nio.file.Files.write(mk,
+              horizon.toString.getBytes("UTF-8")); ()
+          })
+      }
+    }
+  }
+
+  private[graft] def q41Compact(s: SparkSession, dir: String): Boolean =
+    DedupOps.compactArtifact(s, q41RwPath(s, dir), rel = "partials")(q35Fold)
+
+  /** q41: retention/TTL age-off on the sum family, served — build +
+    * append q41's own partials artifact, advance the horizon TWICE
+    * (quarter then half of the event-time span — persisted in
+    * `_HORIZONS` at first derivation so the steady-state serve never
+    * re-scans the corpus for bounds), serve the netted merge. Oracle:
+    * q33's statistics over events ABOVE the second horizon. The
+    * ghost-key filter is q39's read contract (a key whose history is
+    * entirely expired drops). Incremental-advance + compaction-folds-
+    * generations pinned in PartialsCompactSpec. */
+  def q41AggAgeOff(s: SparkSession, dir: String): DataFrame = {
+    buildRwPartials(s, dir, "q41agg")(q33Partial)
+    appendPartials(s, dir, "q41agg")(q33Partial)
+    val out = q41RwPath(s, dir)
+    val hf = out.resolve("_HORIZONS")
+    if (!java.nio.file.Files.exists(hf)) {
+      // maintenance-time staging of the fixture's policy horizons (in
+      // production these arrive FROM the retention policy)
+      val Array(lo, hi) = t(s, dir, "events")
+        .agg(min(col("ts")), max(col("ts")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      java.nio.file.Files.write(hf,
+        s"${lo + (hi - lo) / 4} ${lo + (hi - lo) / 2}".getBytes("UTF-8"))
+    }
+    val Array(h1, h2) = new String(java.nio.file.Files.readAllBytes(hf),
+      "UTF-8").trim.split("\\s+").map(_.toLong)
+    q41AgeOff(s, dir, h1)
+    q41AgeOff(s, dir, h2)
+    q33Merge(s.read.parquet(DedupOps.requireReady(out)
+      .resolve("partials").toString))
+      .filter(col("n_events") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
@@ -1246,6 +1443,8 @@ object Relational {
     "q37_partials_compact" -> (q37PartialsCompact _),
     "q38_sketch_compact" -> (q38SketchCompact _),
     "q39_agg_retract" -> (q39AggRetract _),
+    "q40_sketch_retract" -> (q40SketchRetract _),
+    "q41_agg_ageoff" -> (q41AggAgeOff _),
     "q28_approx_percentiles" -> (q28ApproxPercentiles _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_range_join" -> (q26RangeJoin _),
@@ -1450,6 +1649,32 @@ object Relational {
         |FROM events, b
         |WHERE NOT (epoch_ns(ts) > lo + ((hi - lo) * 2) // 5
         |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q40: q34's exact-counts-beside-audit shape over the corpus MINUS
+    // q39's window; the re-sketched estimates are bound-checked
+    // engine-side (DuckDB cannot reproduce the register layout)
+    "q40_sketch_retract" ->
+      """WITH b AS (
+        | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+        | FROM events)
+        |SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_err
+        |FROM events, b
+        |WHERE NOT (epoch_ns(ts) > lo + ((hi - lo) * 2) // 5
+        |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q41: q33's statistics over events ABOVE the second age-off
+    // horizon (the two horizons compose; integer // matches the
+    // engine's Long arithmetic)
+    "q41_agg_ageoff" ->
+      """WITH b AS (
+        | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 2) AS sum_value
+        |FROM events, b
+        |WHERE epoch_ns(ts) > lo + (hi - lo) // 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->

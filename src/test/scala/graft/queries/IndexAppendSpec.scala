@@ -275,6 +275,54 @@ class IndexAppendSpec extends SparkSpec {
       "recovery must re-stamp a fresh nonce")
   }
 
+  test("t40 auto-compact fires exactly above the threshold; serve byte-identical; _CUT untouched by the fold") {
+    // the t35 fixture corpus: base {1, 2} (mid = 76), batch 1
+    // {100, 101}, batch 2 {151, 152}
+    val tmp = Files.createTempDirectory("t40_spec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "quick brown foxes vault lazy hounds"),
+      (151L, "quick brown foxes vault lazy hounds"),
+      (152L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.t40IndexPath(spark, tmp)
+    DedupOps.buildBandIndexAt(spark, tmp, out)
+    assert(DedupOps.generationCount(out) === 1)
+    // append 1 → two generations: AT the threshold, the policy must
+    // NOT fire (fold only when count exceeds it)
+    DedupOps.appendBandIndexAt(spark, tmp, out, upTo = 110L,
+      autoCompactMax = 2)
+    val names1 = out.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(DedupOps.generationCount(out) === 2)
+    assert(!names1.exists(_.startsWith("compact-")) &&
+      names1.exists(_.startsWith("append-101")) &&
+      names1.exists(_.startsWith("part-")), names1.toSeq.sorted)
+    // append 2 → three generations > 2: the commit itself triggers the
+    // fold — one fresh compacted base, _CUT still the append's own cut
+    DedupOps.appendBandIndexAt(spark, tmp, out, upTo = Long.MaxValue,
+      autoCompactMax = 2)
+    val names2 = out.resolve("buckets").toFile.listFiles().map(_.getName)
+    assert(DedupOps.generationCount(out) === 1, names2.toSeq.sorted)
+    assert(names2.forall(n => !n.endsWith(".parquet") ||
+      n.startsWith("compact-152")), names2.toSeq.sorted)
+    assert(DedupOps.cutOf(out) === 152L,
+      "the policy fold must never move the watermark")
+    // the registered gate serves the full-corpus relation regardless
+    // of where in the append/fold cycle the artifact sits
+    assert(DedupOps.autoCompactServe(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === rebuildOverFullCorpus(tmp))
+    // converged: re-serving appends nothing and folds nothing
+    val nonce0 = new String(Files.readAllBytes(
+      out.resolve("_INDEX_READY")), "UTF-8")
+    DedupOps.autoCompactServe(spark, tmp).collect()
+    assert(new String(Files.readAllBytes(
+      out.resolve("_INDEX_READY")), "UTF-8") === nonce0)
+  }
+
   test("commitArtifactAppend retry clears the crashed attempt's whole generation first") {
     // a crashed append can leave MORE part files for a generation than
     // the retry writes (different partitioning); the retry must clear

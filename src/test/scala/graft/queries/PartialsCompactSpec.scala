@@ -150,6 +150,69 @@ class PartialsCompactSpec extends SparkSpec {
       "compaction must be invisible through the retraction serve")
   }
 
+  test("q41 age-off advances incrementally, tolerates lagging horizons, and compacts across generations") {
+    // crafted corpus: ts span [1 s, 10 s] → horizons h1 = 3.25 s,
+    // h2 = 5.5 s (lo + span/4, lo + span/2). "old" expires entirely
+    // (1 s, 4 s); "mixed" keeps only its 8 s event; "new" (7 s, 10 s)
+    // is untouched.
+    val tmp = Files.createTempDirectory("q41_spec_").toString
+    import spark.implicits._
+    val base = 1_000_000_000_000_000L
+    def at(sec: Double): Long = base + (sec * 1e9).toLong
+    Seq(
+      (at(1.0), "old", 1.00), (at(4.0), "old", 2.00),
+      (at(2.0), "mixed", 4.00), (at(8.0), "mixed", 3.00),
+      (at(7.0), "new", 5.00), (at(10.0), "new", 6.00))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val served = Relational.q41AggAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === Seq(
+      Vector("mixed", 1L, 3.00),
+      Vector("new", 2L, 11.00)),
+      s"expired history must vanish, survivors must keep exact sums: $served")
+    val out = Relational.q41RwPath(spark, tmp)
+    val h1 = at(1.0) + (at(10.0) - at(1.0)) / 4
+    val h2 = at(1.0) + (at(10.0) - at(1.0)) / 2
+    val names = out.resolve("partials").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names.exists(_.startsWith(s"ageoff$h1-")) &&
+      names.exists(_.startsWith(s"ageoff$h2-")),
+      s"one generation per horizon: ${names.sorted.toSeq}")
+    // INCREMENTAL advance: the h2 generation retracted ONLY the
+    // (h1, h2] increment — on this corpus exactly old's 4 s event —
+    // never the cumulative prefix (a cumulative bug would double-
+    // subtract everything below h1)
+    val incr = spark.read.parquet(out.resolve("partials").toString +
+        s"/ageoff$h2-*")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("pn"),
+        r.getAs[Long]("pc"))).sorted
+    assert(incr.toSeq === Seq(("old", -1L, -200L)), incr.toSeq)
+    // a LAGGING scheduler re-submitting an older horizon must no-op
+    val filesBefore = names.sorted.toSeq
+    Relational.q41AgeOff(spark, tmp, h1)
+    assert(out.resolve("partials").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      filesBefore, "a horizon at or below _AGEOFF must not re-retract")
+    // compaction folds base + appends + BOTH age-off generations; the
+    // fully-expired key survives as an explicit zero row the serve's
+    // n_events > 0 filter hides
+    assert(Relational.q41Compact(spark, tmp))
+    assert(generationKinds(out.resolve("partials")) === Set("compact"))
+    val oldRow = spark.read.parquet(out.resolve("partials").toString)
+      .filter(col("event_type") === "old").collect()
+    assert(oldRow.length === 1 && oldRow.head.getAs[Long]("pn") === 0L)
+    assert(Relational.q41AggAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === served,
+      "compaction must be invisible through the age-off serve")
+    // and the retention loop continues: a LATER horizon lands as a
+    // fresh generation against the compacted base
+    Relational.q41AgeOff(spark, tmp, at(8.5))
+    val aged = Relational.q41AggAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(aged === Seq(Vector("new", 1L, 6.00)), aged.toSeq)
+  }
+
   test("m10 media-index compaction serves m9's result from a single generation") {
     val compacted = MultimodalOps.mediaIndexCompactServe(spark, dir)
       .collect().map(_.toSeq.toVector).toSeq

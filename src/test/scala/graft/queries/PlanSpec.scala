@@ -398,6 +398,30 @@ class PlanSpec extends SparkSpec {
       s"q38's maintenance path must be artifact-only:\n$m")
   }
 
+  test("t38/t39/t40/q41: policy serves are artifact-only; q40's maintenance path too") {
+    // the round-17 policy verbs (age-off, external takedown,
+    // auto-compact, sum age-off) are maintenance-time side effects —
+    // their SERVED plans must read only the persisted artifacts
+    for ((q, art, corpus) <- Seq(
+        ("t38_index_ageoff", "band_members_t38", "documents.parquet"),
+        ("t39_takedown_external", "band_members_t39", "documents.parquet"),
+        ("t40_auto_compact", "band_index_t40", "documents.parquet"),
+        ("q41_agg_ageoff", "q41agg_rw", "events.parquet"))) {
+      val p = plan(q)
+      assert(p.contains(art), s"$q must read its persisted artifact:\n$p")
+      assert(!p.contains(corpus), s"$q must never re-scan the corpus:\n$p")
+    }
+    // q40's GATE carries the exact audit comparator (q34's pattern);
+    // the corpus-free pin applies to the replacement-preferring
+    // maintenance read alone — which must prefer via the persisted
+    // key list, never by re-deriving the window from the corpus
+    val m = Relational.q40MergedEstimates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(m.contains("q40hll_rw") && m.contains("resketch_keys") &&
+      !m.contains("events.parquet"),
+      s"q40's maintenance path must be artifact-only:\n$m")
+  }
+
   test("q33: the incremental query scans ONLY the delta — cut pushed down, no bounds re-scan") {
     // the cut point is maintenance state read from the history
     // artifact, so the events scan must carry the pushed ts > cut

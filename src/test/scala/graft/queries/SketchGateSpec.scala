@@ -114,6 +114,67 @@ class SketchGateSpec extends SparkSpec {
         new java.io.File(h, "partials/_SUCCESS").exists()))
   }
 
+  test("q40 re-sketch retraction touches ONLY the affected keys; untouched sketches are byte-identical; flat fold refused") {
+    // crafted corpus, BIGINT-nanos ts, span 10 s → build cut at 5 s,
+    // retraction window (4 s, 6 s]. "A": events at 1/5/9 s — affected,
+    // survivors {u1, u3}; "B": 0/2/10 s — UNTOUCHED (no event in the
+    // window); "C": 4.5/5.5 s — fully retracted, must ghost-drop.
+    val tmp = java.nio.file.Files.createTempDirectory("q40_spec_").toString
+    import spark.implicits._
+    val base = 1_000_000_000_000_000L
+    def at(sec: Double): Long = base + (sec * 1e9).toLong
+    Seq(
+      (at(1.0), "A", 1L), (at(5.0), "A", 2L), (at(9.0), "A", 3L),
+      (at(0.0), "B", 10L), (at(2.0), "B", 10L), (at(10.0), "B", 11L),
+      (at(4.5), "C", 20L), (at(5.5), "C", 21L))
+      .toDF("ts", "event_type", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // stage base + append, snapshot the base generations' BYTES
+    Relational.q40Stage(spark, tmp)
+    val out = Relational.q40RwPath(spark, tmp)
+    def md5(p: java.nio.file.Path): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+    def baseFiles() = out.resolve("partials").toFile.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("resketch-"))
+      .map(f => f.getName -> md5(f.toPath)).sortBy(_._1).toSeq
+    val snapshot = baseFiles()
+    val served = Relational.q40SketchRetract(spark, tmp).collect()
+    // ghost key C is gone; A re-sketched over survivors; B untouched
+    assert(served.map(r => (r.getString(0), r.getAs[Long]("n_exact")))
+      .toSeq === Seq(("A", 2L), ("B", 2L)), served.toSeq)
+    assert(served.forall(_.getAs[Boolean]("within_err")))
+    // NO silent global re-sketch: every base generation file is
+    // byte-identical to its pre-retraction snapshot
+    assert(baseFiles() === snapshot,
+      "the retraction must never rewrite untouched generations")
+    // the resketch generation carries rows ONLY for keys with
+    // survivors (A), while the key-drop relation names every affected
+    // key (A and the fully-retracted C)
+    val reFiles = out.resolve("partials").toFile.listFiles()
+      .filter(_.getName.startsWith("resketch-")).map(_.toString)
+    assert(reFiles.nonEmpty, "the resketch generation must land")
+    val reKeys = spark.read.parquet(reFiles.toIndexedSeq: _*)
+      .select(col("event_type")).collect().map(_.getString(0)).sorted
+    assert(reKeys.toSeq === Seq("A"), reKeys.toSeq)
+    val dropKeys = spark.read
+      .parquet(out.resolve("resketch_keys").toString)
+      .collect().map(_.getString(0)).sorted
+    assert(dropKeys.toSeq === Seq("A", "C"), dropKeys.toSeq)
+    // a flat fold would re-add the rows the resketch replaces — the
+    // shared compaction must refuse, loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.compactArtifact(spark, out, rel = "partials")(df => df)
+    }
+    // idempotent: a second serve short-circuits on _RESKETCHED
+    val again = Relational.q40SketchRetract(spark, tmp).collect()
+    assert(again.map(_.toSeq.toVector).toSeq ===
+      served.map(_.toSeq.toVector).toSeq)
+    assert(baseFiles() === snapshot)
+  }
+
   test("t23: audit covers every LSH candidate pair, consistently") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val nCand = DedupOps.minhashPairsOf(d).count()

@@ -177,6 +177,110 @@ class TombstoneSpec extends SparkSpec {
     assert(!after.queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
 
+  test("t38 age-off: per-horizon generations, idempotent advance, compaction folds them all") {
+    // ids 0..100 → horizons h1 = 20, h2 = 40 (lo + span/5, lo +
+    // 2·span/5). "X" {10, 50}: canon 10 expires at h1 → re-elect 50;
+    // "Y" {30, 70}: canon 30 expires at h2 → re-elect 70; 0 expires
+    // outright; 100 survives as a singleton.
+    val tmp = Files.createTempDirectory("t38_spec_").toString
+    import spark.implicits._
+    Seq(
+      (0L, "winter rivers freeze under pale skies"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (30L, "one two three four five six"),
+      (70L, "one two three four five six"),
+      (100L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val served = DedupOps.indexAgeOff(spark, tmp).collect()
+    val canons = served.map(_.getAs[Long]("canon")).distinct.sorted
+    assert(canons.toSeq === Seq(50L, 70L, 100L), canons.toSeq)
+    // TWO age-off generations on disk, one per horizon
+    val idx = DedupOps.t38IndexPath(spark, tmp)
+    val tombNames = idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(tombNames.exists(_.startsWith("delete-h20-")) &&
+      tombNames.exists(_.startsWith("delete-h40-")), tombNames)
+    // horizon advance is idempotent PER HORIZON: re-running an applied
+    // cutoff short-circuits on its own marker (files + nonce untouched)
+    val nonce0 = new String(Files.readAllBytes(
+      idx.resolve("_INDEX_READY")), "UTF-8")
+    DedupOps.ageOffMembers(spark, idx, 20L)
+    assert(idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === tombNames)
+    assert(new String(Files.readAllBytes(
+      idx.resolve("_INDEX_READY")), "UTF-8") === nonce0)
+    // age-off ≡ rebuild over corpus-minus-expired, bit for bit
+    val rebuild = DedupOps.bandedSignaturesOf(
+        spark.read.parquet(s"$tmp/documents.parquet")
+          .filter(col("doc_id") > 40L))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served.map(_.toSeq.toVector).toSeq === rebuild)
+    // ONE compaction folds BOTH horizon generations into the base
+    assert(DedupOps.compactTombstoneIndex(spark, idx))
+    assert(DedupOps.indexAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === rebuild)
+    assert(!idx.resolve("tombstones").toFile.listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // a LATER horizon starts a fresh generation against the compacted
+    // membership: the retention loop keeps advancing forever
+    DedupOps.ageOffMembers(spark, idx, 60L)
+    assert(idx.resolve("tombstones").toFile.listFiles()
+      .exists(_.getName.startsWith("delete-h60-")))
+    val aged = DedupOps.aliveMembers(spark, idx)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .collect().map(_.getAs[Long]("canon")).distinct.sorted
+    assert(aged.toSeq === Seq(70L, 100L), aged.toSeq)
+  }
+
+  test("t39 external takedown list: absent ids no-op, repeated ids are idempotent") {
+    // multiples of 7 in range: {7, 14}. "X" {7, 9}: canon 7 erased →
+    // re-elect 9; "Y" {14}: the whole bucket vanishes; "Z" {10, 20}:
+    // untouched.
+    val tmp = Files.createTempDirectory("t39_spec_").toString
+    import spark.implicits._
+    Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "alpha beta gamma delta epsilon zeta"),
+      (14L, "one two three four five six"),
+      (10L, "planets orbit the bright distant star"),
+      (20L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the staged input relation really carries the two edge cases: an
+    // id ABSENT from the index (hi + 1000) and a REPEATED id
+    val ext = DedupOps.stageT39Erasures(spark, tmp)
+    val ids = spark.read.parquet(ext.resolve("erasures").toString)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids === Seq(7L, 7L, 14L, 1020L), ids)
+    val served = DedupOps.takedownExternal(spark, tmp).collect()
+    val canons = served.map(_.getAs[Long]("canon")).distinct.sorted
+    assert(canons.toSeq === Seq(9L, 10L), canons.toSeq)
+    // ≡ rebuild over the PRESENT listed docs removed (1020 no-ops)
+    val rebuild = DedupOps.bandedSignaturesOf(
+        spark.read.parquet(s"$tmp/documents.parquet")
+          .filter(col("doc_id") % 7L =!= 0L))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served.map(_.toSeq.toVector).toSeq === rebuild)
+    // a re-submitted list short-circuits on the marker
+    val idx = DedupOps.t39IndexPath(spark, tmp)
+    val nonce0 = new String(Files.readAllBytes(
+      idx.resolve("_INDEX_READY")), "UTF-8")
+    val again = DedupOps.takedownExternal(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(again === rebuild)
+    assert(new String(Files.readAllBytes(
+      idx.resolve("_INDEX_READY")), "UTF-8") === nonce0)
+  }
+
   test("t37 is idempotent across serves and crash-safe at the takedown window") {
     val dir = craft()
     DedupOps.tombstoneReelect(spark, dir).collect()
