@@ -226,6 +226,8 @@ object Bench {
         (() => { graft.queries.Relational.q40Retract(spark, sfDir); () }),
       Set("q41_agg_ageoff") ->
         (() => { graft.queries.Relational.q41AggAgeOff(spark, sfDir); () }),
+      Set("m12_media_ageoff") ->
+        (() => { graft.queries.MultimodalOps.mediaAgeOff(spark, sfDir); () }),
       Set("m10_media_index_compact") ->
         (() => { graft.queries.MultimodalOps.mediaIndexCompactServe(spark, sfDir); () }),
       Set("m11_media_tombstone_reelect") ->

@@ -413,6 +413,59 @@ object MultimodalOps {
     DedupOps.applyTakedown(s, m11IndexPath(s, dir))(m11TakedownSet)
   }
 
+  /** m12's OWN membership copy (m11 holds the canon-takedown's
+    * tombstones; gates never share a mutable artifact). `_HORIZONS`
+    * persists the fixture's two retention cutoffs at build time —
+    * t38's rule: the steady-state serve never re-scans the corpus for
+    * bounds; in production the horizon is the retention policy's
+    * input. */
+  private[graft] def m12IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_members_m12",
+      s"mediamembersm12:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def buildMediaAgeOffIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = m12IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val m = mediaTable(s, dir)
+      // one-time bounds read, confined to the build
+      val Array(lo, hi) = m.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      mediaAhashOf(m.select(col("doc_id"), col("payload")))
+        .select(col("ahash"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+      java.nio.file.Files.write(out.resolve("_HORIZONS"),
+        s"${lo + (hi - lo) / 5} ${lo + (hi - lo) * 2 / 5}"
+          .getBytes("UTF-8"))
+    }
+    out
+  }
+
+  /** m12: retention/TTL age-off on the MEDIA shelf — the policy verb
+    * is shelf-agnostic by construction: [[DedupOps.ageOffMembers]]
+    * filters the membership relation on `doc_id` alone, so the
+    * identical horizon-generation mechanics (per-horizon
+    * `delete-h<horizon>-*` tombstones + `_TAKEDOWN_<horizon>`
+    * markers, one compaction folding any number of them) apply to the
+    * `(ahash, doc_id)` members unchanged — no media-specific deletion
+    * code exists, which is the point of sharing `applyTakedown`.
+    * Re-election is the same min fold the m11 serve runs. Oracle =
+    * the re-hash over media above the second horizon (age-off must be
+    * exactly as if the expired media had never been ingested; the
+    * expired payload bytes never rejoin any plan). */
+  def mediaAgeOff(s: SparkSession, dir: String): DataFrame = {
+    val out = buildMediaAgeOffIndex(s, dir)
+    val Array(h1, h2) = new String(java.nio.file.Files.readAllBytes(
+      out.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+").map(_.toLong)
+    DedupOps.ageOffMembers(s, out, h1)
+    DedupOps.ageOffMembers(s, out, h2)
+    DedupOps.aliveMembers(s, DedupOps.requireReady(out))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+  }
+
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
     val h = mediaAhash(s, dir)
     val g = h.groupBy(col("ahash"))
@@ -480,7 +533,8 @@ object MultimodalOps {
     "m8_media_index_probe" -> (mediaIndexProbe _),
     "m9_media_index_append" -> (mediaIndexAppendServe _),
     "m10_media_index_compact" -> (mediaIndexCompactServe _),
-    "m11_media_tombstone_reelect" -> (mediaTombstoneReelect _))
+    "m11_media_tombstone_reelect" -> (mediaTombstoneReelect _),
+    "m12_media_ageoff" -> (mediaAgeOff _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -542,6 +596,17 @@ object MultimodalOps {
          | GROUP BY ahash HAVING count(*) >= 2)
          |SELECT ahash, min(doc_id) AS canon
          |FROM a WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m12: the re-hash over media above the SECOND horizon (the two
+    // horizon advances compose; integer // matches the engine's Long
+    // arithmetic, t38's rule on the media shelf)
+    "m12_media_ageoff" ->
+      s"""WITH $ahashCtes,
+         |bounds AS (
+         | SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5 AS h2
+         | FROM documents)
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a CROSS JOIN bounds WHERE doc_id > h2
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m5_phash_dedup" -> {
       s"""WITH $ahashCtes,

@@ -238,6 +238,49 @@ class TombstoneSpec extends SparkSpec {
     assert(aged.toSeq === Seq(70L, 100L), aged.toSeq)
   }
 
+  test("m12 age-off on the media shelf runs through the IDENTICAL shared mechanics") {
+    // t38's crafted corpus: identical text ⇒ identical synthesized
+    // payload ⇒ identical ahash, so the same horizon arithmetic
+    // (h1 = 20, h2 = 40 over ids 0..100) must re-elect 50 and 70 and
+    // expire 0/10/30 from the hash buckets
+    val tmp = Files.createTempDirectory("m12_spec_").toString
+    import spark.implicits._
+    Seq(
+      (0L, "winter rivers freeze under pale skies"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (30L, "one two three four five six"),
+      (70L, "one two three four five six"),
+      (100L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val served = MultimodalOps.mediaAgeOff(spark, tmp).collect()
+    val canons = served.map(_.getAs[Long]("canon")).distinct.sorted
+    assert(canons.toSeq === Seq(50L, 70L, 100L), canons.toSeq)
+    // age-off ≡ re-hashing only the surviving media
+    val rebuild = MultimodalOps.mediaAhashOf(
+        MultimodalOps.mediaTable(spark, tmp)
+          .filter(col("doc_id") > 40L)
+          .select(col("doc_id"), col("payload")))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served.map(_.toSeq.toVector).toSeq === rebuild)
+    // two horizon generations; ONE compaction folds both (the shared
+    // compactTombstoneIndex, no media-specific deletion code)
+    val idx = MultimodalOps.m12IndexPath(spark, tmp)
+    val tombNames = idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(tombNames.exists(_.startsWith("delete-h20-")) &&
+      tombNames.exists(_.startsWith("delete-h40-")), tombNames)
+    assert(DedupOps.compactTombstoneIndex(spark, idx))
+    assert(MultimodalOps.mediaAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === rebuild)
+    assert(!MultimodalOps.mediaAgeOff(spark, tmp)
+      .queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
   test("t39 external takedown list: absent ids no-op, repeated ids are idempotent") {
     // multiples of 7 in range: {7, 14}. "X" {7, 9}: canon 7 erased →
     // re-elect 9; "Y" {14}: the whole bucket vanishes; "Z" {10, 20}:
