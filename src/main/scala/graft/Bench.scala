@@ -233,7 +233,9 @@ object Bench {
       Set("m11_media_tombstone_reelect") ->
         (() => { graft.queries.MultimodalOps.stageMediaTombstones(spark, sfDir); () }),
       Set("v21_vector_forget") ->
-        (() => { graft.queries.VectorOps.stageVectorForget(spark, sfDir); () }))
+        (() => { graft.queries.VectorOps.stageVectorForget(spark, sfDir); () }),
+      Set("v22_vector_ageoff") ->
+        (() => { graft.queries.VectorOps.stageVectorAgeOff(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with
     // in-query operators (buildNearDupIndex populates t9/v15's
     // centroid memo, buildCcIndex populates t13's label memo) — that

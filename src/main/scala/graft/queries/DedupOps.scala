@@ -1372,13 +1372,17 @@ object DedupOps {
     * is idempotent PER HORIZON: re-running yesterday's cutoff
     * short-circuits, today's lands beside it, and compaction folds
     * any number of age-off generations into the membership base in
-    * one pass. */
+    * one pass. `idCol` names the membership id column (doc_id on the
+    * band/media shelves, vec_id on the vector shelf) — the predicate
+    * is the only shelf-varying part, which is what makes the verb
+    * shelf-agnostic. */
   private[graft] def ageOffMembers(s: SparkSession,
-      out: java.nio.file.Path, horizon: Long): Unit =
+      out: java.nio.file.Path, horizon: Long,
+      idCol: String = "doc_id"): Unit =
     applyTakedown(s, out, gen = s"h$horizon",
       marker = s"_TAKEDOWN_$horizon")(
-      _.filter(col("doc_id") <= horizon)
-        .select(col("doc_id")).distinct())
+      _.filter(col(idCol) <= horizon)
+        .select(col(idCol)).distinct())
 
   /** t38: retention/TTL age-off, served — build the membership
     * artifact, advance the horizon TWICE (two age-off generations on

@@ -970,6 +970,64 @@ object VectorOps {
     DedupOps.applyTakedown(s, v21IndexPath(s, dir))(v21ForgetSet)
   }
 
+  /** v22's OWN members copy (v21 holds the erasure-batch tombstones;
+    * gates never share a mutable artifact). `_HORIZONS` derives from
+    * the assign relation's OWN vec_id bounds — fully index-local, the
+    * corpus is not even scanned for the policy staging (t38/m12 pay a
+    * corpus bounds read at build; the vector shelf's members carry
+    * the ids already). */
+  private[graft] def v22IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("vec_members_v22",
+      s"vecmembersv22:$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}")
+
+  private[graft] def buildVecAgeOffIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = v22IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val idx = DedupOps.buildNearDupIndex(s, dir)
+      val assign = s.read.parquet(s"$idx/assign")
+      val Array(lo, hi) = assign
+        .agg(min(col("vec_id")), max(col("vec_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      assign.write.mode("overwrite")
+        .parquet(out.resolve("members").toString)
+      java.nio.file.Files.write(out.resolve("_HORIZONS"),
+        s"${lo + (hi - lo) / 5} ${lo + (hi - lo) * 2 / 5}"
+          .getBytes("UTF-8"))
+    }
+    out
+  }
+
+  /** v22's maintenance path (members copy + two horizon advances),
+    * exposed for the bench pre-stager. */
+  private[graft] def stageVectorAgeOff(s: SparkSession, dir: String): Unit = {
+    graft.functions.VectorDotProduct.register(s)
+    val out = buildVecAgeOffIndex(s, dir)
+    val Array(h1, h2) = new String(java.nio.file.Files.readAllBytes(
+      out.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+").map(_.toLong)
+    DedupOps.ageOffMembers(s, out, h1, idCol = "vec_id")
+    DedupOps.ageOffMembers(s, out, h2, idCol = "vec_id")
+  }
+
+  /** v22: retention/TTL age-off on the VECTOR shelf — the policy verb
+    * completes the matrix: band (t38), media (m12), sum (q41), and
+    * now vectors, all through [[DedupOps.ageOffMembers]] with only
+    * the id column varying. Cells stay FROZEN (v20/v21's rule —
+    * retention must not relearn the quantizer), tombstones land per
+    * horizon, and re-election is RE-RANKING through the existing
+    * top-3 tail over the surviving candidate set, exactly v21's serve
+    * with a different survivor predicate. Oracle = the full-corpus
+    * frozen-assignment chain filtered to vec_id above the second
+    * horizon AFTER assignment — the engine's dataflow. */
+  def vectorAgeOff(s: SparkSession, dir: String): DataFrame = {
+    stageVectorAgeOff(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      DedupOps.aliveMembers(s,
+        DedupOps.requireReady(v22IndexPath(s, dir)), idCol = "vec_id"),
+      DedupOps.NearDupCellCap))
+  }
+
   private lazy val knnGraphScaledOracle: String =
     s"""${DedupOps.nearDupPairsCtes},
        |d AS (
@@ -1661,7 +1719,8 @@ object VectorOps {
     "v18_int8_rerank" -> (annInt8Rerank _),
     "v19_knn_index_load" -> (knnGraphServe _),
     "v20_knn_delta_append" -> (knnGraphDeltaAppend _),
-    "v21_vector_forget" -> (vectorForget _))
+    "v21_vector_forget" -> (vectorForget _),
+    "v22_vector_ageoff" -> (vectorAgeOff _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1762,6 +1821,7 @@ object VectorOps {
     // a hash match proves no relearn happened on the delta
     "v20_knn_delta_append" -> knnDeltaOracle,
     "v21_vector_forget" -> v21ForgetOracle,
+    "v22_vector_ageoff" -> v22AgeOffOracle,
     "v16_range_search" -> rangeSearchOracle)
 
   /** v21's oracle: the v15 chain with the forgotten slice filtered
@@ -1770,6 +1830,23 @@ object VectorOps {
     * the engine's exact dataflow. */
   private lazy val v21ForgetOracle: String =
     s"""${DedupOps.nearDupPairsCtesWhere(s"vec_id % $V21ForgetMod <> 0")},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
+  /** v22's oracle: v21's shape with the survivor predicate a horizon
+    * threshold over the id span (scalar subquery — DuckDB evaluates
+    * it once; integer // matches the engine's Long arithmetic). */
+  private lazy val v22AgeOffOracle: String =
+    s"""${DedupOps.nearDupPairsCtesWhere(
+        "vec_id > (SELECT min(vec_id) + (max(vec_id) - min(vec_id)) * 2 // 5 FROM embeddings)")},
        |d AS (
        | SELECT vec_a AS src, vec_b AS dst, cos FROM p
        | UNION ALL

@@ -407,6 +407,7 @@ class PlanSpec extends SparkSpec {
         ("t39_takedown_external", "band_members_t39", "documents.parquet"),
         ("t40_auto_compact", "band_index_t40", "documents.parquet"),
         ("m12_media_ageoff", "media_members_m12", "documents.parquet"),
+        ("v22_vector_ageoff", "vec_members_v22", "embeddings.parquet"),
         ("q41_agg_ageoff", "q41agg_rw", "events.parquet"))) {
       val p = plan(q)
       assert(p.contains(art), s"$q must read its persisted artifact:\n$p")

@@ -324,6 +324,38 @@ class TombstoneSpec extends SparkSpec {
       idx.resolve("_INDEX_READY")), "UTF-8") === nonce0)
   }
 
+  test("v22 age-off on the vector shelf: frozen cells, per-horizon tombstones, re-rank over survivors") {
+    val dir = "/root/testdata/sf0.001"
+    // fingerprint-keyed artifact persists across runs — fresh lifecycle
+    DedupOps.deleteRecursively(VectorOps.v22IndexPath(spark, dir).toFile)
+    val served = VectorOps.vectorAgeOff(spark, dir).collect()
+    val idx = VectorOps.v22IndexPath(spark, dir)
+    val Array(h1, h2) = new String(Files.readAllBytes(
+      idx.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+").map(_.toLong)
+    assert(h1 < h2)
+    // no expired vector appears on either side of the graph
+    assert(served.forall(r => r.getAs[Long]("src") > h2 &&
+      r.getAs[Long]("dst") > h2))
+    // serve ≡ the graph over the surviving members of the SAME frozen
+    // assignment (retention must not relearn the quantizer)
+    val assign = spark.read.parquet(
+      s"${DedupOps.buildNearDupIndex(spark, dir)}/assign")
+    val expected = VectorOps.knnDirectedTop3(DedupOps.cellBlockedPairs(
+        assign.filter(col("vec_id") > h2), DedupOps.NearDupCellCap))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served.map(_.toSeq.toVector).toSeq === expected)
+    // one tombstone generation per horizon, through the shared verb
+    val tombNames = idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(tombNames.exists(_.startsWith(s"delete-h$h1-")) &&
+      tombNames.exists(_.startsWith(s"delete-h$h2-")), tombNames)
+    // compaction folds both; serve unchanged, anti-join gone
+    assert(DedupOps.compactTombstoneIndex(spark, idx, idCol = "vec_id"))
+    val after = VectorOps.vectorAgeOff(spark, dir)
+    assert(after.collect().map(_.toSeq.toVector).toSeq === expected)
+    assert(!after.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
   test("t37 is idempotent across serves and crash-safe at the takedown window") {
     val dir = craft()
     DedupOps.tombstoneReelect(spark, dir).collect()
