@@ -1231,6 +1231,45 @@ object ScaleDemo {
           noop(queries.VectorOps.vectorForget(spark, docsDir.toString))
         }
       }
+      // v22: retention on the vector shelf — v21's mechanics driven
+      // by the horizon predicate, two advances (the scheduled-job
+      // shape), each an O(expired) tombstone write; the same
+      // relearn comparator applies.
+      locally {
+        val out = queries.VectorOps.v22IndexPath(spark, docsDir.toString)
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(out.toFile)
+        time("v22 AGE-OFF staging (members copy + TWO horizon advances)") {
+          queries.VectorOps.stageVectorAgeOff(spark, docsDir.toString)
+        }
+        locally {
+          val tombBytes = Option(out.resolve("tombstones").toFile
+            .listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+          println(s"SCALE v22 tombstones ${tombBytes.map(_.length).sum} B " +
+            s"(${tombBytes.size} files, " +
+            s"${tombBytes.map(_.getName.split("-")(1)).distinct.length} horizons)")
+        }
+        spark.catalog.clearCache()
+        var aEdges = 0L
+        time("v22 aged-members graph serve (anti-join + re-rank)") {
+          aEdges = queries.VectorOps
+            .vectorAgeOff(spark, docsDir.toString).count()
+        }
+        println(s"SCALE v22 served edges over survivors: $aEdges " +
+          s"(v19 full graph: $edges)")
+        spark.catalog.clearCache()
+        time("v22 COMPACT (fold both horizon generations)") {
+          queries.DedupOps.compactTombstoneIndex(spark, out,
+            idCol = "vec_id")
+        }
+        spark.catalog.clearCache()
+        time("v22 serve after compaction (plain members scan)") {
+          noop(queries.VectorOps.vectorAgeOff(spark, docsDir.toString))
+        }
+      }
     }
     }
 
