@@ -321,6 +321,14 @@ class IndexAppendSpec extends SparkSpec {
     DedupOps.autoCompactServe(spark, tmp).collect()
     assert(new String(Files.readAllBytes(
       out.resolve("_INDEX_READY")), "UTF-8") === nonce0)
+    // crash window anywhere in the append/auto-fold cycle leaves a
+    // marker-less directory — the gate must degrade to rebuild (and
+    // replay the policy appends), never serve half-folded state
+    Files.delete(out.resolve("_INDEX_READY"))
+    assert(DedupOps.autoCompactServe(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === rebuildOverFullCorpus(tmp))
+    assert(Files.size(out.resolve("_INDEX_READY")) > 0,
+      "recovery must re-stamp a fresh nonce")
   }
 
   test("commitArtifactAppend retry clears the crashed attempt's whole generation first") {

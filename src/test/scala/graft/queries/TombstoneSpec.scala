@@ -238,6 +238,41 @@ class TombstoneSpec extends SparkSpec {
     assert(aged.toSeq === Seq(70L, 100L), aged.toSeq)
   }
 
+  test("t38 crash inside an age-off window degrades to rebuild and re-derives deterministically") {
+    val tmp = Files.createTempDirectory("t38_crash_spec_").toString
+    import spark.implicits._
+    Seq(
+      (0L, "winter rivers freeze under pale skies"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (30L, "one two three four five six"),
+      (70L, "one two three four five six"),
+      (100L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val first = DedupOps.indexAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    // crash window: the nonce vanished mid-mutation — the artifact
+    // (members, BOTH horizon tombstone generations, _HORIZONS, the
+    // per-horizon markers) must rebuild and re-derive to the same
+    // served relation, because every input to the policy (the corpus,
+    // the horizon arithmetic) is deterministic
+    val idx = DedupOps.t38IndexPath(spark, tmp)
+    Files.delete(idx.resolve("_INDEX_READY"))
+    val recovered = DedupOps.indexAgeOff(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(recovered === first)
+    assert(Files.size(idx.resolve("_INDEX_READY")) > 0,
+      "recovery must re-stamp a fresh nonce")
+    assert(Files.exists(idx.resolve("_HORIZONS")),
+      "the rebuild must re-stage the policy horizons")
+    assert(idx.resolve("tombstones").toFile.listFiles()
+      .exists(_.getName.startsWith("delete-h20-")) &&
+      idx.resolve("tombstones").toFile.listFiles()
+        .exists(_.getName.startsWith("delete-h40-")),
+      "the rebuild must re-apply BOTH horizon generations")
+  }
+
   test("m12 age-off on the media shelf runs through the IDENTICAL shared mechanics") {
     // t38's crafted corpus: identical text ⇒ identical synthesized
     // payload ⇒ identical ahash, so the same horizon arithmetic
