@@ -315,14 +315,14 @@ object Bench {
         else if (times.length == 1 && times.head._2) Some(cold)
         else None
       (name, cold, warm, err, times.map(_._1),
-        times.map(_._3), times.map(_._4))
+        times.map(_._3), times.map(_._4), times.map(_._2))
     }
     def obj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val warmQ = obj(rows.collect {
-      case (n, _, Some(w), _, _, _, _) => n -> w.toString })
+      case (n, _, Some(w), _, _, _, _, _) => n -> w.toString })
     // tail-survival chunks: shortened keys (prefix to first '_'; jh_*
     // stay full — every registry family q/t/v/s/m numbers its ops, so
     // the prefix is unique), greedily packed into short lines
@@ -338,7 +338,7 @@ object Bench {
         .mkString("; "))
     val ChunkLen = 360
     val warmChunks: Seq[String] = {
-      val entries = rows.collect { case (n, _, Some(w), _, _, _, _) =>
+      val entries = rows.collect { case (n, _, Some(w), _, _, _, _, _) =>
         jsonStr(shortKey(n)) + ":" + d3(w) }
       val acc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
       var cur = List.empty[String]; var len = 0
@@ -356,7 +356,7 @@ object Bench {
     }
     val coldQ = obj(rows.map(r => r._1 -> r._2.toString))
     val errQ = obj(rows.collect {
-      case (n, _, _, Some(e), _, _, _) => n -> jsonStr(e) })
+      case (n, _, _, Some(e), _, _, _, _) => n -> jsonStr(e) })
     val repQ = obj(rows.map(r =>
       r._1 -> r._5.map(d3).mkString("[", ",", "]")))
     // full per-rep environment telemetry (detail line, expendable)
@@ -368,7 +368,7 @@ object Bench {
     // the guaranteed-survival headline line (box-vs-engine evidence),
     // with their per-rep gc + executor-run companions
     val slow3 = rows
-      .collect { case (n, _, Some(w), _, ts, gs, xs) => (n, w, ts, gs, xs) }
+      .collect { case (n, _, Some(w), _, ts, gs, xs, _) => (n, w, ts, gs, xs) }
       .sortBy(-_._2).take(3)
     val slowQ = obj(slow3.map { case (n, _, ts, _, _) =>
       n -> ts.map(d3).mkString("[", ",", "]") })
@@ -381,8 +381,14 @@ object Bench {
     // watchlist trio (and any future driver drift) self-diagnoses from
     // the driver artifact alone
     val auxChunks: Seq[String] = {
-      val entries = rows.collect { case (n, _, Some(_), _, _, gs, xs) =>
-        def m(vs: Seq[Double]) = median(if (vs.tail.nonEmpty) vs.tail else vs)
+      val entries = rows.collect { case (n, _, Some(_), _, _, gs, xs, oks) =>
+        // gc/exec medians over the SAME reps the warm wall median uses
+        // (warm successful reps only): a crashed rep's truncated
+        // deltas must not skew the box-vs-engine adjudication columns
+        def m(vs: Seq[Double]) = {
+          val warm = vs.tail.zip(oks.tail).collect { case (v, true) => v }
+          median(if (warm.nonEmpty) warm else vs)
+        }
         jsonStr(shortKey(n)) + ":[" + d3(m(gs)) + "," + d3(m(xs)) + "]" }
       val acc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
       var cur = List.empty[String]; var len = 0

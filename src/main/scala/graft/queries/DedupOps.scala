@@ -1057,8 +1057,10 @@ object DedupOps {
       val files = Option(dst.toFile.listFiles()).toSeq.flatten
       require(!files.exists(_.getName.startsWith("resketch-")),
         s"$out/$rel holds resketch-* generations: a flat fold would " +
-          "re-add the rows they replace — use the family's " +
-          "replacement-aware compaction (q40Compact)")
+          "re-add the rows they replace — serve through the family's " +
+          "replacement-preferring merge-on-read " +
+          "(Relational.q40MergedEstimates); resketch artifacts have no " +
+          "flat compaction")
       val hasAppends = files.exists(f => f.getName.startsWith("append-") ||
         f.getName.startsWith("retract") || f.getName.startsWith("ageoff"))
       if (!hasAppends) false
@@ -1429,7 +1431,10 @@ object DedupOps {
       val Array(lo, hi) = docs(s, dir)
         .agg(min(col("doc_id")), max(col("doc_id")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      val first = ((lo + 6) / 7) * 7
+      // ceiling via floor division: (lo + 6) / 7 truncates toward zero,
+      // which for a negative lo SKIPS the first in-range multiple of 7
+      // and diverges from the doc_id % 7 <> 0 oracle
+      val first = Math.floorDiv(lo + 6, 7) * 7
       import s.implicits._
       s.range(first, hi + 1, 7).select(col("id").as("doc_id"))
         .unionAll(Seq(hi + 1000L, first).toDF("doc_id"))
