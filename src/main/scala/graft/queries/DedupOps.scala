@@ -606,8 +606,19 @@ object DedupOps {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", s"${prefix}_$hex").toAbsolutePath
+    val p = java.nio.file.Paths.get("target", s"${prefix}_$hex")
+      .toAbsolutePath
+    // recorded so the build can stamp `_KEY` (the housekeeping sweep
+    // adjudicates staleness from it — see [[sweepStaleArtifacts]])
+    artifactKeys.put(p, key)
+    p
   }
+
+  // path → the key it hashes; written into each built artifact as
+  // `_KEY` so a later session can tell a live artifact (its key's
+  // fingerprint still matches the staged corpus) from a stale one
+  private val artifactKeys =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, String]
 
   // one lock PER artifact path — scope: THIS JVM only. Unrelated
   // families (the ANN index and the CC labels, say) build concurrently
@@ -630,19 +641,124 @@ object DedupOps {
   private[graft] def artifactLock(out: java.nio.file.Path): Object =
     artifactLocks.computeIfAbsent(out, _ => new Object)
 
+  /** Thrown by a conditional commit whose `_CUT` precondition failed:
+    * another writer advanced the watermark between this writer's read
+    * and its commit — the delta was computed against a stale cut and
+    * must be recomputed. Retryable by construction
+    * ([[retryOnConflict]]); committing anyway would either regress
+    * `_CUT` (later appends re-absorb the gap — double count) or stamp
+    * a generation the watermark doesn't cover (silent hole). */
+  private[graft] final class ArtifactConflict(msg: String)
+    extends RuntimeException(msg)
+
+  /** Re-run a read-compute-commit cycle when its conditional commit
+    * loses the race. The BODY must re-read `_CUT` itself — that is
+    * the point of the retry. */
+  private[graft] def retryOnConflict[T](attempts: Int = 5)(body: => T): T = {
+    var left = attempts
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: ArtifactConflict =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    out.get
+  }
+
+  private def leaseTtlMs: Long =
+    sys.props.get("graft.artifact.leaseTtlMs").map(_.toLong)
+      .getOrElse(600000L)
+  private def leaseWaitMs: Long =
+    sys.props.get("graft.artifact.leaseWaitMs").map(_.toLong)
+      .getOrElse(120000L)
+
+  /** CROSS-PROCESS mutation lease on an artifact directory — the gap
+    * [[artifactLock]] cannot close: that lock is a per-path in-process
+    * object, so two mutating DRIVERS (production's nightly shape —
+    * several jobs appending to one shared living index) could
+    * interleave a read-compute-commit cycle and lose a generation or
+    * double-advance `_CUT`. The lease is a `_LEASE` file created
+    * atomically (`CREATE_NEW` — the filesystem's test-and-set);
+    * holders that die leave a lease whose mtime goes stale and any
+    * waiter older than the TTL breaks it (the artifact itself stays
+    * consistent under the marker-last contract — a broken-lease
+    * half-mutation is marker-less and degrades to rebuild). Waiters
+    * spin with a bounded timeout: surfacing a stuck lease loudly
+    * beats queueing mutations invisibly. TTL/wait are
+    * system-property-tunable (`graft.artifact.leaseTtlMs` /
+    * `leaseWaitMs`) so specs can pin the break/timeout paths without
+    * ten-minute sleeps. */
+  private[graft] def withArtifactLease[T](out: java.nio.file.Path)(
+      body: => T): T = {
+    java.nio.file.Files.createDirectories(out)
+    val lease = out.resolve("_LEASE")
+    val nonce = ProcessHandle.current().pid().toString + "@" +
+      java.util.UUID.randomUUID().toString
+    val deadline = System.nanoTime() + leaseWaitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.write(lease, nonce.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lease).toMillis
+            catch { case _: java.io.IOException => -1L }
+          if (age > leaseTtlMs) {
+            // stale: the holder died mid-mutation. Two waiters racing
+            // the break is fine — deleteIfExists + CREATE_NEW elects
+            // exactly one next holder.
+            java.nio.file.Files.deleteIfExists(lease)
+            ()
+          } else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire $lease within ${leaseWaitMs} ms — " +
+                "a live mutator holds it (or raise " +
+                "graft.artifact.leaseTtlMs if its holder is known dead)")
+          else Thread.sleep(25)
+      }
+    }
+    try body
+    finally {
+      // release only OUR lease: a TTL break may have handed the file
+      // to another holder while we ran (we were presumed dead)
+      try {
+        if (java.nio.file.Files.exists(lease) &&
+            new String(java.nio.file.Files.readAllBytes(lease),
+              "UTF-8") == nonce)
+          java.nio.file.Files.delete(lease)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   private[graft] def ensureArtifact(out: java.nio.file.Path)(
       build: => Unit): String = artifactLock(out).synchronized {
     val marker = out.resolve("_INDEX_READY")
-    if (!java.nio.file.Files.exists(marker) ||
-        java.nio.file.Files.size(marker) == 0) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    def ready = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.size(marker) > 0
+    // fast path stays lease-free: a built artifact is immutable until
+    // a mutator takes the lease, so the marker check alone suffices
+    if (!ready) withArtifactLease(out) {
+      // another process may have finished the build while we waited
+      if (!ready) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        Option(out.toFile.listFiles()).foreach(
+          _.filter(_.getName != "_LEASE").foreach(rm))
+        build
+        java.nio.file.Files.createDirectories(out)
+        java.nio.file.Files.write(out.resolve("_KEY"),
+          Option(artifactKeys.get(out)).getOrElse("").getBytes("UTF-8"))
+        java.nio.file.Files.write(marker,
+          System.nanoTime().toString.getBytes("UTF-8"))
       }
-      rm(out.toFile)
-      build
-      java.nio.file.Files.createDirectories(out)
-      java.nio.file.Files.write(marker,
-        System.nanoTime().toString.getBytes("UTF-8"))
     }
     out.toString
   }
@@ -843,11 +959,34 @@ object DedupOps {
     * own-generation clear match nothing — the negated partials then
     * applied TWICE. Inside the window no such state exists: a crash
     * anywhere before the nonce leaves a marker-less artifact that
-    * degrades to rebuild. */
+    * degrades to rebuild.
+    *
+    * CROSS-PROCESS safety: the whole window runs under the
+    * [[withArtifactLease]] file lease, and `expectedCut` (pass the
+    * `_CUT` the delta was computed against) makes the commit
+    * CONDITIONAL — the cut is re-read under the lease and a mismatch
+    * throws [[ArtifactConflict]] instead of committing: two drivers
+    * interleaving read-compute-commit on a shared index would
+    * otherwise move colliding generation files and regress/
+    * double-advance the watermark. Callers retry the whole cycle
+    * ([[retryOnConflict]] — the recompute sees the new cut). */
+  private[graft] val NoExpectedCut: Long = Long.MinValue
+
   private[graft] def commitArtifactAppend(out: java.nio.file.Path,
       tmp: java.nio.file.Path, newCut: Long,
       rel: String = "buckets", kind: String = "append",
-      beforeReady: () => Unit = () => ()): Unit = {
+      beforeReady: () => Unit = () => (),
+      expectedCut: Long = NoExpectedCut): Unit = withArtifactLease(out) {
+    if (expectedCut != NoExpectedCut) {
+      val cur = cutOf(out)
+      if (cur != expectedCut) {
+        deleteRecursively(tmp.toFile)
+        throw new ArtifactConflict(
+          s"$out/_CUT moved $expectedCut -> $cur under this writer: " +
+            "another mutator committed first — recompute the delta " +
+            "against the new cut and retry")
+      }
+    }
     val marker = out.resolve("_INDEX_READY")
     java.nio.file.Files.deleteIfExists(marker)
     val dst = out.resolve(rel)
@@ -917,7 +1056,7 @@ object DedupOps {
   private[graft] def appendBandIndexAt(s: SparkSession, dir: String,
       out: java.nio.file.Path, upTo: Long,
       autoCompactMax: Int = 0): Long = {
-    artifactLock(out).synchronized {
+    artifactLock(out).synchronized { retryOnConflict() {
       val cut = cutOf(out)
       val delta = docs(s, dir)
         .filter(col("doc_id") > cut && col("doc_id") <= upTo)
@@ -931,13 +1070,15 @@ object DedupOps {
           .groupBy(col("band"), col("sig"))
           .agg(min(col("doc_id")).as("canon"))
           .write.mode("overwrite").parquet(tmp.toString)
-        commitArtifactAppend(out, tmp, newCut)
+        // conditional on the cut this delta was computed against: a
+        // concurrent driver's append conflicts and we recompute
+        commitArtifactAppend(out, tmp, newCut, expectedCut = cut)
         if (autoCompactMax > 0 && generationCount(out) > autoCompactMax) {
           compactBandIndex(s, out); ()
         }
         newCut
       }
-    }
+    } }
   }
 
   /** The rw index's SERVED bucket relation: min-merge-on-read over the
@@ -1036,7 +1177,7 @@ object DedupOps {
   private[graft] def compactArtifact(s: SparkSession,
       out: java.nio.file.Path, rel: String = "buckets")(
       merge: DataFrame => DataFrame): Boolean =
-    artifactLock(out).synchronized {
+    artifactLock(out).synchronized { withArtifactLease(out) {
       // only a READY artifact compacts: a marker-less directory is
       // mid-mutation (another process) or crash debris — folding it
       // would bake half-committed state into the new base; rebuild
@@ -1088,7 +1229,7 @@ object DedupOps {
           System.nanoTime().toString.getBytes("UTF-8"))
         true
       }
-    }
+    } }
 
   /** The band-bucket fold — the same min-merge the serve path applies
     * on read, here materialized once by the compaction. */
@@ -1207,9 +1348,11 @@ object DedupOps {
       out: java.nio.file.Path, rel: String = "members",
       gen: String = "000", marker: String = "_TAKEDOWN")(
       takedownOf: DataFrame => DataFrame): Unit = {
-    artifactLock(out).synchronized {
+    artifactLock(out).synchronized { withArtifactLease(out) {
       val tombs = out.resolve("tombstones")
       val done = out.resolve(marker)
+      // marker re-checked under the LEASE: another process may have
+      // applied this takedown while we waited
       if (!java.nio.file.Files.exists(done)) {
         val tmp = out.resolve("tombstones_tmp")
         takedownOf(s.read.parquet(out.resolve(rel).toString))
@@ -1236,7 +1379,7 @@ object DedupOps {
         }
         ()
       }
-    }
+    } }
   }
 
   private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit =
@@ -1295,7 +1438,7 @@ object DedupOps {
     * the compacted membership. */
   private[graft] def compactTombstoneIndex(s: SparkSession,
       out: java.nio.file.Path, idCol: String = "doc_id")
-      : Boolean = artifactLock(out).synchronized {
+      : Boolean = artifactLock(out).synchronized { withArtifactLease(out) {
     val tombs = out.resolve("tombstones")
     val hasTombs = Option(tombs.toFile.listFiles())
       .exists(_.exists(_.getName.startsWith("delete-")))
@@ -1325,7 +1468,7 @@ object DedupOps {
         System.nanoTime().toString.getBytes("UTF-8"))
       true
     }
-  }
+  } }
 
   // ------------ t38: RETENTION (TTL age-off — takedown by predicate)
 

@@ -275,7 +275,7 @@ object MultimodalOps {
 
   private[graft] def appendMediaIndexAt(s: SparkSession, dir: String,
       out: java.nio.file.Path, upTo: Long): Long = {
-    DedupOps.artifactLock(out).synchronized {
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val cut = DedupOps.cutOf(out)
       val delta = mediaTable(s, dir)
         .filter(col("doc_id") > cut && col("doc_id") <= upTo)
@@ -289,10 +289,10 @@ object MultimodalOps {
           .groupBy(col("ahash"))
           .agg(min(col("doc_id")).as("canon"))
           .write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.commitArtifactAppend(out, tmp, newCut)
+        DedupOps.commitArtifactAppend(out, tmp, newCut, expectedCut = cut)
         newCut
       }
-    }
+    } }
   }
 
   /** m9: media-index write-back, served — build the base hash index,

@@ -984,7 +984,7 @@ object Relational {
       partialOf: DataFrame => DataFrame): Long = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val out = rwPartialsPath(s, dir, fam)
-    DedupOps.artifactLock(out).synchronized {
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val cut = DedupOps.cutOf(out)
       // the batch high-watermark comes from the PUSHED delta scan
       // only, never a history re-scan (appendBandIndexAt's rule; on
@@ -1003,10 +1003,11 @@ object Relational {
         val tmp = out.resolve("partials_append")
         partialOf(delta)
           .write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.commitArtifactAppend(out, tmp, newCut, rel = "partials")
+        DedupOps.commitArtifactAppend(out, tmp, newCut, rel = "partials",
+          expectedCut = cut)
         newCut
       }
-    }
+    } }
   }
 
   private[graft] def q35RwPath(s: SparkSession, dir: String) =
@@ -1199,7 +1200,7 @@ object Relational {
     appendPartials(s, dir, "q39agg")(q33Partial)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val out = q39RwPath(s, dir)
-    DedupOps.artifactLock(out).synchronized {
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RETRACTED")
       if (!java.nio.file.Files.exists(marker)) {
         val (a, b) = q39Window(s, dir)
@@ -1210,13 +1211,19 @@ object Relational {
           .select(col("event_type"), (-col("pn")).as("pn"),
             (-col("pc")).as("pc"))
           .write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+        // newCut = expectedCut: the retraction commits at the
+        // UNCHANGED watermark, and conditionally — a concurrent
+        // append advancing _CUT between this read and the commit
+        // would otherwise be REGRESSED by the unconditional rewrite
+        // (its tranche silently re-absorbed later)
+        val cut = DedupOps.cutOf(out)
+        DedupOps.commitArtifactAppend(out, tmp, cut,
           rel = "partials", kind = "retract",
           beforeReady = () => {
             java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
-          })
+          }, expectedCut = cut)
       }
-    }
+    } }
   }
 
   /** q39: RETRACTION from the living aggregate — a bad ingest window
@@ -1275,7 +1282,7 @@ object Relational {
     q40Stage(s, dir)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val out = q40RwPath(s, dir)
-    DedupOps.artifactLock(out).synchronized {
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RESKETCHED")
       if (!java.nio.file.Files.exists(marker)) {
         val (a, b) = q39Window(s, dir)
@@ -1287,15 +1294,16 @@ object Relational {
           .join(affected, Seq("event_type"), "left_semi")
         val tmp = out.resolve("partials_resketch")
         q34Sketch(surviving).write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+        val cut = DedupOps.cutOf(out)
+        DedupOps.commitArtifactAppend(out, tmp, cut,
           rel = "partials", kind = "resketch",
           beforeReady = () => {
             affected.coalesce(1).write.mode("overwrite")
               .parquet(out.resolve("resketch_keys").toString)
             java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
-          })
+          }, expectedCut = cut)
       }
-    }
+    } }
   }
 
   /** q40's merge-on-read: base generations MINUS the resketched keys,
@@ -1370,7 +1378,7 @@ object Relational {
       horizon: Long): Unit = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val out = q41RwPath(s, dir)
-    DedupOps.artifactLock(out).synchronized {
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val mk = out.resolve("_AGEOFF")
       val prev: Option[Long] =
         if (java.nio.file.Files.exists(mk))
@@ -1388,14 +1396,15 @@ object Relational {
           .select(col("event_type"), (-col("pn")).as("pn"),
             (-col("pc")).as("pc"))
           .write.mode("overwrite").parquet(tmp.toString)
-        DedupOps.commitArtifactAppend(out, tmp, DedupOps.cutOf(out),
+        val cut = DedupOps.cutOf(out)
+        DedupOps.commitArtifactAppend(out, tmp, cut,
           rel = "partials", kind = s"ageoff$horizon",
           beforeReady = () => {
             java.nio.file.Files.write(mk,
               horizon.toString.getBytes("UTF-8")); ()
-          })
+          }, expectedCut = cut)
       }
-    }
+    } }
   }
 
   private[graft] def q41Compact(s: SparkSession, dir: String): Boolean =
