@@ -875,7 +875,7 @@ object Relational {
   private[graft] val q34RelErr = 3d * 1.04 / math.sqrt(1L << q34LgConfigK)
 
   /** q34's per-key HLL partial; shared with the q36 write-back. */
-  private def q34Sketch(df: DataFrame): DataFrame =
+  private[graft] def q34Sketch(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), q34LgConfigK).as("sk"))
 
@@ -979,7 +979,7 @@ object Relational {
     * associatively. The batch high-watermark is one maintenance-time
     * bounds read (known state in production, like the build's).
     * Idempotent: an absorbed tranche no-ops, nonce untouched. */
-  private def appendPartials(s: SparkSession, dir: String, fam: String,
+  private[graft] def appendPartials(s: SparkSession, dir: String, fam: String,
       upToNanos: Long = Long.MaxValue)(
       partialOf: DataFrame => DataFrame): Long = {
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -1000,6 +1000,22 @@ object Relational {
       if (hiRow.isNullAt(0)) cut
       else {
         val newCut = hiRow.getLong(0)
+        // THE STALENESS RULE, EXECUTABLE (not prose): once a
+        // key-replacement (resketch) generation exists, a PLAIN append
+        // is unsafe — the replacement-preferring read anti-joins every
+        // non-resketch generation against `resketch_keys`, so an
+        // affected key's new delta rows would be silently dropped (an
+        // undercount with no error). Refuse until the caller either
+        // uses the resketch-aware append (q42's shape — affected keys'
+        // partials fold INTO the replacement generation) or lands a
+        // fresh re-sketch. Converged artifacts never reach here (the
+        // empty-delta no-op returns above).
+        require(!java.nio.file.Files.exists(out.resolve("resketch_keys")),
+          s"$out carries a resketch generation: a plain append of an " +
+            "affected key's delta would be silently anti-joined away " +
+            "by the replacement-preferring read — use the " +
+            "resketch-aware append (appendPartialsResketchAware) or " +
+            "land a fresh re-sketch first")
         val tmp = out.resolve("partials_append")
         partialOf(delta)
           .write.mode("overwrite").parquet(tmp.toString)
@@ -1315,7 +1331,19 @@ object Relational {
   private[graft] def q40MergedEstimates(s: SparkSession, dir: String)
       : DataFrame = {
     q40Retract(s, dir)
-    val out = DedupOps.requireReady(q40RwPath(s, dir))
+    resketchPreferringEstimates(s, DedupOps.requireReady(q40RwPath(s, dir)))
+  }
+
+  /** The replacement-preferring merge shared by q40 and q42: base
+    * (build/append) generations MINUS the resketched keys, plus EVERY
+    * `resketch-*` generation — more than one may exist, because the
+    * resketch-aware append (q42) folds an affected key's later
+    * partials in as additional replacement generations and
+    * `hll_union_agg` merges them exactly (sketch union over disjoint
+    * tranches ≡ one sketch of their union). The anti-join's build side
+    * is the tiny persisted key list, never the corpus. */
+  private def resketchPreferringEstimates(s: SparkSession,
+      out: java.nio.file.Path): DataFrame = {
     val files = out.resolve("partials").toFile.listFiles()
       .filter(_.getName.endsWith(".parquet"))
     val (re, base) = files.partition(_.getName.startsWith("resketch-"))
@@ -1442,7 +1470,174 @@ object Relational {
       .filter(col("n_events") > 0)
   }
 
+  // ----------- q42: append AFTER re-sketch — the sketch-shelf
+  // staleness rule made executable (r17's one latent footgun)
+
+  private[graft] def q42RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q42hll")
+
+  /** q42's deterministic affected-key predicate: the hash-even half of
+    * the key space ("the bad ingest came from source X" — q40's
+    * all-keys-affected window would leave the untouched-append path
+    * unexercised; both sides reproduce the split with the t16 md5
+    * idiom). */
+  private def q42KeyPred =
+    expr("CAST(conv(substr(md5(event_type), 1, 8), 16, 10) AS BIGINT) " +
+      "% 2 = 0")
+
+  /** q42's staged tranche boundary (`lo + 7·span/10` in epoch nanos —
+    * ABOVE the retraction window's end, below the corpus max), persisted
+    * at first derivation so steady serves never re-scan for bounds. In
+    * production this is simply "where ingest stood when the erasure
+    * landed". */
+  private def q42TrancheCut(s: SparkSession, dir: String): Long = {
+    val out = q42RwPath(s, dir)
+    val hf = out.resolve("_TRANCHE")
+    if (!java.nio.file.Files.exists(hf)) {
+      val Array(lo, hi) = t(s, dir, "events")
+        .agg(min(col("ts")), max(col("ts")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      java.nio.file.Files.write(hf,
+        (lo + (hi - lo) * 7 / 10).toString.getBytes("UTF-8"))
+    }
+    new String(java.nio.file.Files.readAllBytes(hf), "UTF-8").trim.toLong
+  }
+
+  /** Stage q42's mid-ingest retraction: base + history appended only
+    * UP TO the tranche cut, then re-sketch the affected keys'
+    * survivors within that history — unlike q40 (whose fixture
+    * retracts after the corpus is fully absorbed), q42 re-sketches at
+    * a moment when a later tranche hasn't arrived, which is exactly
+    * what makes the post-resketch append a real composition. Affected
+    * = hash-even keys with events in q39's window; survivors = their
+    * non-window history ≤ the cut. `_RESKETCHED`-idempotent,
+    * `resketch_keys` written inside the commit window (q40's
+    * contract). */
+  private[graft] def q42Retract(s: SparkSession, dir: String): Unit = {
+    buildRwPartials(s, dir, "q42hll")(q34Sketch)
+    val c2 = q42TrancheCut(s, dir)
+    appendPartials(s, dir, "q42hll", c2)(q34Sketch)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = q42RwPath(s, dir)
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
+      val marker = out.resolve("_RESKETCHED")
+      if (!java.nio.file.Files.exists(marker)) {
+        val (a, b) = q39Window(s, dir)
+        val inWindow = col("ts") > tsCutLit(raw, a) &&
+          col("ts") <= tsCutLit(raw, b)
+        val affected = raw.filter(inWindow && q42KeyPred)
+          .select(col("event_type")).distinct()
+        val surviving = raw.filter(col("ts") <= tsCutLit(raw, c2) &&
+            !inWindow)
+          .join(affected, Seq("event_type"), "left_semi")
+        val tmp = out.resolve("partials_resketch")
+        q34Sketch(surviving).write.mode("overwrite").parquet(tmp.toString)
+        val cut = DedupOps.cutOf(out)
+        DedupOps.commitArtifactAppend(out, tmp, cut,
+          rel = "partials", kind = "resketch",
+          beforeReady = () => {
+            affected.coalesce(1).write.mode("overwrite")
+              .parquet(out.resolve("resketch_keys").toString)
+            java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
+          }, expectedCut = cut)
+      }
+    } }
+  }
+
+  /** The RESKETCH-AWARE append — the executable fix for the staleness
+    * footgun the plain [[appendPartials]] now refuses: the delta's
+    * per-key partials split on the persisted `resketch_keys` —
+    * untouched keys commit as an ordinary `append-*` generation
+    * (merging normally, byte-for-byte the q36 path), while affected
+    * keys' partials fold INTO the replacement side as an additional
+    * `resketch-*` generation, moved in INSIDE the same commit window
+    * (`beforeReady`) so no reachable state holds the untouched half
+    * committed-and-ready with the affected half missing — that state
+    * would serve the exact silent undercount this operator exists to
+    * prevent. HLL union makes the fold exact: resketch(survivors ≤
+    * cut) ∪ sketch((cut, hi]) ≡ sketch(every surviving event of the
+    * key). O(batch) — two pushed delta scans, no history rewrite. */
+  private[graft] def appendPartialsResketchAware(s: SparkSession,
+      dir: String, fam: String): Long = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = rwPartialsPath(s, dir, fam)
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
+      val cut = DedupOps.cutOf(out)
+      val delta = raw.filter(col("ts") > tsCutLit(raw, cut))
+      val hiRow = Tables.normalizeTs(delta.select(col("ts")))
+        .agg(max(col("ts"))).head()
+      if (hiRow.isNullAt(0)) cut
+      else {
+        val newCut = hiRow.getLong(0)
+        val keys = s.read.parquet(out.resolve("resketch_keys").toString)
+        val part = q34Sketch(delta)
+        val tmpU = out.resolve("partials_append")
+        val tmpA = out.resolve("partials_resketch_append")
+        part.join(keys, Seq("event_type"), "left_anti")
+          .write.mode("overwrite").parquet(tmpU.toString)
+        part.join(keys, Seq("event_type"), "left_semi")
+          .write.mode("overwrite").parquet(tmpA.toString)
+        DedupOps.commitArtifactAppend(out, tmpU, newCut, rel = "partials",
+          beforeReady = () => {
+            val dst = out.resolve("partials")
+            // clear a crashed retry's own half-moved generation first
+            // (commitArtifactAppend's delete-then-move rule, applied
+            // to the replacement side)
+            Option(dst.toFile.listFiles()).foreach(
+              _.filter(_.getName.startsWith(f"resketch-$newCut%d-"))
+                .foreach(f => { f.delete(); () }))
+            tmpA.toFile.listFiles()
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+              .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  dst.resolve(f"resketch-$newCut%d-$i%03d.parquet"),
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            DedupOps.deleteRecursively(tmpA.toFile)
+          }, expectedCut = cut)
+        newCut
+      }
+    } }
+  }
+
+  private[graft] def q42MergedEstimates(s: SparkSession, dir: String)
+      : DataFrame = {
+    q42Retract(s, dir)
+    appendPartialsResketchAware(s, dir, "q42hll")
+    resketchPreferringEstimates(s,
+      DedupOps.requireReady(q42RwPath(s, dir)))
+  }
+
+  /** q42's audit: q34's exact-beside-estimate gate over the corpus
+    * minus (window ∧ affected keys) — including the POST-RESKETCH
+    * tranche on both key classes, the composition q40's read silently
+    * dropped for affected keys. */
+  private def q42Audit(s: SparkSession, dir: String, merged: DataFrame)
+      : DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val (a, b) = q39Window(s, dir)
+    val exact = raw.filter(!(col("ts") > tsCutLit(raw, a) &&
+        col("ts") <= tsCutLit(raw, b) && q42KeyPred))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          lit(q34RelErr) * col("n_exact").cast("double")).as("within_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q42: append AFTER deletion on the sketch shelf, gated — stage a
+    * mid-ingest re-sketch, absorb a LATER tranche carrying new events
+    * of both affected and untouched keys through the resketch-aware
+    * append, serve the replacement-preferring merge, audit against
+    * exact distinct counts over corpus-minus-retraction. */
+  def q42ResketchAppend(s: SparkSession, dir: String): DataFrame =
+    q42Audit(s, dir, q42MergedEstimates(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_resketch_append" -> (q42ResketchAppend _),
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
@@ -1684,6 +1879,22 @@ object Relational {
         |   / 100, 2) AS sum_value
         |FROM events, b
         |WHERE epoch_ns(ts) > lo + (hi - lo) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q42: exact distinct counts over the corpus minus (q39's window ∧
+    // the hash-even affected keys) — the post-resketch tranche counts
+    // on BOTH key classes (the composition q40's read dropped); the
+    // resketch-aware merge is bound-checked engine-side
+    "q42_resketch_append" ->
+      """WITH b AS (
+        | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+        | FROM events)
+        |SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_err
+        |FROM events, b
+        |WHERE NOT (epoch_ns(ts) > lo + ((hi - lo) * 2) // 5
+        |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5
+        |       AND ('0x' || substr(md5(event_type), 1, 8))::BIGINT
+        |           % 2 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->

@@ -175,6 +175,65 @@ class SketchGateSpec extends SparkSpec {
     assert(baseFiles() === snapshot)
   }
 
+  test("q42: a post-resketch append folds affected keys INTO the replacement; plain append refuses") {
+    // crafted corpus, BIGINT-nanos ts, span [0 s, 10 s] → window
+    // (4 s, 6 s], tranche cut 7 s. "click" hashes EVEN (affected);
+    // "purchase" hashes ODD (untouched). u2's only click falls in the
+    // window (retracted); u3 exists ONLY in the post-resketch tranche
+    // — the user the r17 footgun silently dropped; u6 lands in the
+    // pre-resketch history append of an affected key (its generation
+    // is anti-joined away, so the resketch must carry it).
+    val tmp = java.nio.file.Files.createTempDirectory("q42_spec_").toString
+    import spark.implicits._
+    val lo = 1_000_000_000_000_000L
+    def at(sec: Double): Long = lo + (sec * 1e9).toLong
+    Seq(
+      (at(0.0), "click", 1L), (at(5.0), "click", 2L),
+      (at(6.5), "click", 6L), (at(8.0), "click", 3L),
+      (at(8.5), "click", 1L),
+      (at(0.0), "purchase", 1L), (at(5.0), "purchase", 4L),
+      (at(6.5), "purchase", 7L), (at(8.0), "purchase", 5L),
+      (at(10.0), "purchase", 1L))
+      .toDF("ts", "event_type", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    Relational.q42Retract(spark, tmp)
+    // THE STALENESS RULE, EXECUTABLE: once the replacement generation
+    // exists, a plain append of a non-empty delta must refuse loudly —
+    // its affected-key rows would be silently anti-joined away
+    val e = intercept[IllegalArgumentException] {
+      Relational.appendPartials(spark, tmp, "q42hll")(
+        Relational.q34Sketch)
+    }
+    assert(e.getMessage.contains("resketch"))
+    // the resketch-aware append is the sanctioned path
+    Relational.appendPartialsResketchAware(spark, tmp, "q42hll")
+    // exact at these cardinalities: click = {u1, u6, u3} (u2 retracted,
+    // u3/u1 from the POST-resketch tranche, u6 from the replaced
+    // history-append generation), purchase = {u1, u4, u7, u5}
+    val est = Relational.q42MergedEstimates(spark, tmp)
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(est === Seq(("click", 3L), ("purchase", 4L)),
+      s"the post-resketch tranche must count on BOTH key classes: $est")
+    // layout: untouched keys' tranche merged NORMALLY (append-*) while
+    // affected keys' landed as a SECOND resketch-* generation
+    val names = Relational.q42RwPath(spark, tmp).resolve("partials")
+      .toFile.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names.count(_.startsWith("resketch-")) === 2, names.toSeq)
+    assert(names.count(_.startsWith("append-")) === 2, names.toSeq)
+    // the gate's audit shape stays green end-to-end
+    val gate = Relational.q42ResketchAppend(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(gate === Seq(
+      Vector("click", 3L, true), Vector("purchase", 4L, true)), gate)
+    // and the flat fold still refuses on the composed artifact
+    intercept[IllegalArgumentException] {
+      DedupOps.compactArtifact(spark,
+        Relational.q42RwPath(spark, tmp), rel = "partials")(df => df)
+    }
+    ()
+  }
+
   test("t23: audit covers every LSH candidate pair, consistently") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val nCand = DedupOps.minhashPairsOf(d).count()
