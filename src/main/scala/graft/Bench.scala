@@ -175,8 +175,7 @@ object Bench {
       // probe/absorb stream — the machinery being gated
       Set("s16_stream_writeback") ->
         (() => { graft.queries.StreamingOps.stageS16Tail(spark, sfDir)
-                 graft.queries.DedupOps.buildBandIndexAt(spark, sfDir,
-                   graft.queries.StreamingOps.s16BaseIndexPath(spark, sfDir))
+                 graft.queries.StreamingOps.s16BuildBase(spark, sfDir)
                  () }),
       // t36's build/append/compact are maintenance-time (measured in
       // ScaleDemo's inc phase); the timed reps measure the compacted

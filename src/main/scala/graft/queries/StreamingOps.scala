@@ -696,27 +696,54 @@ object StreamingOps {
   /** s16's PRISTINE base index (ids ≤ mid), built once per
     * fingerprint — every invocation copies it to a fresh working
     * directory instead of rebuilding, so the per-run cost is the
-    * streaming machinery being gated, not the base band pass. */
+    * streaming machinery being gated, not the base band pass. Since
+    * r18 the base carries BOTH relations: the folded `buckets` (the
+    * probe's fast path) and the t37-shaped `(band, sig, doc_id)`
+    * `members` (deletion's full-fidelity path — see
+    * [[s16AliveBuckets]]); the key is bumped so pre-members artifacts
+    * rebuild rather than serve half a layout. */
   private[graft] def s16BaseIndexPath(s: SparkSession, dir: String)
       : java.nio.file.Path =
     DedupOps.artifactDir("band_index_s16",
-      s"bandindexs16:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+      s"bandindexs16m:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def s16BuildBase(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = s16BaseIndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val d = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // one-time bounds read, confined to the build (t34's rule)
+      val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi) / 2
+      val bands = DedupOps.bandedSignaturesOf(d.filter(col("doc_id") <= cut))
+      bands.groupBy(col("band"), col("sig"))
+        .agg(min(col("doc_id")).as("canon"))
+        .write.mode("overwrite").parquet(out.resolve("buckets").toString)
+      bands.select(col("band"), col("sig"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+      Files.write(out.resolve("_CUT"), cut.toString.getBytes("UTF-8"))
+    }
+    out
+  }
 
   /** Copy the pristine base into a fresh per-invocation working index
-    * (bucket part files + `_CUT` + the nonce) — O(index), tiny beside
-    * the stream; the previous invocation's working dir is retired the
-    * way [[lastSink]] retires memory-sink views. */
+    * (bucket + member part files + `_CUT` + the nonce) — O(index),
+    * tiny beside the stream; the previous invocation's working dir is
+    * retired the way [[lastSink]] retires memory-sink views. */
   private[graft] def s16WorkingCopy(s: SparkSession, dir: String)
       : java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(
-      DedupOps.buildBandIndexAt(s, dir, s16BaseIndexPath(s, dir)))
+    val base = s16BuildBase(s, dir)
     DedupOps.requireReady(base)
     val work = Files.createTempDirectory("s16_work_")
-    Files.createDirectories(work.resolve("buckets"))
-    base.resolve("buckets").toFile.listFiles()
-      .filter(_.getName.endsWith(".parquet")).foreach { f =>
-        Files.copy(f.toPath, work.resolve("buckets").resolve(f.getName))
-      }
+    Seq("buckets", "members").foreach { rel =>
+      Files.createDirectories(work.resolve(rel))
+      base.resolve(rel).toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          Files.copy(f.toPath, work.resolve(rel).resolve(f.getName))
+        }
+    }
     Seq("_CUT", "_INDEX_READY").foreach { n =>
       Files.copy(base.resolve(n), work.resolve(n))
     }
@@ -745,74 +772,209 @@ object StreamingOps {
     (parts(0).toLong, parts(1).toLong)
   }
 
-  /** The working index's bucket relation as the PROBE sees it:
-    * every generation's rows read RAW, minus tombstoned canons when a
-    * takedown landed between batches ([[s16Takedown]]). The raw read
-    * deliberately skips a min(canon) pre-fold per (band, sig): the
-    * downstream per-doc `groupBy(doc_id).agg(min(...))` composes with
-    * min's associativity, so folding here would only add a shuffle —
-    * but that shape is CORRECT ONLY FOR ASSOCIATIVE-IDEMPOTENT merges
-    * like min; a future family with a non-associative flag rule must
-    * pre-fold the generations before the probe join, not copy this.
-    * The tombstone anti-join exists for the deletion composition: a
-    * mid-stream takedown of an absorbed batch's canon must make later
-    * batches flag against the RE-ELECTED canon — which here is the
-    * min over the SURVIVING generations' candidates (each generation
-    * row is that batch's min member, so deletion is generation-
-    * granular: a tombstoned canon's same-batch bucket-mates are not
-    * recoverable from the folded row — full-fidelity re-election is
-    * the t37 membership artifact's job; what s16 guarantees is that
-    * a taken-down doc never serves as `dup_of` again). */
+  /** The working index's bucket relation as the PROBE sees it. Two
+    * paths:
+    *
+    *  - NO tombstones (the common case): every bucket generation's
+    *    rows read RAW. The raw read deliberately skips a min(canon)
+    *    pre-fold per (band, sig): the downstream per-doc
+    *    `groupBy(doc_id).agg(min(...))` composes with min's
+    *    associativity, so folding here would only add a shuffle — but
+    *    that shape is CORRECT ONLY FOR ASSOCIATIVE-IDEMPOTENT merges
+    *    like min; a future family with a non-associative flag rule
+    *    must pre-fold the generations before the probe join, not copy
+    *    this.
+    *  - tombstones present ([[s16Takedown]] landed between batches):
+    *    the read switches to the `members` relation — the t37-shaped
+    *    `(band, sig, doc_id)` rows every batch appends beside its
+    *    folded buckets — anti-joined on the tombstoned ids, each
+    *    surviving member a canon candidate. Re-election is therefore
+    *    FULL-FIDELITY, within a generation too: a tombstoned canon
+    *    whose same-batch bucket-mate survives re-elects to THAT mate
+    *    (the folded bucket row lost it; the membership keeps it) —
+    *    r17's generation-granular scoping closed. The corpus never
+    *    rejoins the plan on either path. */
   private[graft] def s16AliveBuckets(s: SparkSession,
       work: java.nio.file.Path): DataFrame = {
-    val buckets = s.read.parquet(work.resolve("buckets").toString)
     val tombs = work.resolve("tombstones")
     val hasTombs = Option(tombs.toFile.listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!hasTombs) buckets
-    else buckets.join(
-      s.read.parquet(tombs.toString).select(col("doc_id").as("canon")),
-      Seq("canon"), "left_anti")
+    if (!hasTombs) s.read.parquet(work.resolve("buckets").toString)
+    else s.read.parquet(work.resolve("members").toString)
+      .join(s.read.parquet(tombs.toString).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("band"), col("sig"), col("doc_id").as("canon"))
   }
 
   /** Take down docs from the s16 working index between absorbed
     * batches — the stream × deletion composition: tombstones land
     * through the SHARED [[DedupOps.applyTakedown]] mechanics (same
-    * nonce window, `_TAKEDOWN` marker), the `_BATCH` fence is
-    * untouched (a takedown is not a batch), and the next batch's
-    * probe reads [[s16AliveBuckets]] — so its flags point at the
-    * re-elected canon, never the erased doc. Pinned in
-    * StreamingGateSpec. */
+    * nonce window), the `_BATCH` fence is untouched (a takedown is
+    * not a batch), and the next batch's probe reads
+    * [[s16AliveBuckets]] — so its flags point at the re-elected
+    * canon, never the erased doc. The generation and marker are KEYED
+    * BY THE ID SET (md5 of the sorted ids — ageOffMembers' per-horizon
+    * idempotence rule): a second takedown with a DIFFERENT id set
+    * lands beside the first instead of short-circuiting on a shared
+    * marker — for an erasure verb that silent no-op would be a
+    * compliance failure; re-submitting the SAME set stays a marker
+    * no-op. Pinned in StreamingGateSpec. */
   private[graft] def s16Takedown(s: SparkSession,
       work: java.nio.file.Path, ids: Seq[Long]): Unit = {
     import s.implicits._
-    DedupOps.applyTakedown(s, work, rel = "buckets")(
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.sorted.mkString(",").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    DedupOps.applyTakedown(s, work, rel = "members",
+      gen = s"x$tag", marker = s"_TAKEDOWN_$tag")(
       _ => ids.toDF("doc_id"))
+  }
+
+  /** Fenced-generation predicate: the base (`part-*` build files or a
+    * prior fold's `compact-*`) plus every `append-<tag>` at or below
+    * the fenced cut. Only these may fold — an un-fenced generation is
+    * a crashed attempt's debris (step 0's property) and must stay out
+    * of any new base. */
+  private def s16IsFenced(name: String, fencedCut: Long,
+      ownCompact: Long): Boolean =
+    name.endsWith(".parquet") && (
+      (name.startsWith("append-") &&
+        name.split("-")(1).toLong <= fencedCut) ||
+      ((name.startsWith("part-") || name.startsWith("compact-")) &&
+        !name.startsWith(f"compact-$ownCompact%d-")))
+
+  private def s16GenCount(work: java.nio.file.Path,
+      fencedCut: Long): Int = {
+    val names = Option(work.resolve("buckets").toFile.listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
+    names.filter(n => n.startsWith("append-") &&
+        n.split("-")(1).toLong <= fencedCut)
+      .map(_.split("-")(1)).distinct.size +
+      (if (names.exists(n => n.startsWith("part-") ||
+        n.startsWith("compact-"))) 1 else 0)
+  }
+
+  /** Phase A of the stream fold: materialize the min-folded buckets
+    * and the concatenated members of every FENCED generation into temp
+    * dirs (eager parquet writes — a crash here is inert debris), then
+    * write the `_FOLD` intent marker recording the fenced cut. Exposed
+    * separately so the spec can pin a crash exactly between intent and
+    * commit. */
+  private[graft] def s16FoldPhaseA(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long): Unit = {
+    def fencedFiles(rel: String): Seq[String] =
+      Option(work.resolve(rel).toFile.listFiles()).toSeq.flatten
+        .filter(f => s16IsFenced(f.getName, fencedCut, fencedCut))
+        .map(_.toString)
+    s.read.parquet(fencedFiles("buckets"): _*)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("canon")).as("canon"))
+      .write.mode("overwrite")
+      .parquet(work.resolve("buckets_fold").toString)
+    // members carry no fold semantics — the "compaction" is a file
+    // concat (fewer generations to list/read), tombstones untouched
+    s.read.parquet(fencedFiles("members"): _*)
+      .write.mode("overwrite")
+      .parquet(work.resolve("members_fold").toString)
+    Files.write(work.resolve("_FOLD"),
+      fencedCut.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Phase B — idempotent commit, also the crash REPAIR: copy the fold
+    * results in as `compact-<fencedCut>-NNN` (copy, not move, and
+    * REPLACE_EXISTING — a re-run after any crash point repeats
+    * harmlessly), then delete the folded-away fenced generations, the
+    * temp dirs, and the `_FOLD` marker LAST. Every intermediate state
+    * is readable: compacted rows coexisting with their unfolded
+    * sources double only under merges that are idempotent (min for
+    * buckets; members feed a min re-election, so duplicate rows are
+    * absorbed) — the property that makes copy-then-delete safe on
+    * state that has NO rebuild path. If the temp dirs are gone the
+    * copies already landed (they are deleted only after the copy
+    * loop), so repair degrades to the deletion steps. */
+  private[graft] def s16FoldCommit(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long): Unit = {
+    Seq("buckets", "members").foreach { rel =>
+      val dst = work.resolve(rel)
+      val tmp = work.resolve(s"${rel}_fold")
+      if (Files.exists(tmp)) {
+        tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            Files.copy(f.toPath,
+              dst.resolve(f"compact-$fencedCut%d-$i%03d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+      Option(dst.toFile.listFiles()).foreach(
+        _.filter(f => s16IsFenced(f.getName, fencedCut, fencedCut))
+          .foreach(f => { f.delete(); () }))
+      DedupOps.deleteRecursively(tmp.toFile)
+    }
+    Files.deleteIfExists(work.resolve("_FOLD"))
+    ()
+  }
+
+  /** The stream's AUTO-COMPACT policy — t40's bounded-generations
+    * invariant composed onto fenced state: the working index gains one
+    * bucket generation per micro-batch FOREVER (read amplification
+    * O(batches)), but t40's trigger can't be copied verbatim because
+    * the working dir has no rebuild path (a crash-during-fold must
+    * not strand the stream). So the fold runs at BATCH START, inside
+    * the existing lock, over generations AT OR BELOW THE FENCED CUT
+    * only — exactly the set step 0's repair classifies as committed —
+    * with a two-phase intent-marker protocol whose every state is
+    * re-runnable ([[s16FoldPhaseA]]/[[s16FoldCommit]]); the
+    * crash-rewind contract is untouched because un-fenced generations
+    * never enter the fold. Threshold via
+    * `graft.stream.autoCompactMax` (0 disables); the default 2 keeps
+    * the staged gate's generation count bounded at ≤ 2 served. */
+  private def s16MaybeFold(s: SparkSession, work: java.nio.file.Path,
+      fencedCut: Long): Unit = {
+    val max = s.conf.get("graft.stream.autoCompactMax", "2").toInt
+    if (max > 0 && s16GenCount(work, fencedCut) > max) {
+      s16FoldPhaseA(s, work, fencedCut)
+      s16FoldCommit(s, work, fencedCut)
+    }
   }
 
   /** ONE micro-batch of the s16 write-back — exposed for the spec's
     * replay pins. Probe-then-append against the working index:
-    *  0. RESTART REPAIR: bucket generations whose tag exceeds the
-    *     FENCED cut are a crashed attempt's leftovers — a partial
-    *     move, or a complete commit whose batch never fenced (the
-    *     crash landed between the nonce re-stamp and the fence
+    *  0. RESTART REPAIR: generations (buckets AND members) whose tag
+    *     exceeds the FENCED cut are a crashed attempt's leftovers — a
+    *     partial move, or a complete commit whose batch never fenced
+    *     (the crash landed between the nonce re-stamp and the fence
     *     write). Left in place they would pollute this retry's probe
     *     with the batch's OWN docs (within-batch twins would flag;
     *     `dup_of` could point into the same batch). Clear them first;
     *     the append in step 3 recreates exactly what a clean attempt
     *     writes (`_CUT` may have run ahead of the fence — harmless:
     *     nothing reads it between here and the commit overwriting
-    *     it).
+    *     it). A `_FOLD` intent marker is a crash inside the
+    *     auto-compact's commit: re-run the idempotent
+    *     [[s16FoldCommit]]. Then the AUTO-COMPACT policy itself
+    *     ([[s16MaybeFold]]) bounds the fenced generation count before
+    *     the probe.
     *  1. REPLAY FENCE: a batch id at or below `_BATCH` already
     *     committed fully — skip (the restart that re-delivers an
-    *     absorbed batch must not double-absorb it).
+    *     absorbed batch must not double-absorb it). The batch
+    *     high-watermark is also REQUIRED monotone with the fence
+    *     here: the debris rule above keys on "tag > fencedCut", so an
+    *     out-of-order source must fail loudly, not lose a committed
+    *     generation on the next repair.
     *  2. PROBE the batch against the index AS OF the previous batch
     *     (flags land in `flags/b<id>`, overwrite mode — a retried
     *     half-committed batch rewrites the identical flags).
-    *  3. APPEND the batch's buckets through the shared
+    *  3. APPEND the batch's folded buckets through the shared
     *     [[DedupOps.commitArtifactAppend]] (which clears the
     *     generation first, so a retry after a crash between commit
-    *     and fence-write is exact even mid-generation).
+    *     and fence-write is exact even mid-generation), with the
+    *     batch's raw membership rows moved into `members/` INSIDE the
+    *     same commit window (`beforeReady`) — deletion's re-election
+    *     state, never committed separately from the buckets it
+    *     mirrors.
     *  4. Advance the `_BATCH` fence LAST — batch id plus this
     *     commit's cut, the pair step 0 needs — so the at-least-once
     *     window is re-entered, never skipped.
@@ -824,30 +986,87 @@ object StreamingOps {
       work: java.nio.file.Path, batch: DataFrame, batchId: Long): Unit = {
     val (lastBatch, fencedCut) = s16Fence(work)
     if (batchId > lastBatch) {
-      Option(work.resolve("buckets").toFile.listFiles()).foreach(
-        _.filter { f =>
-          val n = f.getName
-          n.startsWith("append-") && n.split("-")(1).toLong > fencedCut
-        }.foreach(f => { f.delete(); () }))
+      // step 0a: clear un-fenced debris in BOTH relations (a crashed
+      // attempt's buckets would pollute the probe; its members would
+      // resurrect a same-batch twin as a canon candidate)
+      Seq("buckets", "members").foreach { rel =>
+        Option(work.resolve(rel).toFile.listFiles()).foreach(
+          _.filter { f =>
+            val n = f.getName
+            n.startsWith("append-") && n.split("-")(1).toLong > fencedCut
+          }.foreach(f => { f.delete(); () }))
+      }
+      // step 0b: a `_FOLD` intent marker is a crash inside the fold's
+      // commit — re-run the idempotent commit (repair); the fence was
+      // never touched by the fold, so the batch replay logic is
+      // unaffected
+      if (Files.exists(work.resolve("_FOLD"))) {
+        val cut = new String(Files.readAllBytes(work.resolve("_FOLD")),
+          "UTF-8").trim.toLong
+        DedupOps.artifactLock(work).synchronized {
+          s16FoldCommit(s, work, cut)
+        }
+      }
+      // step 0c: the auto-compact policy — fold FENCED generations
+      // when they exceed the threshold, before this batch probes
+      DedupOps.artifactLock(work).synchronized {
+        s16MaybeFold(s, work, fencedCut)
+      }
       val bands = DedupOps.bandedSignaturesOf(
         batch.select(col("doc_id"), col("text")))
+      // the batch high-watermark, BEFORE any mutation: step 0's debris
+      // rule keys on "tag > fencedCut", which assumes batch max ids
+      // are monotone with batch ids — an out-of-order source would
+      // make a later batch fence a LOWER cut and the next repair
+      // delete an earlier batch's committed generation as debris.
+      // The staged fixtures are monotone by construction; assert it
+      // loudly rather than lose data silently on a source that isn't.
+      val hiRow = batch.agg(max(col("doc_id"))).head()
+      if (!hiRow.isNullAt(0))
+        require(hiRow.getLong(0) >= fencedCut,
+          s"out-of-order batch: batch $batchId max doc_id " +
+            s"${hiRow.getLong(0)} is below the fenced cut $fencedCut — " +
+            "the fence/debris protocol requires monotone batch id " +
+            "ranges (re-key debris detection per batch to lift this)")
       bands.select(col("doc_id"), col("band"), col("sig"))
         .join(s16AliveBuckets(s, work), Seq("band", "sig"))
         .groupBy(col("doc_id"))
         .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
         .write.mode("overwrite")
         .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
-      val hiRow = batch.agg(max(col("doc_id"))).head()
       val newCut =
         if (hiRow.isNullAt(0)) fencedCut
         else {
           val c = hiRow.getLong(0)
           val tmp = work.resolve("buckets_append")
+          val tmpM = work.resolve("members_append")
           bands.groupBy(col("band"), col("sig"))
             .agg(min(col("doc_id")).as("canon"))
             .write.mode("overwrite").parquet(tmp.toString)
+          // the membership rows the append already has in hand — the
+          // state full-fidelity re-election needs (see
+          // [[s16AliveBuckets]]); moved in INSIDE the same commit
+          // window so no reachable state holds buckets without members
+          bands.select(col("band"), col("sig"), col("doc_id"))
+            .write.mode("overwrite").parquet(tmpM.toString)
           DedupOps.artifactLock(work).synchronized {
-            DedupOps.commitArtifactAppend(work, tmp, c)
+            DedupOps.commitArtifactAppend(work, tmp, c,
+              beforeReady = () => {
+                val dst = work.resolve("members")
+                Files.createDirectories(dst)
+                Option(dst.toFile.listFiles()).foreach(
+                  _.filter(_.getName.startsWith(f"append-$c%d-"))
+                    .foreach(f => { f.delete(); () }))
+                tmpM.toFile.listFiles()
+                  .filter(f => f.getName.startsWith("part-") &&
+                    f.getName.endsWith(".parquet"))
+                  .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+                    Files.move(f.toPath,
+                      dst.resolve(f"append-$c%d-$i%03d.parquet"),
+                      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  }
+                DedupOps.deleteRecursively(tmpM.toFile)
+              })
           }
           c
         }

@@ -338,18 +338,31 @@ class StreamingGateSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
       .toSeq === Seq((120L, 100L), (150L, 100L), (151L, 1L)), out.toSeq)
     // the stream left a CONVERGED living index behind: _CUT at the
-    // corpus max, one appended generation per non-empty batch, the
-    // replay fence on the last batch id
+    // corpus max, the replay fence on the last batch id, and the
+    // generation count BOUNDED by the auto-compact policy (threshold
+    // 2, default): batch 2's start found base + append-100 +
+    // append-120 = 3 fenced generations, folded them to one
+    // compact-120 base, and committed its own append-163 beside it —
+    // 2 served generations, FOREVER, instead of one per batch
     val work = StreamingOps.lastS16Work.get()
     assert(DedupOps.cutOf(work) === 163L)
     assert(new String(java.nio.file.Files.readAllBytes(
       work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 2L)
-    val gens = work.resolve("buckets").toFile.listFiles().map(_.getName)
-      .filter(_.startsWith("append-")).map(_.split("-")(1)).distinct.sorted
-    // the generation tag is the batch's ACTUAL max id, not the
-    // nominal tranche boundary — the watermark is data, not layout
-    assert(gens.toSeq === Seq("100", "120", "163"),
-      s"one generation per batch high-watermark: ${gens.toSeq}")
+    Seq("buckets", "members").foreach { rel =>
+      val names = work.resolve(rel).toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      // the generation tag is the batch's ACTUAL max id, not the
+      // nominal tranche boundary — the watermark is data, not layout
+      assert(names.exists(_.startsWith("compact-120-")),
+        s"$rel must hold the folded base: ${names.toSeq}")
+      assert(names.filter(_.startsWith("append-"))
+        .map(_.split("-")(1)).distinct.toSeq === Seq("163"),
+        s"$rel must hold only the post-fold generation: ${names.toSeq}")
+      assert(!names.exists(_.startsWith("part-")),
+        s"the pre-fold base must be folded away in $rel")
+    }
+    assert(!java.nio.file.Files.exists(work.resolve("_FOLD")),
+      "the fold's intent marker must not outlive its commit")
   }
 
   test("s16 restart + replay fence: re-delivered batches never double-absorb") {
@@ -467,8 +480,11 @@ class StreamingGateSpec extends SparkSpec {
     // takedown of doc 100 — batch 0's absorbed canon — landing BETWEEN
     // absorbed batches, through the shared tombstone mechanics
     StreamingOps.s16Takedown(spark, work, Seq(100L))
-    assert(java.nio.file.Files.exists(work.resolve("_TAKEDOWN")),
-      "the takedown marker must land")
+    // the marker is KEYED BY THE ID SET (md5("100") prefix) so a later
+    // takedown with different ids cannot short-circuit on it
+    assert(java.nio.file.Files.exists(
+      work.resolve("_TAKEDOWN_f899139df5e1")),
+      "the id-set-keyed takedown marker must land")
     assert(new String(java.nio.file.Files.readAllBytes(
       work.resolve("_BATCH")), "UTF-8").trim === "1 120",
       "a takedown is not a batch: the replay fence must be untouched")
@@ -485,6 +501,93 @@ class StreamingGateSpec extends SparkSpec {
     StreamingOps.s16Takedown(spark, work, Seq(100L))
     assert(work.resolve("tombstones").toFile.listFiles()
       .map(_.getName).sorted.toSeq === tombs0)
+    // a SECOND takedown with a DIFFERENT id set must land beside the
+    // first, not short-circuit on a shared marker (the silent-
+    // compliance failure the id-set-keyed markers exist to prevent)
+    StreamingOps.s16Takedown(spark, work, Seq(120L))
+    assert(java.nio.file.Files.exists(
+      work.resolve("_TAKEDOWN_da4fb5c6e93e")))
+    val tombs1 = work.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(tombs1.size === tombs0.count(_.endsWith(".parquet")) + 1,
+      s"the second erasure's generation must land: $tombs1")
+    // with BOTH canons erased, the X family re-elects to the only
+    // surviving member (batch 2's 150) — no erased doc ever serves
+    val canons = StreamingOps.s16AliveBuckets(spark, work)
+      .groupBy(col("band"), col("sig"))
+      .agg(org.apache.spark.sql.functions.min(col("canon")).as("canon"))
+      .select(col("canon")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!canons.contains(100L) && !canons.contains(120L),
+      s"erased docs must never serve as canon candidates: $canons")
+    assert(canons.contains(150L), s"the surviving member re-elects: $canons")
+    DedupOps.deleteRecursively(work.toFile)
+  }
+
+  test("s16 within-generation re-election: a takedown of a canon whose OWN batch holds a twin re-elects to that twin") {
+    // batch 0 carries TWO members of the X family: 100 (the batch's
+    // canon) and 101 (its same-generation bucket-mate — a within-batch
+    // twin, so it never flags and the folded bucket row LOSES it).
+    // After 100's takedown, batch 2's 150 must flag against 101 — a
+    // doc recoverable ONLY from the members relation (the pre-r18
+    // generation-granular read would have re-elected batch 1's 120).
+    val tmp = java.nio.file.Files.createTempDirectory("s16_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (100L, "quick brown foxes vault lazy hounds"),
+      (101L, "quick brown foxes vault lazy hounds"),
+      (120L, "quick brown foxes vault lazy hounds"),
+      (150L, "quick brown foxes vault lazy hounds"),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s16WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    assert(s16Flags(work) === Seq((120L, 100L)))
+    StreamingOps.s16Takedown(spark, work, Seq(100L))
+    StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    assert(s16Flags(work) === Seq((120L, 100L), (150L, 101L)),
+      "the erased canon's same-generation twin must win re-election " +
+        "(101 < 120) — the membership relation's whole point")
+    DedupOps.deleteRecursively(work.toFile)
+  }
+
+  test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
+    val tmp = craftS16Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s16WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    // simulate a crash INSIDE the fold's commit: phase A (temp dirs +
+    // the _FOLD intent marker) completed, phase B never ran
+    StreamingOps.s16FoldPhaseA(spark, work, 120L)
+    assert(java.nio.file.Files.exists(work.resolve("_FOLD")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 120",
+      "the fold must never touch the replay fence")
+    // the restart delivers batch 2: step 0b repairs the fold, the
+    // probe reads the completed base, the flags are exact
+    StreamingOps.s16RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    assert(s16Flags(work) === Seq((120L, 100L), (150L, 100L), (151L, 1L)))
+    assert(!java.nio.file.Files.exists(work.resolve("_FOLD")))
+    Seq("buckets", "members").foreach { rel =>
+      val names = work.resolve(rel).toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      assert(names.exists(_.startsWith("compact-120-")), names.toSeq)
+      assert(names.filter(_.startsWith("append-"))
+        .map(_.split("-")(1)).distinct.toSeq === Seq("163"), names.toSeq)
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "2 163")
     DedupOps.deleteRecursively(work.toFile)
   }
 
