@@ -315,6 +315,25 @@ object ScaleDemo {
       println(s"SCALE t33 clustered docs: $clustered")
     }
     // t34 (`phase=inc`): incremental-dedup economics at fleet scale —
+    // ------------------------------------ artifact housekeeping sweep
+    // `phase=sweep`: delete artifact dirs whose persisted _KEY
+    // fingerprint no longer matches the staged corpora — the families
+    // accumulate one dir per corpus regeneration across sessions with
+    // no reaper; the _INDEX_READY-gated dirs are re-derivable by
+    // construction, so a sweep can never lose state, only disk.
+    if (in("all", "sweep")) {
+      (Seq(docsDir.toString) ++
+        Seq("sf0.001", "sf0.01", "sf0.1")
+          .map(sf => s"/root/testdata/$sf")
+          .filter(d => Files.isDirectory(Paths.get(d))))
+        .foreach { d =>
+          val swept = queries.DedupOps.sweepStaleArtifacts(spark, d)
+          println(s"SCALE sweep $d: ${swept.size} stale artifact " +
+            "dirs removed")
+          swept.foreach(p => println(s"SCALE   swept $p"))
+        }
+    }
+
     // the nightly index build on the base tranche, the per-batch delta
     // probe against it, and the cost the probe replaces (re-banding
     // the whole corpus for pair generation, t7's path). The ratio of
@@ -579,6 +598,45 @@ object ScaleDemo {
             .groupBy(col("band"), col("sig"))
             .agg(min(col("canon")).as("canon")))
         }
+      }
+      // s16 auto-compact: the STREAM's bounded-generations policy.
+      // The working index previously gained one bucket generation per
+      // micro-batch FOREVER (probe read amplification O(batches));
+      // the fenced fold (threshold 2, the default) bounds it — same
+      // 10 nightly batches as t40, absorbed through the stream's own
+      // probe-then-append path, generation count printed per batch.
+      spark.catalog.clearCache()
+      locally {
+        val work =
+          queries.StreamingOps.s16WorkingCopy(spark, docsDir.toString)
+        val b = spark.read.parquet(docsParquet.toString)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mid = (lo + hi) / 2
+        val gens = 10
+        val d = spark.read.parquet(docsParquet.toString)
+        time(s"s16 stream-absorb $gens batches under fenced " +
+            "auto-compact (threshold 2, folds amortized in-line)") {
+          (1 to gens).foreach { g =>
+            val loB = mid + (hi - mid) * (g - 1) / gens
+            val hiB = if (g == gens) hi else mid + (hi - mid) * g / gens
+            val batch = d
+              .filter(col("doc_id") > loB && col("doc_id") <= hiB)
+              .select(col("doc_id"), col("text"))
+            queries.StreamingOps
+              .s16ProcessBatch(spark, work, batch, (g - 1).toLong)
+            println(s"SCALE s16 after batch $g: " +
+              s"${queries.DedupOps.generationCount(work)} " +
+              "bucket generations")
+          }
+        }
+        spark.catalog.clearCache()
+        time("s16 steady-state probe relation (policy-bounded)") {
+          noop(queries.StreamingOps.s16AliveBuckets(spark, work)
+            .groupBy(col("band"), col("sig"))
+            .agg(min(col("canon")).as("canon")))
+        }
+        queries.DedupOps.deleteRecursively(work.toFile)
       }
       // m8: the media family's absorb-the-delta economics (t34's idiom
       // on perceptual hashes) — build, probe, and the full-corpus m5

@@ -763,6 +763,56 @@ object DedupOps {
     out.toString
   }
 
+  /** HOUSEKEEPING: delete artifact directories whose fingerprint no
+    * longer matches the staged corpus. Every `ensureArtifact` build
+    * stamps `_KEY` — `<family>:<dataDir>@<fingerprint>` (the exact
+    * string its path hashes); each corpus regeneration changes the
+    * fingerprint, so the family re-derives under a NEW path hash and
+    * the old directory becomes unreachable garbage that accumulates
+    * across sessions (eleven artifact families and growing). The
+    * sweep re-derives the CURRENT fingerprint set for `dataDir` —
+    * both the raw [[pathFingerprint]] of every table and the
+    * layoutHex-style digest the partials families key on — and
+    * deletes any `_KEY`-stamped dir that references this `dataDir`
+    * with a fingerprint outside that set. Safe by construction:
+    * `_INDEX_READY`-gated artifacts are re-derivable (a mistakenly
+    * swept LIVE artifact would merely rebuild), dirs without `_KEY`
+    * (non-artifact layouts, older sessions) are never touched, and
+    * dirs keyed to OTHER data dirs are left alone. Returns the
+    * deleted paths. */
+  private[graft] def sweepStaleArtifacts(s: SparkSession,
+      dataDir: String): Seq[String] = {
+    val tables = Option(new java.io.File(dataDir).listFiles()).toSeq
+      .flatten.map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+    val current: Set[String] = tables.flatMap { t =>
+      val fp = pathFingerprint(s, s"$dataDir/$t.parquet")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dataDir/$t@$fp".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      Seq(fp, hex)
+    }.toSet
+    Option(java.nio.file.Paths.get("target").toAbsolutePath.toFile
+      .listFiles()).toSeq
+      .flatten.filter(_.isDirectory).flatMap { d =>
+        val keyFile = d.toPath.resolve("_KEY")
+        if (!java.nio.file.Files.exists(keyFile)) None
+        else {
+          val key = new String(
+            java.nio.file.Files.readAllBytes(keyFile), "UTF-8").trim
+          val at = key.lastIndexOf('@')
+          val refsThisDir = key.contains(s"$dataDir@") ||
+            key.contains(s"$dataDir/")
+          if (at < 0 || !refsThisDir ||
+              current.contains(key.substring(at + 1))) None
+          else {
+            deleteRecursively(d)
+            Some(d.toString)
+          }
+        }
+      }
+  }
+
   /** Where the persisted connected-components LABEL index for `dir`
     * lives — the v17/v19 artifact idiom applied to the LAST
     * session-scoped expensive cascade (the converged t13 labels: label
@@ -1523,10 +1573,10 @@ object DedupOps {
     * shelf-agnostic. */
   private[graft] def ageOffMembers(s: SparkSession,
       out: java.nio.file.Path, horizon: Long,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id", tsCol: String = null): Unit =
     applyTakedown(s, out, gen = s"h$horizon",
       marker = s"_TAKEDOWN_$horizon")(
-      _.filter(col(idCol) <= horizon)
+      _.filter(col(Option(tsCol).getOrElse(idCol)) <= horizon)
         .select(col(idCol)).distinct())
 
   /** t38: retention/TTL age-off, served — build the membership
@@ -1544,6 +1594,73 @@ object DedupOps {
       out.resolve("_HORIZONS")), "UTF-8").trim.split("\\s+").map(_.toLong)
     ageOffMembers(s, out, h1)
     ageOffMembers(s, out, h2)
+    aliveMembers(s, requireReady(out))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+  }
+
+  // ------------ t41: EVENT-TIME retention (TTL over a timestamp the
+  // members relation CARRIES, not an id-span predicate)
+
+  /** t41's OWN membership artifact. t38's horizon is an id-span
+    * predicate; real retention policies are EVENT-TIME — "expire
+    * everything crawled before T" — and crawl time is NOT monotone
+    * with doc id, so the expired set is non-contiguous in id space.
+    * The documents fixture carries no timestamp column, so the build
+    * derives a deterministic ingest time per doc (the t16 md5 idiom —
+    * a 32-bit value both engines reproduce bit-identically from the
+    * id; in production this is the real crawl/ingest timestamp the
+    * build has in hand) and PERSISTS IT IN THE MEMBERS RELATION: the
+    * nightly age-off then filters the index's own `ingest_ts` column —
+    * index-local, no corpus re-read, no doc text — exactly t38's verb
+    * with the predicate column swapped ([[ageOffMembers]]' `tsCol`). */
+  private[graft] def t41IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("band_members_t41",
+      s"bandmemberst41:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** The derived per-doc ingest time: the first 8 md5 hex digits of
+    * the decimal id as a BIGINT — uniform over [0, 2^32), reproduced
+    * verbatim by the oracle's `('0x' || substr(md5(...)))::BIGINT`. */
+  private val t41IngestTs =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+      "AS BIGINT)"
+
+  // the policy horizons: fifths of the derived-time RANGE — pure
+  // compile-time constants on both sides (no bounds scan even at
+  // build), ⌊2^32/5⌋ and ⌊2^32·2/5⌋
+  private[graft] val T41H1 = 858993459L
+  private[graft] val T41H2 = 1717986918L
+
+  private[graft] def buildTimeAgeOffIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = t41IndexPath(s, dir)
+    ensureArtifact(out) {
+      bandedSignaturesOf(docs(s, dir))
+        .select(col("band"), col("sig"), col("doc_id"))
+        .withColumn("ingest_ts", org.apache.spark.sql.functions
+          .expr(t41IngestTs))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+    out
+  }
+
+  /** t41: EVENT-TIME retention, served — build the timestamp-carrying
+    * membership artifact, advance the TIME horizon twice through the
+    * same [[ageOffMembers]] verb (per-horizon markers, per-horizon
+    * `delete-h*` generations — t38's idempotence and fold story
+    * verbatim), serve the re-elected buckets over the survivors. The
+    * expired set is NON-CONTIGUOUS in id space (the hash-time
+    * interleaves expired and surviving ids — pinned in TombstoneSpec),
+    * which is precisely what the id-span predicate cannot express and
+    * why the timestamp must ride IN the index: at 100 TB the age-off
+    * stays O(expired) + index-local either way. Oracle = the rebuild
+    * over docs above the second time horizon. */
+  def indexTimeAgeOff(s: SparkSession, dir: String): DataFrame = {
+    val out = buildTimeAgeOffIndex(s, dir)
+    ageOffMembers(s, out, T41H1, tsCol = "ingest_ts")
+    ageOffMembers(s, out, T41H2, tsCol = "ingest_ts")
     aliveMembers(s, requireReady(out))
       .groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("canon"))
@@ -2184,6 +2301,7 @@ object DedupOps {
     "t38_index_ageoff" -> (indexAgeOff _),
     "t39_takedown_external" -> (takedownExternal _),
     "t40_auto_compact" -> (autoCompactServe _),
+    "t41_time_ageoff" -> (indexTimeAgeOff _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -2663,5 +2781,16 @@ object DedupOps {
       s"""$bandsCtes
          |SELECT band, sig, min(doc_id) AS canon
          |FROM bands GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // event-time retention: rebuild over docs whose DERIVED ingest
+    // time (the md5 idiom, bit-identical across engines) exceeds the
+    // second constant horizon — a non-contiguous id set, the thing an
+    // id-span predicate cannot express
+    "t41_time_ageoff" ->
+      s"""$bandsCtes
+         |SELECT band, sig, min(doc_id) AS canon
+         |FROM bands
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    ::BIGINT > 1717986918
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t29_leakage_safe_split" -> leakageSplitOracle)
 }

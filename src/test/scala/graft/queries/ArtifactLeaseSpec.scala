@@ -112,6 +112,37 @@ class ArtifactLeaseSpec extends SparkSpec {
     }
   }
 
+  test("housekeeping sweep: a stale-fingerprint artifact deletes; a live one survives and re-derives cleanly") {
+    val corpus = Files.createTempDirectory("sweep_corpus_").toString
+    import spark.implicits._
+    def writeDocs(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"alpha beta gamma delta doc $i word"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    writeDocs(5)
+    val idx1 = DedupOps.buildMembersIndexAt(spark, corpus,
+      DedupOps.t37IndexPath(spark, corpus))
+    assert(Files.exists(java.nio.file.Paths.get(idx1, "_KEY")),
+      "builds must stamp the key the sweep adjudicates from")
+    // live fingerprint → the artifact survives the sweep
+    assert(!DedupOps.sweepStaleArtifacts(spark, corpus).contains(idx1))
+    assert(Files.exists(java.nio.file.Paths.get(idx1)))
+    // the corpus regenerates (new fingerprint) → the old artifact dir
+    // is unreachable garbage; the sweep removes it
+    writeDocs(9)
+    val swept = DedupOps.sweepStaleArtifacts(spark, corpus)
+    assert(swept.contains(idx1), s"stale artifact must be swept: $swept")
+    assert(!Files.exists(java.nio.file.Paths.get(idx1)))
+    // the family re-derives cleanly at its NEW fingerprint path …
+    val idx2 = DedupOps.buildMembersIndexAt(spark, corpus,
+      DedupOps.t37IndexPath(spark, corpus))
+    assert(idx2 !== idx1)
+    assert(Files.size(java.nio.file.Paths.get(idx2, "_INDEX_READY")) > 0)
+    // … and the fresh build is live: a second sweep leaves it alone
+    assert(DedupOps.sweepStaleArtifacts(spark, corpus).isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(idx2)))
+  }
+
   test("a live lease blocks the waiter until released; a stuck one times out loudly") {
     val out = freshArtifact()
     val prevTtl = sys.props.get("graft.artifact.leaseTtlMs")

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** t37 deletion contract: canon = min is not invertible, so the
   * deletable index persists MEMBERSHIP and a takedown is an
@@ -236,6 +236,50 @@ class TombstoneSpec extends SparkSpec {
       .agg(min(col("doc_id")).as("canon"))
       .collect().map(_.getAs[Long]("canon")).distinct.sorted
     assert(aged.toSeq === Seq(70L, 100L), aged.toSeq)
+  }
+
+  test("t41 event-time age-off expires a NON-CONTIGUOUS id set the id-span predicate cannot express") {
+    val dir = "/root/testdata/sf0.001"
+    val served = DedupOps.indexTimeAgeOff(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    // the oracle semantics, derived independently: survivors are docs
+    // whose md5-derived ingest time exceeds the second constant horizon
+    val d = Tables(spark, dir, "documents")
+      .withColumn("its", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT)"))
+    val surviving = d.filter(col("its") > DedupOps.T41H2)
+      .select(col("doc_id"), col("text"))
+    val rebuild = DedupOps.bandedSignaturesOf(surviving)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("band"), col("sig"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === rebuild)
+    // the expired set must INTERLEAVE with the survivors in id space —
+    // the property that proves this is event-time, not an id span:
+    // some expired id exceeds some surviving id
+    val ids = d.select(col("doc_id"), (col("its") > DedupOps.T41H2)
+      .as("alive")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val maxExpired = ids.collect { case (i, false) => i }.max
+    val minAlive = ids.collect { case (i, true) => i }.min
+    assert(maxExpired > minAlive,
+      s"hash-time must interleave ids: maxExpired=$maxExpired " +
+        s"minAlive=$minAlive")
+    // per-horizon generations + timestamp column persisted in members
+    val idx = DedupOps.t41IndexPath(spark, dir)
+    val tombNames = idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(tombNames.exists(_.startsWith(s"delete-h${DedupOps.T41H1}-")) &&
+      tombNames.exists(_.startsWith(s"delete-h${DedupOps.T41H2}-")),
+      tombNames)
+    assert(spark.read.parquet(idx.resolve("members").toString)
+      .columns.contains("ingest_ts"),
+      "the event time must ride IN the members relation")
+    // idempotent per horizon, like t38
+    DedupOps.ageOffMembers(spark, idx, DedupOps.T41H2, tsCol = "ingest_ts")
+    assert(idx.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === tombNames)
   }
 
   test("t38 crash inside an age-off window degrades to rebuild and re-derives deterministically") {
