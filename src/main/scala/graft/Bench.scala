@@ -225,6 +225,13 @@ object Bench {
         (() => { graft.queries.Relational.q40Retract(spark, sfDir); () }),
       Set("q41_agg_ageoff") ->
         (() => { graft.queries.Relational.q41AggAgeOff(spark, sfDir); () }),
+      Set("q42_resketch_append") ->
+        (() => { graft.queries.Relational.q42Retract(spark, sfDir)
+                 graft.queries.Relational
+                   .appendPartialsResketchAware(spark, sfDir, "q42hll")
+                 () }),
+      Set("t41_time_ageoff") ->
+        (() => { graft.queries.DedupOps.indexTimeAgeOff(spark, sfDir); () }),
       Set("m12_media_ageoff") ->
         (() => { graft.queries.MultimodalOps.mediaAgeOff(spark, sfDir); () }),
       Set("m10_media_index_compact") ->

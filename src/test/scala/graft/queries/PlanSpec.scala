@@ -408,6 +408,7 @@ class PlanSpec extends SparkSpec {
         ("t40_auto_compact", "band_index_t40", "documents.parquet"),
         ("m12_media_ageoff", "media_members_m12", "documents.parquet"),
         ("v22_vector_ageoff", "vec_members_v22", "embeddings.parquet"),
+        ("t41_time_ageoff", "band_members_t41", "documents.parquet"),
         ("q41_agg_ageoff", "q41agg_rw", "events.parquet"))) {
       val p = plan(q)
       assert(p.contains(art), s"$q must read its persisted artifact:\n$p")
@@ -422,6 +423,13 @@ class PlanSpec extends SparkSpec {
     assert(m.contains("q40hll_rw") && m.contains("resketch_keys") &&
       !m.contains("events.parquet"),
       s"q40's maintenance path must be artifact-only:\n$m")
+    // q42's maintenance read (post-resketch append composed in) obeys
+    // the same rule on its own artifact copy
+    val m2 = Relational.q42MergedEstimates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(m2.contains("q42hll_rw") && m2.contains("resketch_keys") &&
+      !m2.contains("events.parquet"),
+      s"q42's maintenance path must be artifact-only:\n$m2")
   }
 
   test("q33: the incremental query scans ONLY the delta — cut pushed down, no bounds re-scan") {
