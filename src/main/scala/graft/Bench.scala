@@ -232,6 +232,13 @@ object Bench {
                  () }),
       Set("t41_time_ageoff") ->
         (() => { graft.queries.DedupOps.indexTimeAgeOff(spark, sfDir); () }),
+      Set("q43_resketch_compact") ->
+        (() => { graft.queries.Relational.q42Retract(spark, sfDir, "q43hll")
+                 graft.queries.Relational
+                   .appendPartialsResketchAware(spark, sfDir, "q43hll")
+                 graft.queries.Relational.compactResketchArtifact(spark,
+                   graft.queries.Relational.q43RwPath(spark, sfDir))
+                 () }),
       Set("m12_media_ageoff") ->
         (() => { graft.queries.MultimodalOps.mediaAgeOff(spark, sfDir); () }),
       Set("m10_media_index_compact") ->

@@ -1348,9 +1348,14 @@ object Relational {
       .filter(_.getName.endsWith(".parquet"))
     val (re, base) = files.partition(_.getName.startsWith("resketch-"))
     val baseDf = s.read.parquet(base.map(_.toString).toIndexedSeq: _*)
-    val kept = baseDf.join(
-      s.read.parquet(out.resolve("resketch_keys").toString),
-      Seq("event_type"), "left_anti")
+    // after the replacement-aware compaction ([[compactResketchArtifact]])
+    // the key list is gone — the replacement is baked into the single
+    // compacted generation and the read degenerates to the plain merge
+    val keysDir = out.resolve("resketch_keys")
+    val kept =
+      if (!java.nio.file.Files.exists(keysDir)) baseDf
+      else baseDf.join(s.read.parquet(keysDir.toString),
+        Seq("event_type"), "left_anti")
     val merged =
       if (re.isEmpty) kept
       else kept.unionByName(
@@ -1476,6 +1481,9 @@ object Relational {
   private[graft] def q42RwPath(s: SparkSession, dir: String) =
     rwPartialsPath(s, dir, "q42hll")
 
+  private[graft] def q43RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q43hll")
+
   /** q42's deterministic affected-key predicate: the hash-even half of
     * the key space ("the bad ingest came from source X" — q40's
     * all-keys-affected window would leave the untouched-append path
@@ -1490,8 +1498,9 @@ object Relational {
     * at first derivation so steady serves never re-scan for bounds. In
     * production this is simply "where ingest stood when the erasure
     * landed". */
-  private def q42TrancheCut(s: SparkSession, dir: String): Long = {
-    val out = q42RwPath(s, dir)
+  private def q42TrancheCut(s: SparkSession, dir: String,
+      fam: String = "q42hll"): Long = {
+    val out = rwPartialsPath(s, dir, fam)
     val hf = out.resolve("_TRANCHE")
     if (!java.nio.file.Files.exists(hf)) {
       val Array(lo, hi) = t(s, dir, "events")
@@ -1513,12 +1522,13 @@ object Relational {
     * non-window history ≤ the cut. `_RESKETCHED`-idempotent,
     * `resketch_keys` written inside the commit window (q40's
     * contract). */
-  private[graft] def q42Retract(s: SparkSession, dir: String): Unit = {
-    buildRwPartials(s, dir, "q42hll")(q34Sketch)
-    val c2 = q42TrancheCut(s, dir)
-    appendPartials(s, dir, "q42hll", c2)(q34Sketch)
+  private[graft] def q42Retract(s: SparkSession, dir: String,
+      fam: String = "q42hll"): Unit = {
+    buildRwPartials(s, dir, fam)(q34Sketch)
+    val c2 = q42TrancheCut(s, dir, fam)
+    appendPartials(s, dir, fam, c2)(q34Sketch)
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val out = q42RwPath(s, dir)
+    val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RESKETCHED")
       if (!java.nio.file.Files.exists(marker)) {
@@ -1567,7 +1577,11 @@ object Relational {
       val hiRow = Tables.normalizeTs(delta.select(col("ts")))
         .agg(max(col("ts"))).head()
       if (hiRow.isNullAt(0)) cut
-      else {
+      else if (!java.nio.file.Files.exists(out.resolve("resketch_keys"))) {
+        // the replacement was compacted away (or never existed): the
+        // plain append is legal again — delegate to it
+        appendPartials(s, dir, fam)(q34Sketch)
+      } else {
         val newCut = hiRow.getLong(0)
         val keys = s.read.parquet(out.resolve("resketch_keys").toString)
         val part = q34Sketch(delta)
@@ -1636,8 +1650,89 @@ object Relational {
   def q42ResketchAppend(s: SparkSession, dir: String): DataFrame =
     q42Audit(s, dir, q42MergedEstimates(s, dir))
 
+  /** The REPLACEMENT-AWARE compaction the shared flat fold refuses to
+    * be: materialize the replacement-preferring merge itself — base
+    * generations minus the resketched keys, plus every `resketch-*`
+    * generation, folded per key — as ONE fresh `compact-*` generation,
+    * then retire the `resketch_keys` relation INSIDE the same mutation
+    * window: after the fold the replacement is baked into the base, so
+    * the artifact degenerates to an ordinary single-generation sketch
+    * artifact — the read's anti-join disappears ([[
+    * resketchPreferringEstimates]]'s absent-keys path) and PLAIN
+    * appends become legal again (the staleness refusal keys on the
+    * relation's existence). `_RESKETCHED` deliberately SURVIVES:
+    * it records that the window's retraction has been applied —
+    * which after the fold it has, permanently — so the marker-guarded
+    * retract never re-runs against the compacted base. This closes
+    * the sketch shelf's lifecycle matrix: build, append, DELETE
+    * (re-sketch), append-after-delete (the aware fold), and now
+    * compact-after-delete, each semantics-free under the family's
+    * associative merge. Crash-safe under the marker-last contract
+    * (materialize first, nonce off, swap, keys retired, nonce last —
+    * a crash degrades to rebuild); no-op (false) when no replacement
+    * generation exists. */
+  private[graft] def compactResketchArtifact(s: SparkSession,
+      out: java.nio.file.Path): Boolean =
+    DedupOps.artifactLock(out).synchronized {
+      DedupOps.withArtifactLease(out) {
+        DedupOps.requireReady(out)
+        val dst = out.resolve("partials")
+        val files = Option(dst.toFile.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+        val (re, base) = files.partition(_.getName.startsWith("resketch-"))
+        if (re.isEmpty) false
+        else {
+          val keysDir = out.resolve("resketch_keys")
+          val kept = s.read.parquet(base.map(_.toString).toIndexedSeq: _*)
+            .join(s.read.parquet(keysDir.toString),
+              Seq("event_type"), "left_anti")
+          val merged = kept.unionByName(
+            s.read.parquet(re.map(_.toString).toIndexedSeq: _*))
+          val cut = DedupOps.cutOf(out)
+          val tmp = out.resolve("partials_compact")
+          merged.groupBy(col("event_type"))
+            .agg(hll_union_agg(col("sk")).as("sk"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val marker = out.resolve("_INDEX_READY")
+          java.nio.file.Files.deleteIfExists(marker)
+          DedupOps.deleteRecursively(dst.toFile)
+          java.nio.file.Files.createDirectories(dst)
+          tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                dst.resolve(f"compact-$cut%d-$i%03d.parquet"))
+            }
+          DedupOps.deleteRecursively(tmp.toFile)
+          DedupOps.deleteRecursively(keysDir.toFile)
+          java.nio.file.Files.write(marker,
+            System.nanoTime().toString.getBytes("UTF-8"))
+          true
+        }
+      }
+    }
+
+  /** q43: COMPACTION AFTER DELETION on the sketch shelf, gated — the
+    * full q42 composition (mid-ingest re-sketch + resketch-aware
+    * append) staged on q43's OWN artifact copy, then the replacement-
+    * aware fold, then the serve — which must be INVISIBLE in the
+    * result (q37/q38's rule: a compaction that changed any estimate
+    * would be a bug, not a tuning choice), so the oracle is q42's
+    * verbatim. What changes is the read: one generation, no anti-join,
+    * plain appends legal again — layout + re-enabled-append pinned in
+    * SketchGateSpec. */
+  def q43ResketchCompact(s: SparkSession, dir: String): DataFrame = {
+    q42Retract(s, dir, "q43hll")
+    appendPartialsResketchAware(s, dir, "q43hll")
+    compactResketchArtifact(s, q43RwPath(s, dir))
+    q42Audit(s, dir, resketchPreferringEstimates(s,
+      DedupOps.requireReady(q43RwPath(s, dir))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_resketch_append" -> (q42ResketchAppend _),
+    "q43_resketch_compact" -> (q43ResketchCompact _),
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
@@ -1885,6 +1980,21 @@ object Relational {
     // on BOTH key classes (the composition q40's read dropped); the
     // resketch-aware merge is bound-checked engine-side
     "q42_resketch_append" ->
+      """WITH b AS (
+        | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+        | FROM events)
+        |SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_err
+        |FROM events, b
+        |WHERE NOT (epoch_ns(ts) > lo + ((hi - lo) * 2) // 5
+        |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5
+        |       AND ('0x' || substr(md5(event_type), 1, 8))::BIGINT
+        |           % 2 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q43: the replacement-aware compaction must be INVISIBLE —
+    // q42's oracle verbatim (what changes is the layout/read, pinned
+    // in SketchGateSpec)
+    "q43_resketch_compact" ->
       """WITH b AS (
         | SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
         | FROM events)

@@ -231,6 +231,33 @@ class SketchGateSpec extends SparkSpec {
       DedupOps.compactArtifact(spark,
         Relational.q42RwPath(spark, tmp), rel = "partials")(df => df)
     }
+    // ---- q43: the REPLACEMENT-AWARE compaction bakes the
+    // replacement in. Staged on q43's own family over the same
+    // crafted corpus: serve-before ≡ serve-after, layout folds to ONE
+    // generation, the key list retires (plain appends legal again),
+    // _RESKETCHED survives (the retract never re-runs), and a second
+    // compaction no-ops.
+    Relational.q42Retract(spark, tmp, "q43hll")
+    Relational.appendPartialsResketchAware(spark, tmp, "q43hll")
+    val out43 = Relational.q43RwPath(spark, tmp)
+    assert(Relational.compactResketchArtifact(spark, out43))
+    val gate43 = Relational.q43ResketchCompact(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(gate43 === gate, "compaction must be invisible in the serve")
+    val names43 = out43.resolve("partials").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names43.forall(_.startsWith("compact-")) &&
+      names43.nonEmpty, names43.toSeq)
+    assert(!java.nio.file.Files.exists(out43.resolve("resketch_keys")),
+      "the baked-in replacement must retire the key list")
+    assert(java.nio.file.Files.exists(out43.resolve("_RESKETCHED")),
+      "the applied-retraction record must survive the fold")
+    assert(!Relational.compactResketchArtifact(spark, out43),
+      "a compacted artifact must no-op")
+    // the shared flat fold no longer refuses (no replacement left) and
+    // correctly reports nothing to fold
+    assert(!DedupOps.compactArtifact(spark, out43, rel = "partials")(
+      df => df))
     ()
   }
 
