@@ -636,6 +636,20 @@ object ScaleDemo {
             .groupBy(col("band"), col("sig"))
             .agg(min(col("canon")).as("canon")))
         }
+        // s17's verb at the same scale: the retention horizon lands
+        // BETWEEN absorbed batches through the shared ageOffMembers —
+        // O(expired) tombstone write against the stream's own members
+        // relation, no corpus re-read; the aged probe then pays the
+        // anti-join + full-fidelity re-election over survivors
+        time("s17 retention advance on the streamed index (O(expired))") {
+          queries.DedupOps.ageOffMembers(spark, work, lo + (mid - lo) / 2)
+        }
+        spark.catalog.clearCache()
+        time("s17 aged probe relation (survivors, re-elected)") {
+          noop(queries.StreamingOps.s16AliveBuckets(spark, work)
+            .groupBy(col("band"), col("sig"))
+            .agg(min(col("canon")).as("canon")))
+        }
         queries.DedupOps.deleteRecursively(work.toFile)
       }
       // m8: the media family's absorb-the-delta economics (t34's idiom

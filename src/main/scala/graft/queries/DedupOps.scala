@@ -856,6 +856,202 @@ object DedupOps {
     ccClustersOf(s.read.parquet(s"$idx/labels"))
   }
 
+  // ------------ t42: INCREMENTAL connected components — the cluster
+  // shelf's append verb (t33 builds once and can only rebuild; at
+  // 100 TB the nightly crawl must MERGE into yesterday's clusters)
+
+  private[graft] def t42IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    artifactDir("cc_index_t42",
+      s"cct42:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** The cluster shelf's graph for INCREMENTAL maintenance: bucket
+    * CONNECTIVITY — two docs are adjacent iff they share a
+    * `(band, sig)` LSH bucket, i.e. the transitive closure of the
+    * s3/t34/s16 flag rule. Chosen over t13's est-filtered capped pair
+    * graph DELIBERATELY: the cap's sub-split modulus depends on the
+    * FULL bucket's size (`doc_id % ceil(cnt/cap)`), so t13's edge set
+    * is not decomposable into base ∪ delta edges — incremental
+    * maintenance of it could not be exact, and an inexact cluster
+    * index is worse than none. The raw bucket graph decomposes by
+    * construction: a doc's bucket memberships are a function of its
+    * own content, so EVERY edge a new tranche creates involves a
+    * delta doc — base-only connectivity never changes behind the
+    * index's back, which is precisely what makes the merge-graph
+    * update exact. Star edges (member ↔ bucket min) keep the edge
+    * list linear in membership rows — never the per-bucket clique. */
+  private def bucketStarEdges(members: DataFrame): DataFrame = {
+    val bmin = members.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("m"), count(lit(1)).as("cnt"))
+    members.join(bmin, Seq("band", "sig"))
+      .filter(col("cnt") >= 2 && col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+      .distinct()
+  }
+
+  /** BUILD t42's cluster artifact over the base tranche (ids ≤ mid,
+    * the t34/t35 split): the unfolded `(band, sig, doc_id)` members
+    * (the relation every later append probes for cross edges — the
+    * t37 lesson, paid up front) and the converged `(node, label)`
+    * relation over the base bucket graph. Only clustered nodes carry
+    * rows (singletons are the uninteresting common case, t13's rule);
+    * `_CUT` persists the watermark so no serve re-scans the corpus
+    * for bounds. Idempotent under the nonce-marker contract. */
+  private[graft] def buildT42Index(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = t42IndexPath(s, dir)
+    ensureArtifact(out) {
+      val d = docs(s, dir)
+      // one-time bounds read, confined to the build (q33's rule)
+      val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi) / 2
+      bandedSignaturesOf(d.filter(col("doc_id") <= cut))
+        .select(col("band"), col("sig"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+      ccConvergedLabelsDf(s, bucketStarEdges(
+          s.read.parquet(out.resolve("members").toString)), null)
+        .write.mode("overwrite").parquet(out.resolve("labels").toString)
+      java.nio.file.Files.write(out.resolve("_CUT"),
+        cut.toString.getBytes("UTF-8"))
+    }
+    out
+  }
+
+  /** APPEND the tranche above `_CUT` into the cluster index — the
+    * MERGE-GRAPH update, never a rebuild:
+    *
+    *  1. Band the delta (O(batch) map work) and probe the persisted
+    *     members for its base bucket-mates; each mate collapses to
+    *     its CURRENT label (the min-fold over the labels relation —
+    *     an unlabeled mate is its own singleton label). Cross edges
+    *     are therefore (delta doc ↔ current base label).
+    *  2. Delta-internal star edges from the batch's own buckets.
+    *  3. Converge the MERGE GRAPH — nodes are delta docs and touched
+    *     base labels, O(batch + touched), never the corpus — with the
+    *     same CC loop the build uses. Because every base label IS its
+    *     component's min doc id, the merge graph's converged label is
+    *     exactly the merged component's global min: the update is
+    *     EXACT, not an approximation.
+    *  4. Land ONE `append-<cut>-*` labels generation: the delta docs'
+    *     labels, the LOWERED old labels (two base clusters bridged by
+    *     a delta chain, or an absorbed base singleton), and a relabel
+    *     row for every member of a lowered base cluster (O(affected
+    *     members), bounded by the merge scope). Labels only ever
+    *     DECREASE under merges, so the read stays the family's plain
+    *     min fold per node — associative, compaction-ready, and
+    *     crash-safe under the shared commit (generation cleared
+    *     first, `_CUT` conditional, marker last). The delta's
+    *     membership rows move into `members/` INSIDE the same commit
+    *     window (s16's beforeReady idiom) so no reachable state holds
+    *     labels without the members that justify them. */
+  private[graft] def t42Append(s: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Unit = {
+    val out = t42IndexPath(s, dir)
+    artifactLock(out).synchronized { retryOnConflict() {
+      requireReady(out)
+      val cut = cutOf(out)
+      val delta = docs(s, dir)
+        .filter(col("doc_id") > cut && col("doc_id") <= upTo)
+      val hiRow = delta.agg(max(col("doc_id"))).head()
+      if (!hiRow.isNullAt(0)) {
+        val newCut = hiRow.getLong(0)
+        val dm = bandedSignaturesOf(delta)
+          .select(col("band"), col("sig"), col("doc_id"))
+        val members = s.read.parquet(out.resolve("members").toString)
+        val rawLabels = s.read.parquet(out.resolve("labels").toString)
+        val labels = rawLabels
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        val cross = dm.as("a")
+          .join(members.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("bm"))
+          .join(labels.withColumnRenamed("node", "bm"), Seq("bm"), "left")
+          .select(col("doc_a"),
+            coalesce(col("label"), col("bm")).as("doc_b"))
+          .distinct()
+        val conv = ccConvergedLabelsDf(s,
+          cross.unionAll(bucketStarEdges(dm)), null)
+        val deltaRows = conv.filter(col("node") > cut)
+          .select(col("node"), col("label"))
+        // EVERY base-side merge-graph node lands a row: an absorbed
+        // base SINGLETON that is its new cluster's min has
+        // label == node — neither a delta doc nor a lowering, but its
+        // membership row must exist (it had none as a singleton).
+        // For an already-labeled canon the (L, L) row is a harmless
+        // duplicate under the min fold
+        val baseRows = conv.filter(col("node") <= cut)
+          .select(col("node"), col("label"))
+        val lowered = conv.filter(col("node") <= cut &&
+          col("label") < col("node"))
+        // every member of a lowered base cluster relabels; stale
+        // generations' rows cannot match — a superseded label is never
+        // anyone's CURRENT label (its own component merged downward),
+        // and `cross` collapsed mates through the fold
+        val relabeled = rawLabels
+          .join(lowered.select(col("node").as("old_label"),
+            col("label").as("new_label")),
+            col("label") === col("old_label"))
+          .select(col("node"), col("new_label").as("label"))
+        val gen = deltaRows
+          .unionAll(baseRows)
+          .unionAll(relabeled)
+        val tmp = out.resolve("labels_append")
+        gen.write.mode("overwrite").parquet(tmp.toString)
+        val tmpM = out.resolve("members_append")
+        dm.write.mode("overwrite").parquet(tmpM.toString)
+        commitArtifactAppend(out, tmp, newCut, rel = "labels",
+          beforeReady = () => {
+            val dst = out.resolve("members")
+            Option(dst.toFile.listFiles()).foreach(
+              _.filter(_.getName.startsWith(f"append-$newCut%d-"))
+                .foreach(f => { f.delete(); () }))
+            tmpM.toFile.listFiles()
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+              .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  dst.resolve(f"append-$newCut%d-$i%03d.parquet"),
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            deleteRecursively(tmpM.toFile)
+          }, expectedCut = cut)
+      }
+    } }
+  }
+
+  /** t42: the cluster table served INCREMENTALLY — build the base
+    * half, MERGE the tail tranche through the merge-graph append,
+    * serve the min-folded labels through the same cluster-assembly
+    * tail as t13/t33. Oracle = the full-corpus bucket-connectivity
+    * CC (a recursive CTE over the uncapped star edges): append-then-
+    * serve must equal the rebuild exactly — merges, absorbed
+    * singletons, and delta-only clusters included. The two-base-
+    * cluster merge, relabel-generation shape, second-append
+    * composition, and idempotence are pinned on a crafted corpus in
+    * CcIncrementalSpec. */
+  /** The artifact's cluster assembly: min-fold the labels generations
+    * per node, then the same tail as t13/t33. */
+  private[graft] def ccClustersOfFolded(s: SparkSession,
+      out: java.nio.file.Path): DataFrame =
+    ccClustersOf(s.read.parquet(out.resolve("labels").toString)
+      .groupBy(col("node")).agg(min(col("label")).as("label")))
+
+  /** The ground-truth comparator (spec-only at any scale): the same
+    * bucket-connectivity CC rebuilt over the FULL corpus — what the
+    * incremental path must equal exactly. */
+  private[graft] def rebuildBucketClusters(s: SparkSession,
+      dir: String): DataFrame =
+    connectedComponentsOf(s, bucketStarEdges(
+      bandedSignaturesOf(docs(s, dir))
+        .select(col("band"), col("sig"), col("doc_id"))))
+
+  def ccIncrementalServe(s: SparkSession, dir: String): DataFrame = {
+    buildT42Index(s, dir)
+    t42Append(s, dir)
+    ccClustersOfFolded(s, requireReady(t42IndexPath(s, dir)))
+  }
+
   // ---------------------------------- t34: incremental (delta) dedup
 
   /** Where the persisted LSH BAND index for `dir`'s BASE tranche
@@ -2294,6 +2490,7 @@ object DedupOps {
     "t10_clean_corpus" -> (cleanCorpus _),
     "t13_dedup_clusters" -> (nearDupClusters _),
     "t33_cc_index_load" -> (ccClustersServe _),
+    "t42_cc_incremental" -> (ccIncrementalServe _),
     "t34_incremental_dedup" -> (incrementalDedup _),
     "t35_index_append" -> (indexAppendServe _),
     "t36_index_compact" -> (indexCompactServe _),
@@ -2676,6 +2873,41 @@ object DedupOps {
        |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)""".stripMargin
   }
 
+  /** t42's oracle CTEs: connected components over the UNCAPPED bucket
+    * star edges (member ↔ bucket min — connectivity-equivalent to the
+    * per-bucket clique at linear edge count), the same recursive-
+    * closure idiom as [[clusterCcCtes]]. No sub-split and no
+    * est_jaccard filter: bucket connectivity is the decomposable
+    * graph the incremental engine path maintains exactly. */
+  private lazy val bucketCcCtes: String = {
+    val inner = bandsCtes.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $inner,
+       |bmin AS (
+       | SELECT band, sig, min(doc_id) AS m, count(*) AS cnt
+       | FROM bands GROUP BY 1, 2),
+       |bedges AS (
+       | SELECT DISTINCT b.doc_id AS u, k.m AS v
+       | FROM bands b JOIN bmin k ON b.band = k.band AND b.sig = k.sig
+       | WHERE k.cnt >= 2 AND b.doc_id <> k.m),
+       |bsym AS (SELECT u, v FROM bedges UNION SELECT v, u FROM bedges),
+       |breach(u, v) AS (
+       | SELECT u, u FROM bsym
+       | UNION
+       | SELECT r.u, s.v FROM breach r JOIN bsym s ON s.u = r.v),
+       |bcc AS (SELECT u AS doc_id, min(v) AS cluster_id
+       |        FROM breach GROUP BY u)""".stripMargin
+  }
+
+  private lazy val bucketClusterOracle: String =
+    s"""$bucketCcCtes,
+       |bsizes AS (
+       | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       | FROM bcc GROUP BY cluster_id)
+       |SELECT bcc.cluster_id, bcc.doc_id, bsizes.cluster_size,
+       | bcc.doc_id = bcc.cluster_id AS keep
+       |FROM bcc JOIN bsizes USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   private lazy val clusterOracle: String =
     s"""$clusterCcCtes,
        |sizes AS (
@@ -2709,6 +2941,9 @@ object DedupOps {
     // the label-index serve path must land on the identical cluster
     // table — one oracle serves the in-query and artifact paths
     "t33_cc_index_load" -> clusterOracle,
+    // t42: append-then-serve must equal the full-corpus rebuild of the
+    // bucket-connectivity clusters — the incremental path is exact
+    "t42_cc_incremental" -> bucketClusterOracle,
     // delta docs flagged against the BASE tranche's buckets only; no
     // bucket cap CTEs — the probe join generates no pairs
     "t34_incremental_dedup" ->

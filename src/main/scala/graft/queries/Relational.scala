@@ -1730,9 +1730,128 @@ object Relational {
       DedupOps.requireReady(q43RwPath(s, dir))))
   }
 
+  // ----------- q44: EXTERNAL erasure list on the sum shelf — t39's
+  // input-relation shape composed with q39's invertibility
+
+  private[graft] def q44RwPath(s: SparkSession, dir: String) =
+    rwPartialsPath(s, dir, "q44agg")
+
+  /** Stage q44's EXTERNAL erasure list — user ids arriving from
+    * outside (a GDPR request log; t39's staging idiom on the events
+    * dimension): every in-range user_id divisible by 7, PLUS an id
+    * absent from the corpus (the erasure must no-op on it, never
+    * error) and a REPEATED id (a re-submitted request — the semi
+    * join matches its rows once, so repetition inside one list is
+    * harmless by construction). Staged once per fingerprint under
+    * the nonce-marker contract; floor division so a negative id
+    * range still starts at the first in-range multiple. */
+  private[graft] def stageQ44Erasures(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = DedupOps.artifactDir("q44_erasures",
+      s"q44erasures:$dir@${DedupOps.pathFingerprint(s, s"$dir/events.parquet")}")
+    DedupOps.ensureArtifact(out) {
+      val Array(lo, hi) = t(s, dir, "events")
+        .agg(min(col("user_id")), max(col("user_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val first = Math.floorDiv(lo + 6, 7) * 7
+      import s.implicits._
+      s.range(first, hi + 1, 7).select(col("id").as("user_id"))
+        .unionAll(Seq(hi + 1000L, first).toDF("user_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out.resolve("erasures").toString)
+    }
+    out
+  }
+
+  /** Erase the LISTED USERS' events from the living sum aggregate —
+    * the external-takedown verb (t39's input-relation shape) on the
+    * INVERTIBLE shelf: the erasure ids arrive as a relation, the
+    * retraction scans the corpus ONCE for exactly their rows (a
+    * broadcast semi join — the list is request-sized, so the events
+    * side never shuffles and no erased row leaves its executor),
+    * folds them through the SAME per-key partial NEGATED, and
+    * commits a `retractx<tag>-*` generation at the unchanged
+    * watermark (conditional commit, q39's contract — the `retract`
+    * file prefix keeps q37's fold netting it for free). The honest
+    * trade vs the membership shelves: t39's anti-join is index-local
+    * because those families paid for an unfolded members relation up
+    * front; the sum shelf persists only per-key partials (no per-row
+    * state), so an id-level erasure costs one corpus scan per
+    * erasure BATCH — invertibility buys no-rebuild, not no-scan; at
+    * 100 TB the scan amortizes across the nightly list (one
+    * generation per batch of requests, never per request). The
+    * marker is KEYED BY THE STAGED LIST's fingerprint (s16Takedown's
+    * rule): a second, different list lands beside the first instead
+    * of short-circuiting on a shared marker — for an erasure verb
+    * that silent no-op would be a compliance failure; re-submitting
+    * the same list stays a marker no-op. `_ERASED_<tag>` is written
+    * INSIDE the commit window (the beforeReady hook — q39's
+    * atomicity argument: no reachable committed-but-unmarked
+    * state). */
+  /** One erasure LIST application — exposed separately so a second,
+    * later list (the nightly shape: a new batch of requests against
+    * the same living aggregate) lands as its own generation under its
+    * own tag, and so the spec can pin that composition. */
+  private[graft] def q44Erase(s: SparkSession, dir: String,
+      erasures: DataFrame, tag: String): Unit = {
+    val out = q44RwPath(s, dir)
+    DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
+      val marker = out.resolve(s"_ERASED_$tag")
+      if (!java.nio.file.Files.exists(marker)) {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val erased = raw.join(broadcast(erasures.select(col("user_id"))),
+          Seq("user_id"), "left_semi")
+        val tmp = out.resolve("partials_erase")
+        q33Partial(erased)
+          .select(col("event_type"), (-col("pn")).as("pn"),
+            (-col("pc")).as("pc"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val cut = DedupOps.cutOf(out)
+        DedupOps.commitArtifactAppend(out, tmp, cut,
+          rel = "partials", kind = s"retractx$tag",
+          beforeReady = () => {
+            java.nio.file.Files.write(marker, "1".getBytes("UTF-8")); ()
+          }, expectedCut = cut)
+      }
+    } }
+  }
+
+  private[graft] def q44Takedown(s: SparkSession, dir: String): Unit = {
+    buildRwPartials(s, dir, "q44agg")(q33Partial)
+    appendPartials(s, dir, "q44agg")(q33Partial)
+    val ext = stageQ44Erasures(s, dir)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(DedupOps.pathFingerprint(s,
+        ext.resolve("erasures").toString).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    q44Erase(s, dir, s.read.parquet(ext.resolve("erasures").toString), tag)
+  }
+
+  /** q37's fold on q44's artifact: the `retractx*` generations carry
+    * the `retract` file prefix precisely so the shared sum fold nets
+    * them into the base for free. */
+  private[graft] def q44Compact(s: SparkSession, dir: String): Boolean =
+    DedupOps.compactArtifact(s, q44RwPath(s, dir), rel = "partials")(q35Fold)
+
+  /** q44: EXTERNAL TAKEDOWN on the sum family, served — build + append
+    * q44's own partials artifact, apply the staged erasure list, serve
+    * the netted merge. Oracle: q33's statistics over the events whose
+    * user survives the list (`user_id % 7 <> 0` — the absent and
+    * repeated ids in the staged list are no-ops on both sides). The
+    * ghost-key filter is q39's read contract. List-keyed idempotence,
+    * the second-distinct-list composition, and q37's fold netting the
+    * erasure pinned in PartialsCompactSpec. */
+  def q44AggTakedown(s: SparkSession, dir: String): DataFrame = {
+    q44Takedown(s, dir)
+    q33Merge(s.read.parquet(DedupOps.requireReady(q44RwPath(s, dir))
+      .resolve("partials").toString))
+      .filter(col("n_events") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_resketch_append" -> (q42ResketchAppend _),
     "q43_resketch_compact" -> (q43ResketchCompact _),
+    "q44_agg_takedown" -> (q44AggTakedown _),
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
@@ -2005,6 +2124,16 @@ object Relational {
         |       AND epoch_ns(ts) <= lo + ((hi - lo) * 3) // 5
         |       AND ('0x' || substr(md5(event_type), 1, 8))::BIGINT
         |           % 2 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q44: the staged list erases every in-range user_id divisible by
+    // 7 (the absent and repeated ids are no-ops on both sides), so
+    // the surviving aggregate is q33's statistics over the other users
+    "q44_agg_takedown" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 2) AS sum_value
+        |FROM events
+        |WHERE user_id % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salt is internal — the oracle is the plain unsalted join
     "q29_salted_join" ->

@@ -1148,6 +1148,66 @@ object StreamingOps {
         .orderBy(col("doc_id"))
     }
 
+  // ------------- s17: RETENTION between micro-batches — the policy ×
+  // streaming composition cell (s16 closed takedown × stream and
+  // compaction × stream; this closes age-off × stream)
+
+  private val s17EntryLock = new Object
+  private[graft] val lastS17Work =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  /** s17: retention age-off ON THE STREAMED LIVING INDEX — the
+    * scheduler's nightly TTL advance landing BETWEEN micro-batches
+    * while the stream keeps absorbing. Tranche 1 arrives and is
+    * absorbed against the pristine base (s16's machinery verbatim —
+    * same fence, same commit, same crash story); then the policy
+    * horizon advances through the SHARED [[DedupOps.ageOffMembers]]
+    * verb (per-horizon marker, `delete-h*` tombstone generation via
+    * [[DedupOps.applyTakedown]] — the `_BATCH` fence is untouched
+    * because a policy advance is not a batch, s16Takedown's rule),
+    * expiring the older half of the BASE span; then the stream
+    * resumes (same checkpoint, widened glob — the restart-fixture
+    * idiom) and tranches 2-3 probe [[s16AliveBuckets]]: every
+    * candidate canon is a SURVIVOR, re-election included (a bucket
+    * whose canon expired serves its next-min alive member), while
+    * tranche 1's already-emitted flags stand — emitted flags are
+    * immutable facts about probe time; retention changes what the
+    * index SERVES, never history. The horizon derives from the
+    * index's own id bounds (v22's rule — one O(index) members min,
+    * no corpus scan), and the expired docs' text never rejoins any
+    * plan. s16's auto-fold composes untouched: a fold with
+    * tombstones present min-folds the bucket generations (dead
+    * canons included — harmless, the tombstoned probe path reads
+    * members) and concatenates members with tombstones intact. At
+    * 100 TB this is exactly the deployment shape: retention runs as
+    * a maintenance job against the same artifact the 24/7 ingest
+    * stream maintains, serialized by the artifact lease, O(expired)
+    * per advance. Oracle: s16's tranche-cut rule with post-age-off
+    * probes restricted to surviving canons. */
+  def streamedRetention(s: SparkSession, dir: String): DataFrame =
+    s17EntryLock.synchronized {
+      val staged = stageS16Tail(s, dir)
+      val work = s16WorkingCopy(s, dir)
+      val ck = work.resolve("ckpt").toString
+      // the base cut and the index-derived policy horizon, captured
+      // BEFORE any batch advances _CUT
+      val mid = DedupOps.cutOf(work)
+      val lo = s.read.parquet(work.resolve("members").toString)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      val h = lo + (mid - lo) / 2
+      // segment 1: tranche 1 absorbed against the pristine base
+      s16RunStream(s, work, staged, "t-000.parquet", ck)
+      // the retention advance, between batches
+      DedupOps.ageOffMembers(s, work, h)
+      // segment 2: the stream resumes from the same checkpoint; the
+      // widened glob admits tranches 2-3 (already-seen files skip)
+      s16RunStream(s, work, staged, "t-*.parquet", ck)
+      val old = lastS17Work.getAndSet(work)
+      if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
+      s.read.parquet(work.resolve("flags").toString + "/b*")
+        .orderBy(col("doc_id"))
+    }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -1271,7 +1331,8 @@ object StreamingOps {
     "s13_stream_outer_join" -> (streamedOuterIntervalJoin _),
     "s14_stream_index_dedup" -> (streamedIncrementalDedup _),
     "s15_stream_living_index" -> (streamedLivingIndexDedup _),
-    "s16_stream_writeback" -> (streamedIndexWriteback _))
+    "s16_stream_writeback" -> (streamedIndexWriteback _),
+    "s17_stream_retention" -> (streamedRetention _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -1350,6 +1411,34 @@ object StreamingOps {
          |   AND k.doc_id <= CASE WHEN b.doc_id <= c1 THEN mid
          |                        WHEN b.doc_id <= c2 THEN c1
          |                        ELSE c2 END)
+         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s17: s16's tranche-cut rule with the retention horizon applied
+    // to every probe AFTER the advance (tranches 2-3): a candidate
+    // canon must be a survivor (doc_id > h). Tranche 1's flags stand
+    // as probed — emitted flags are immutable; retention changes what
+    // the index serves, not history
+    "s17_stream_retention" ->
+      s"""${DedupOps.bandsCtes},
+         |bounds AS (
+         | SELECT min(doc_id) AS lo,
+         |        (min(doc_id) + max(doc_id)) // 2 AS mid,
+         |        max(doc_id) AS hi
+         | FROM documents),
+         |cuts AS (
+         | SELECT mid, mid + (hi - mid) // 3 AS c1,
+         |        mid + (2 * (hi - mid)) // 3 AS c2,
+         |        lo + (mid - lo) // 2 AS h
+         | FROM bounds),
+         |f AS (
+         | SELECT b.doc_id, b.band, k.doc_id AS canon
+         | FROM bands b CROSS JOIN cuts
+         | JOIN bands k ON b.band = k.band AND b.sig = k.sig
+         | WHERE b.doc_id > mid
+         |   AND k.doc_id <= CASE WHEN b.doc_id <= c1 THEN mid
+         |                        WHEN b.doc_id <= c2 THEN c1
+         |                        ELSE c2 END
+         |   AND (b.doc_id <= c1 OR k.doc_id > h))
          |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_stream_tumbling" -> tumblingOracle,

@@ -213,6 +213,60 @@ class PartialsCompactSpec extends SparkSpec {
     assert(aged === Seq(Vector("new", 1L, 6.00)), aged.toSeq)
   }
 
+  test("q44 external erasure: the listed users' mass nets out; a second list lands beside the first; compaction folds both") {
+    // crafted corpus: user ids {3, 5, 7, 14} → the staged list erases
+    // the in-range multiples of 7 ({7, 14}, plus the absent 1014 and
+    // a repeated 7 — both no-ops). "gone" lives entirely on erased
+    // users (ghost-drops); "mixedu" straddles; "keep" never touches
+    // an erased user.
+    val tmp = Files.createTempDirectory("q44_spec_").toString
+    import spark.implicits._
+    val base = 1_000_000_000_000_000L
+    def at(sec: Double): Long = base + (sec * 1e9).toLong
+    Seq(
+      (at(1.0), 7L, "gone", 5.00),
+      (at(2.0), 14L, "mixedu", 3.00), (at(3.0), 3L, "mixedu", 4.00),
+      (at(4.0), 5L, "keep", 2.00), (at(5.0), 3L, "keep", 1.00))
+      .toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val served = Relational.q44AggTakedown(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === Seq(
+      Vector("keep", 2L, 3.00),
+      Vector("mixedu", 1L, 4.00)),
+      s"erased users' events must net out exactly: $served")
+    val out = Relational.q44RwPath(spark, tmp)
+    // exactly one erasure generation, keyed by the staged list
+    val names0 = out.resolve("partials").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(names0.exists(_.startsWith("retractx")), names0)
+    // re-submitting the SAME list is a marker no-op (list-keyed
+    // idempotence — never a double subtraction)
+    assert(Relational.q44AggTakedown(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === served)
+    assert(out.resolve("partials").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0, "the same list must not re-erase")
+    // a SECOND, different list (tomorrow's requests) lands as its own
+    // generation under its own tag — no shared-marker short-circuit
+    Relational.q44Erase(spark, tmp, Seq(3L).toDF("user_id"), "spec2")
+    assert(Files.exists(out.resolve("_ERASED_spec2")))
+    val served2 = Relational.q44AggTakedown(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served2 === Seq(Vector("keep", 1L, 2.00)),
+      s"user 3's erasure must drop mixedu entirely and halve keep: $served2")
+    // compaction nets base + both erasure generations; the fully-
+    // erased keys survive as explicit zero rows the serve filter hides
+    assert(Relational.q44Compact(spark, tmp))
+    assert(generationKinds(out.resolve("partials")) === Set("compact"))
+    val zeroed = spark.read.parquet(out.resolve("partials").toString)
+      .filter(col("pn") === 0L).collect().map(_.getString(0)).sorted
+    assert(zeroed.toSeq === Seq("gone", "mixedu"), zeroed.toSeq)
+    assert(Relational.q44AggTakedown(spark, tmp)
+      .collect().map(_.toSeq.toVector).toSeq === served2,
+      "compaction must be invisible through the erasure serve")
+  }
+
   test("m10 media-index compaction serves m9's result from a single generation") {
     val compacted = MultimodalOps.mediaIndexCompactServe(spark, dir)
       .collect().map(_.toSeq.toVector).toSeq

@@ -561,6 +561,58 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(work.toFile)
   }
 
+  test("s17 retention between batches: expired canons re-elect for later probes; emitted flags stand") {
+    // lo=1 hi=163 → mid=82, horizon h = 1 + (82-1)/2 = 41, tranche
+    // cuts c1=109 c2=136. Base: 1 "alpha" (expires), 2 "one" (expires),
+    // 50 "alpha" (survives — the re-elected canon). Tranche 1: 95
+    // "alpha" (probes BEFORE the advance → flags against 1), 100 new.
+    // Tranche 2: 120 "alpha" (probes AFTER → must flag the SURVIVOR
+    // 50, never the expired 1), 130 "one" (its only twin expired —
+    // the bucket vanishes, no flag). Tranche 3: 150 "quick" (twin of
+    // the STREAM-absorbed 100 — retention must not touch absorbed
+    // state), 163 new.
+    val tmp = java.nio.file.Files.createTempDirectory("s16_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (95L, "alpha beta gamma delta epsilon zeta"),
+      (100L, "quick brown foxes vault lazy hounds"),
+      (120L, "alpha beta gamma delta epsilon zeta"),
+      (130L, "one two three four five six"),
+      (150L, "quick brown foxes vault lazy hounds"),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val out = StreamingOps.streamedRetention(spark, tmp.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSeq
+    assert(out === Seq((95L, 1L), (120L, 50L), (150L, 100L)),
+      "95's pre-advance flag stands; 120 re-elects to the survivor " +
+        "50; 130's bucket vanished; absorbed state untouched")
+    val work = StreamingOps.lastS17Work.get()
+    // the advance landed through the shared per-horizon takedown
+    // mechanics, and it is not a batch: the fence shows only batches
+    assert(java.nio.file.Files.exists(work.resolve("_TAKEDOWN_41")),
+      "the horizon-keyed age-off marker must land")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 2L)
+    // a lagging scheduler re-advancing the same horizon is a marker
+    // no-op (per-horizon idempotence on the streamed shelf too)
+    val tombs0 = work.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    DedupOps.ageOffMembers(spark, work, 41L)
+    assert(work.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === tombs0)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
