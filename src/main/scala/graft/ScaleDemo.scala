@@ -313,6 +313,54 @@ object ScaleDemo {
           .ccClustersServe(fresh, docsDir.toString).count()
       }
       println(s"SCALE t33 clustered docs: $clustered")
+      // t42/t43/t44: CLUSTER MAINTENANCE economics — the merge-graph
+      // append and the scoped forget vs the full re-convergence both
+      // avoid. Fresh artifact per run so the append is real work.
+      spark.catalog.clearCache()
+      val ccOut = queries.DedupOps
+        .t42IndexPath(spark, docsDir.toString, "sd42")
+      rmCc(ccOut.toFile)
+      time(s"t42 base cluster build (half of $actualDocs docs)") {
+        queries.DedupOps.buildT42Index(spark, docsDir.toString, "sd42")
+      }
+      spark.catalog.clearCache()
+      time("t42 incremental append (other half, merge-graph update)") {
+        queries.DedupOps.t42Append(spark, docsDir.toString, "sd42")
+      }
+      spark.catalog.clearCache()
+      time("t42 steady serve (folded labels, artifact-only)") {
+        noop(queries.DedupOps.ccClustersOfFolded(spark,
+          queries.DedupOps.requireReady(ccOut)))
+      }
+      spark.catalog.clearCache()
+      time("t42 comparator: full-corpus re-convergence (what the " +
+          "append avoids)") {
+        noop(queries.DedupOps
+          .rebuildBucketClusters(spark, docsDir.toString))
+      }
+      // forget ONE canon: the affected-component re-derivation is
+      // O(component), the replacement read costs one anti-join
+      val canon = queries.DedupOps.t42FoldedLabels(spark, ccOut)
+        .filter(col("node") === col("label"))
+        .agg(min(col("node"))).head().getLong(0)
+      import spark.implicits._
+      spark.catalog.clearCache()
+      time("t43 forget one canon (scoped re-derivation + tombstone)") {
+        queries.DedupOps.t43Forget(spark, ccOut,
+          Seq(canon).toDF("doc_id"), "sd")
+      }
+      spark.catalog.clearCache()
+      time("t43 post-forget serve (replacement-preferring read)") {
+        noop(queries.DedupOps.ccClustersOfFolded(spark, ccOut))
+      }
+      spark.catalog.clearCache()
+      time("t44 compact (bake replacement, retire key list)") {
+        queries.DedupOps.t44Compact(spark, ccOut); ()
+      }
+      spark.catalog.clearCache()
+      time("t44 post-compact serve (single generation, no anti-join)") {
+        noop(queries.DedupOps.ccClustersOfFolded(spark, ccOut))
+      }
     }
     // t34 (`phase=inc`): incremental-dedup economics at fleet scale —
     // ------------------------------------ artifact housekeeping sweep

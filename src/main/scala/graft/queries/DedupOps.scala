@@ -860,10 +860,13 @@ object DedupOps {
   // shelf's append verb (t33 builds once and can only rebuild; at
   // 100 TB the nightly crawl must MERGE into yesterday's clusters)
 
-  private[graft] def t42IndexPath(s: SparkSession, dir: String)
-      : java.nio.file.Path =
-    artifactDir("cc_index_t42",
-      s"cct42:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
+  /** One artifact per GATE family (t42 append / t43 forget / t44
+    * compact) — gates stay order-independent by never sharing a
+    * mutable artifact (t37's rule). */
+  private[graft] def t42IndexPath(s: SparkSession, dir: String,
+      fam: String = "t42"): java.nio.file.Path =
+    artifactDir(s"cc_index_$fam",
+      s"cc$fam:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
   /** The cluster shelf's graph for INCREMENTAL maintenance: bucket
     * CONNECTIVITY — two docs are adjacent iff they share a
@@ -880,7 +883,7 @@ object DedupOps {
     * index's back, which is precisely what makes the merge-graph
     * update exact. Star edges (member ↔ bucket min) keep the edge
     * list linear in membership rows — never the per-bucket clique. */
-  private def bucketStarEdges(members: DataFrame): DataFrame = {
+  private[queries] def bucketStarEdges(members: DataFrame): DataFrame = {
     val bmin = members.groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("m"), count(lit(1)).as("cnt"))
     members.join(bmin, Seq("band", "sig"))
@@ -897,9 +900,9 @@ object DedupOps {
     * rows (singletons are the uninteresting common case, t13's rule);
     * `_CUT` persists the watermark so no serve re-scans the corpus
     * for bounds. Idempotent under the nonce-marker contract. */
-  private[graft] def buildT42Index(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val out = t42IndexPath(s, dir)
+  private[graft] def buildT42Index(s: SparkSession, dir: String,
+      fam: String = "t42"): java.nio.file.Path = {
+    val out = t42IndexPath(s, dir, fam)
     ensureArtifact(out) {
       val d = docs(s, dir)
       // one-time bounds read, confined to the build (q33's rule)
@@ -945,9 +948,34 @@ object DedupOps {
     *     membership rows move into `members/` INSIDE the same commit
     *     window (s16's beforeReady idiom) so no reachable state holds
     *     labels without the members that justify them. */
+  /** The labels relation's CURRENT rows, un-folded — replacement-aware
+    * (t43's forget lands a `relabel-*` REPLACEMENT generation plus the
+    * `relabel_nodes` key list, q40's idiom: a split can RAISE labels,
+    * which a min fold cannot express, so the read must PREFER the
+    * replacement for affected nodes and drop everything older). With
+    * no replacement present this is the plain multi-generation scan. */
+  private[graft] def t42CurrentRows(s: SparkSession,
+      out: java.nio.file.Path): DataFrame = {
+    val dst = out.resolve("labels")
+    val files = Option(dst.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    val (rel, plain) = files.partition(_.getName.startsWith("relabel-"))
+    val plainDf = s.read.parquet(plain.map(_.toString): _*)
+    if (rel.isEmpty) plainDf
+    else plainDf
+      .join(s.read.parquet(out.resolve("relabel_nodes").toString),
+        Seq("node"), "left_anti")
+      .unionAll(s.read.parquet(rel.map(_.toString): _*))
+  }
+
+  private[graft] def t42FoldedLabels(s: SparkSession,
+      out: java.nio.file.Path): DataFrame =
+    t42CurrentRows(s, out)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+
   private[graft] def t42Append(s: SparkSession, dir: String,
-      upTo: Long = Long.MaxValue): Unit = {
-    val out = t42IndexPath(s, dir)
+      fam: String = "t42", upTo: Long = Long.MaxValue): Unit = {
+    val out = t42IndexPath(s, dir, fam)
     artifactLock(out).synchronized { retryOnConflict() {
       requireReady(out)
       val cut = cutOf(out)
@@ -958,9 +986,11 @@ object DedupOps {
         val newCut = hiRow.getLong(0)
         val dm = bandedSignaturesOf(delta)
           .select(col("band"), col("sig"), col("doc_id"))
-        val members = s.read.parquet(out.resolve("members").toString)
-        val rawLabels = s.read.parquet(out.resolve("labels").toString)
-        val labels = rawLabels
+        // tombstone-aware members (a forget's dead docs must not
+        // resurface as bucket-mates) and replacement-aware labels
+        val members = aliveMembers(s, out)
+        val current = t42CurrentRows(s, out)
+        val labels = current
           .groupBy(col("node")).agg(min(col("label")).as("label"))
         val cross = dm.as("a")
           .join(members.as("b"),
@@ -988,7 +1018,7 @@ object DedupOps {
         // generations' rows cannot match — a superseded label is never
         // anyone's CURRENT label (its own component merged downward),
         // and `cross` collapsed mates through the fold
-        val relabeled = rawLabels
+        val relabeled = current
           .join(lowered.select(col("node").as("old_label"),
             col("label").as("new_label")),
             col("label") === col("old_label"))
@@ -996,25 +1026,48 @@ object DedupOps {
         val gen = deltaRows
           .unionAll(baseRows)
           .unionAll(relabeled)
+        // q42's staleness rule on THIS shelf: rows for nodes under an
+        // active replacement must fold INTO the replacement side — the
+        // read anti-joins every plain generation against
+        // relabel_nodes, so an ordinary append row for such a node
+        // would be silently dropped. Appends only ever LOWER labels,
+        // so a relabel-* landing is min-fold-compatible with the
+        // replacement it extends
+        val keysPath = out.resolve("relabel_nodes")
+        val hasRel = java.nio.file.Files.exists(keysPath)
+        val (genPlain, genRel) =
+          if (!hasRel) (gen, null: DataFrame)
+          else {
+            val keys = s.read.parquet(keysPath.toString)
+            (gen.join(keys, Seq("node"), "left_anti"),
+              gen.join(keys, Seq("node"), "left_semi"))
+          }
         val tmp = out.resolve("labels_append")
-        gen.write.mode("overwrite").parquet(tmp.toString)
+        genPlain.write.mode("overwrite").parquet(tmp.toString)
+        val tmpR = out.resolve("labels_append_rel")
+        if (hasRel) genRel.write.mode("overwrite").parquet(tmpR.toString)
         val tmpM = out.resolve("members_append")
         dm.write.mode("overwrite").parquet(tmpM.toString)
+        def moveGen(src: java.nio.file.Path, dst: java.nio.file.Path,
+            prefix: String): Unit = {
+          Option(dst.toFile.listFiles()).foreach(
+            _.filter(_.getName.startsWith(prefix))
+              .foreach(f => { f.delete(); () }))
+          src.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                dst.resolve(f"$prefix%s$i%03d.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          deleteRecursively(src.toFile)
+        }
         commitArtifactAppend(out, tmp, newCut, rel = "labels",
           beforeReady = () => {
-            val dst = out.resolve("members")
-            Option(dst.toFile.listFiles()).foreach(
-              _.filter(_.getName.startsWith(f"append-$newCut%d-"))
-                .foreach(f => { f.delete(); () }))
-            tmpM.toFile.listFiles()
-              .filter(f => f.getName.startsWith("part-") &&
-                f.getName.endsWith(".parquet"))
-              .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-                java.nio.file.Files.move(f.toPath,
-                  dst.resolve(f"append-$newCut%d-$i%03d.parquet"),
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              }
-            deleteRecursively(tmpM.toFile)
+            if (hasRel)
+              moveGen(tmpR, out.resolve("labels"), f"relabel-a$newCut%d-")
+            moveGen(tmpM, out.resolve("members"), f"append-$newCut%d-")
           }, expectedCut = cut)
       }
     } }
@@ -1030,12 +1083,11 @@ object DedupOps {
     * cluster merge, relabel-generation shape, second-append
     * composition, and idempotence are pinned on a crafted corpus in
     * CcIncrementalSpec. */
-  /** The artifact's cluster assembly: min-fold the labels generations
-    * per node, then the same tail as t13/t33. */
+  /** The artifact's cluster assembly: the replacement-aware current
+    * rows, min-folded per node, then the same tail as t13/t33. */
   private[graft] def ccClustersOfFolded(s: SparkSession,
       out: java.nio.file.Path): DataFrame =
-    ccClustersOf(s.read.parquet(out.resolve("labels").toString)
-      .groupBy(col("node")).agg(min(col("label")).as("label")))
+    ccClustersOf(t42FoldedLabels(s, out))
 
   /** The ground-truth comparator (spec-only at any scale): the same
     * bucket-connectivity CC rebuilt over the FULL corpus — what the
@@ -1050,6 +1102,182 @@ object DedupOps {
     buildT42Index(s, dir)
     t42Append(s, dir)
     ccClustersOfFolded(s, requireReady(t42IndexPath(s, dir)))
+  }
+
+  // ------------ t43: FORGET on the cluster shelf — deletion that can
+  // SPLIT a component (min-label merge is not invertible: removal can
+  // RAISE labels, so this is the shelf's q40 — a scoped re-derivation
+  // landed as a replacement the read prefers, never a corpus rebuild)
+
+  /** Forget `ids` from the cluster index. Two windows under one lock:
+    *
+    *  1. The ids tombstone in `members` through the SHARED
+    *     [[applyTakedown]] (id-set-keyed marker) — future appends'
+    *     cross probes must never see a dead doc as a bucket-mate.
+    *  2. The AFFECTED components re-derive: their current labels are
+    *     found index-locally (folded labels semi-joined to the ids),
+    *     every member of an affected component is collected, the
+    *     SURVIVORS' bucket subgraph re-converges with the same CC
+    *     loop (bucket-mates never cross components, so the subgraph
+    *     is exactly the affected components — O(affected), never the
+    *     corpus; per-bucket minima recompute over survivors, so a
+    *     dead bucket-min re-elects), and the result lands as a
+    *     `relabel-f<tag>-*` REPLACEMENT generation with the affected
+    *     node set persisted as `relabel_nodes` INSIDE the same
+    *     marker-off window. Splits and raised labels fall out: a
+    *     survivor whose only bridge died simply converges into a
+    *     smaller component (or into none — a re-singleton emits no
+    *     row and the anti-join hides its stale one).
+    *
+    * ONE active replacement at a time (q42's discipline): a second
+    * forget REFUSES until [[t44Compact]] bakes the replacement into a
+    * fresh base — composing raise-capable replacements under a min
+    * fold would silently resurrect lowered labels. Idempotent per id
+    * set via `_FORGOTTEN_<tag>`. */
+  private[graft] def t43Forget(s: SparkSession,
+      out: java.nio.file.Path, ids: DataFrame, tag: String): Unit = {
+    artifactLock(out).synchronized {
+      requireReady(out)
+      val marker = out.resolve(s"_FORGOTTEN_$tag")
+      if (!java.nio.file.Files.exists(marker)) {
+        require(!java.nio.file.Files.exists(out.resolve("relabel_nodes")),
+          s"$out already holds an active relabel replacement: compact " +
+            "first (t44Compact) — composing raise-capable replacements " +
+            "under the min fold would resurrect lowered labels")
+        val idNodes = ids.select(col("doc_id").as("node"))
+        applyTakedown(s, out, gen = s"f$tag", marker = s"_TAKEDOWN_F$tag")(
+          _ => idNodes.select(col("node").as("doc_id")))
+        val folded = t42FoldedLabels(s, out)
+        val affLabels = folded.join(idNodes, Seq("node"), "left_semi")
+          .select(col("label")).distinct()
+        val affNodes = folded.join(affLabels, Seq("label"), "left_semi")
+          .select(col("node"))
+        val survivors = affNodes.join(idNodes, Seq("node"), "left_anti")
+        val subMembers = aliveMembers(s, out)
+          .join(survivors.withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left_semi")
+        val relabeled = ccConvergedLabelsDf(s,
+          bucketStarEdges(subMembers), null)
+        withArtifactLease(out) {
+          val tmp = out.resolve("labels_relabel")
+          relabeled.write.mode("overwrite").parquet(tmp.toString)
+          val tmpK = out.resolve("relabel_nodes_tmp")
+          affNodes.write.mode("overwrite").parquet(tmpK.toString)
+          val ready = out.resolve("_INDEX_READY")
+          java.nio.file.Files.deleteIfExists(ready)
+          val dst = out.resolve("labels")
+          Option(dst.toFile.listFiles()).foreach(
+            _.filter(_.getName.startsWith(s"relabel-f$tag-"))
+              .foreach(f => { f.delete(); () }))
+          tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                dst.resolve(f"relabel-f$tag%s-$i%03d.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          deleteRecursively(tmp.toFile)
+          deleteRecursively(out.resolve("relabel_nodes").toFile)
+          java.nio.file.Files.createDirectories(out.resolve("relabel_nodes"))
+          tmpK.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                out.resolve("relabel_nodes").resolve(f"k$i%03d.parquet"))
+            }
+          deleteRecursively(tmpK.toFile)
+          java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+          java.nio.file.Files.write(ready,
+            System.nanoTime().toString.getBytes("UTF-8"))
+          ()
+        }
+      }
+    }
+  }
+
+  /** t44: COMPACTION after a forget — materialize the replacement-
+    * aware folded labels as ONE fresh `compact-*` generation, retire
+    * `relabel_nodes` (the read's anti-join disappears; plain appends
+    * and a NEXT forget become legal again), and fold the members
+    * tombstones away through the shared [[compactTombstoneIndex]].
+    * Marker-last; `_CUT` untouched; serve-before ≡ serve-after. */
+  private[graft] def t44Compact(s: SparkSession,
+      out: java.nio.file.Path): Boolean =
+    artifactLock(out).synchronized {
+      requireReady(out)
+      val dst = out.resolve("labels")
+      val mutated = Option(dst.toFile.listFiles()).toSeq.flatten
+        .exists(f => f.getName.startsWith("append-") ||
+          f.getName.startsWith("relabel-"))
+      if (mutated) {
+        withArtifactLease(out) {
+          val tmp = out.resolve("labels_compact")
+          t42FoldedLabels(s, out)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val ready = out.resolve("_INDEX_READY")
+          java.nio.file.Files.deleteIfExists(ready)
+          deleteRecursively(dst.toFile)
+          java.nio.file.Files.createDirectories(dst)
+          tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                dst.resolve(f"compact-0-$i%03d.parquet"))
+            }
+          deleteRecursively(tmp.toFile)
+          val keys = out.resolve("relabel_nodes")
+          if (java.nio.file.Files.exists(keys))
+            deleteRecursively(keys.toFile)
+          java.nio.file.Files.write(ready,
+            System.nanoTime().toString.getBytes("UTF-8"))
+          ()
+        }
+        compactTombstoneIndex(s, out)
+        true
+      } else false
+    }
+
+  /** t43's deterministic forget set, derived INDEX-LOCALLY: every
+    * cluster's canon (the min member — the worst case, every forget
+    * forces a re-election and every component either splits, shrinks,
+    * or vanishes). In production the ids arrive from outside (t39's
+    * shape); the derivation exists so the oracle can reproduce the
+    * set as `SELECT DISTINCT cluster_id`. */
+  private def t43CanonIds(s: SparkSession,
+      out: java.nio.file.Path): DataFrame =
+    t42FoldedLabels(s, out)
+      .filter(col("node") === col("label"))
+      .select(col("node").as("doc_id"))
+
+  /** t43: FORGET served — the fully-absorbed cluster index (t42's
+    * machinery on t43's own artifact copy), every canon taken down,
+    * the re-derived survivors served. Oracle = the bucket-CC REBUILD
+    * over corpus minus the full index's cluster ids: splits,
+    * re-elections, and vanished components must all be exactly as if
+    * the forgotten docs had never been ingested. */
+  def ccForgetServe(s: SparkSession, dir: String): DataFrame = {
+    buildT42Index(s, dir, "t43")
+    t42Append(s, dir, "t43")
+    val out = requireReady(t42IndexPath(s, dir, "t43"))
+    t43Forget(s, out, t43CanonIds(s, out), "canons")
+    ccClustersOfFolded(s, out)
+  }
+
+  /** t44: compaction after the forget, served — the full t43
+    * composition on t44's own artifact copy, then the fold; the serve
+    * must be INVISIBLE (t36/q43's rule), so the oracle is t43's
+    * verbatim. What changes is the read: one generation, no
+    * anti-join, appends and a next forget legal again. */
+  def ccForgetCompactServe(s: SparkSession, dir: String): DataFrame = {
+    buildT42Index(s, dir, "t44")
+    t42Append(s, dir, "t44")
+    val out = requireReady(t42IndexPath(s, dir, "t44"))
+    t43Forget(s, out, t43CanonIds(s, out), "canons")
+    t44Compact(s, out)
+    ccClustersOfFolded(s, out)
   }
 
   // ---------------------------------- t34: incremental (delta) dedup
@@ -2491,6 +2719,8 @@ object DedupOps {
     "t13_dedup_clusters" -> (nearDupClusters _),
     "t33_cc_index_load" -> (ccClustersServe _),
     "t42_cc_incremental" -> (ccIncrementalServe _),
+    "t43_cc_forget" -> (ccForgetServe _),
+    "t44_cc_compact" -> (ccForgetCompactServe _),
     "t34_incremental_dedup" -> (incrementalDedup _),
     "t35_index_append" -> (indexAppendServe _),
     "t36_index_compact" -> (indexCompactServe _),
@@ -2880,7 +3110,15 @@ object DedupOps {
     * est_jaccard filter: bucket connectivity is the decomposable
     * graph the incremental engine path maintains exactly. */
   private lazy val bucketCcCtes: String = {
+    // MATERIALIZED is load-bearing for the t43/t44 oracles: they
+    // reference `bands`/`bcc` twice (the pre- and post-forget CC), and
+    // DuckDB would otherwise inline — and recompute — the md5-shingle
+    // signature pipeline per reference (measured: 61 s -> 0.2 s at
+    // sf0.01)
     val inner = bandsCtes.stripPrefix("WITH ")
+      .replace("sh AS (", "sh AS MATERIALIZED (")
+      .replace("sig AS (", "sig AS MATERIALIZED (")
+      .replace("bands AS (", "bands AS MATERIALIZED (")
     s"""WITH RECURSIVE $inner,
        |bmin AS (
        | SELECT band, sig, min(doc_id) AS m, count(*) AS cnt
@@ -2894,7 +3132,7 @@ object DedupOps {
        | SELECT u, u FROM bsym
        | UNION
        | SELECT r.u, s.v FROM breach r JOIN bsym s ON s.u = r.v),
-       |bcc AS (SELECT u AS doc_id, min(v) AS cluster_id
+       |bcc AS MATERIALIZED (SELECT u AS doc_id, min(v) AS cluster_id
        |        FROM breach GROUP BY u)""".stripMargin
   }
 
@@ -2906,6 +3144,37 @@ object DedupOps {
        |SELECT bcc.cluster_id, bcc.doc_id, bsizes.cluster_size,
        | bcc.doc_id = bcc.cluster_id AS keep
        |FROM bcc JOIN bsizes USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** t43/t44's oracle: the bucket-CC rebuilt over corpus minus the
+    * FULL index's cluster ids (the canons the engine forgets) — the
+    * second recursive closure over the surviving docs' bands. */
+  private lazy val bucketForgetOracle: String =
+    s"""$bucketCcCtes,
+       |surv AS (
+       | SELECT d.doc_id FROM documents d
+       | WHERE d.doc_id NOT IN (SELECT DISTINCT cluster_id FROM bcc)),
+       |bands2 AS (SELECT b.* FROM bands b JOIN surv USING (doc_id)),
+       |bmin2 AS (
+       | SELECT band, sig, min(doc_id) AS m, count(*) AS cnt
+       | FROM bands2 GROUP BY 1, 2),
+       |bedges2 AS (
+       | SELECT DISTINCT b.doc_id AS u, k.m AS v
+       | FROM bands2 b JOIN bmin2 k ON b.band = k.band AND b.sig = k.sig
+       | WHERE k.cnt >= 2 AND b.doc_id <> k.m),
+       |bsym2 AS (SELECT u, v FROM bedges2 UNION SELECT v, u FROM bedges2),
+       |breach2(u, v) AS (
+       | SELECT u, u FROM bsym2
+       | UNION
+       | SELECT r.u, s.v FROM breach2 r JOIN bsym2 s ON s.u = r.v),
+       |bcc2 AS (SELECT u AS doc_id, min(v) AS cluster_id
+       |         FROM breach2 GROUP BY u),
+       |bsizes2 AS (
+       | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       | FROM bcc2 GROUP BY cluster_id)
+       |SELECT bcc2.cluster_id, bcc2.doc_id, bsizes2.cluster_size,
+       | bcc2.doc_id = bcc2.cluster_id AS keep
+       |FROM bcc2 JOIN bsizes2 USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
 
   private lazy val clusterOracle: String =
@@ -2944,6 +3213,11 @@ object DedupOps {
     // t42: append-then-serve must equal the full-corpus rebuild of the
     // bucket-connectivity clusters — the incremental path is exact
     "t42_cc_incremental" -> bucketClusterOracle,
+    // t43: forgetting every canon must split/shrink/vanish components
+    // exactly as if those docs had never been ingested
+    "t43_cc_forget" -> bucketForgetOracle,
+    // t44: compaction after the forget is invisible — t43's oracle
+    "t44_cc_compact" -> bucketForgetOracle,
     // delta docs flagged against the BASE tranche's buckets only; no
     // bucket cap CTEs — the probe join generates no pairs
     "t34_incremental_dedup" ->

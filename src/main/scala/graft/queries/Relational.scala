@@ -1820,11 +1820,17 @@ object Relational {
     buildRwPartials(s, dir, "q44agg")(q33Partial)
     appendPartials(s, dir, "q44agg")(q33Partial)
     val ext = stageQ44Erasures(s, dir)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(DedupOps.pathFingerprint(s,
-        ext.resolve("erasures").toString).getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    q44Erase(s, dir, s.read.parquet(ext.resolve("erasures").toString), tag)
+    val erasures = s.read.parquet(ext.resolve("erasures").toString)
+    // the tag keys on the list's CONTENT (sorted distinct ids), not a
+    // file fingerprint: a re-staged byte-identical list (new mtime)
+    // must stay the SAME takedown — a fingerprint-keyed marker would
+    // re-apply it and silently double-subtract. One scalar agg; an
+    // erasure request list is bounded by its nature
+    val tag = erasures
+      .agg(expr("md5(array_join(transform(sort_array(" +
+        "collect_set(user_id)), x -> CAST(x AS STRING)), ','))").as("h"))
+      .head().getString(0).take(12)
+    q44Erase(s, dir, erasures, tag)
   }
 
   /** q37's fold on q44's artifact: the `retractx*` generations carry

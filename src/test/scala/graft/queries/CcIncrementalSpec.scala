@@ -109,4 +109,114 @@ class CcIncrementalSpec extends SparkSpec {
       tmp.toString))
     DedupOps.ccClustersOfFolded(spark, out)
   }
+
+  /** The rebuild comparator over corpus-minus-`dead` — what any forget
+    * must equal exactly. */
+  private def rebuildMinus(tmp: java.nio.file.Path, dead: Set[Long]) =
+    rows(DedupOps.connectedComponentsOf(spark, DedupOps.bucketStarEdges(
+      DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(!col("doc_id").isin(dead.toSeq: _*)))
+        .select(col("band"), col("sig"), col("doc_id")))))
+
+  test("t43 forget SPLITS the bridged component; replacement generation; refusal until compaction") {
+    val tmp = craftCorpus()
+    DedupOps.buildT42Index(spark, tmp.toString)
+    DedupOps.t42Append(spark, tmp.toString)
+    val out = DedupOps.t42IndexPath(spark, tmp.toString)
+    // before: the bridge 100 holds {1,2,10,11,100} together under 1
+    assert(rows(ccAssembled(tmp)).map(r => r._2 -> r._1).toMap
+      .get(11L).contains(1L))
+    import spark.implicits._
+    DedupOps.t43Forget(spark, out, Seq(100L).toDF("doc_id"), "b100")
+    val served = rows(DedupOps.ccClustersOfFolded(spark, out))
+    assert(served === rebuildMinus(tmp, Set(100L)))
+    val byDoc = served.map(r => r._2 -> r._1).toMap
+    // the SPLIT: A and B are separate components again — labels RAISED
+    // for B's members (10, 11 back under 10), which no min fold could
+    // express; the untouched cluster {50, 120} serves as before
+    assert(byDoc.get(1L).contains(1L) && byDoc.get(2L).contains(1L))
+    assert(byDoc.get(10L).contains(10L) && byDoc.get(11L).contains(10L),
+      s"B must split back under its own canon: $served")
+    assert(!byDoc.contains(100L))
+    assert(byDoc.get(120L).contains(50L))
+    // the replacement landed beside the untouched generations
+    val names = out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names.exists(_.startsWith("relabel-fb100-")), names.toSeq)
+    assert(names.exists(_.startsWith("part-")) &&
+      names.exists(_.startsWith("append-")),
+      "the forget must not rewrite the base or append generations")
+    assert(java.nio.file.Files.exists(out.resolve("relabel_nodes")))
+    // idempotent per id set
+    val names0 = names.sorted.toSeq
+    DedupOps.t43Forget(spark, out, Seq(100L).toDF("doc_id"), "b100")
+    assert(out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0)
+    // a SECOND forget refuses while a replacement is active: composing
+    // raise-capable replacements under the min fold would resurrect
+    // lowered labels
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.t43Forget(spark, out, Seq(1L).toDF("doc_id"), "b1")
+    }
+    assert(e.getMessage.contains("compact first"))
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
+  test("t43 × append: a post-forget append lowers INTO the replacement; t44 compaction is invisible and re-legalizes") {
+    // the corpus gains a SECOND bridge (200 = A++B) that arrives only
+    // AFTER the first bridge was forgotten: the append re-merges the
+    // split components, and its relabel rows target nodes under the
+    // active replacement — they must fold into the replacement side
+    // (the plain generations are anti-joined away for those nodes)
+    val tmp = java.nio.file.Files.createTempDirectory("t42_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, tA), (2L, tA),
+      (10L, tB), (11L, tB),
+      (50L, tC),
+      (100L, tA + " " + tB),
+      (120L, tC),
+      (200L, tA + " " + tB))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    DedupOps.buildT42Index(spark, tmp.toString)
+    DedupOps.t42Append(spark, tmp.toString, upTo = 150L)
+    val out = DedupOps.t42IndexPath(spark, tmp.toString)
+    DedupOps.t43Forget(spark, out, Seq(100L).toDF("doc_id"), "b100")
+    // the second bridge arrives: A and B re-merge under 1 — a
+    // LOWERING of nodes the replacement owns
+    DedupOps.t42Append(spark, tmp.toString)
+    val served = rows(DedupOps.ccClustersOfFolded(spark, out))
+    assert(served === rebuildMinus(tmp, Set(100L)),
+      s"the post-forget append must serve the re-merged clusters: $served")
+    assert(served.map(r => r._2 -> r._1).toMap.get(11L).contains(1L))
+    // the lowered rows landed on the REPLACEMENT side, not in a plain
+    // generation the read would anti-join away
+    val names1 = out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names1.exists(_.startsWith("relabel-a200-")), names1.toSeq)
+    // t44: the fold bakes replacement + appends into one generation,
+    // retires the key list and the member tombstones — invisibly
+    assert(DedupOps.t44Compact(spark, out))
+    val names2 = out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names2.forall(_.startsWith("compact-")), names2.toSeq)
+    assert(!java.nio.file.Files.exists(out.resolve("relabel_nodes")))
+    assert(rows(DedupOps.ccClustersOfFolded(spark, out)) === served,
+      "compaction must be invisible through the forget serve")
+    // and the lifecycle continues: a NEXT forget is legal again
+    DedupOps.t43Forget(spark, out, Seq(200L).toDF("doc_id"), "b200")
+    assert(rows(DedupOps.ccClustersOfFolded(spark, out)) ===
+      rebuildMinus(tmp, Set(100L, 200L)),
+      "the post-compaction forget must split the re-merged component")
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
 }

@@ -409,7 +409,11 @@ class PlanSpec extends SparkSpec {
         ("m12_media_ageoff", "media_members_m12", "documents.parquet"),
         ("v22_vector_ageoff", "vec_members_v22", "embeddings.parquet"),
         ("t41_time_ageoff", "band_members_t41", "documents.parquet"),
-        ("q41_agg_ageoff", "q41agg_rw", "events.parquet"))) {
+        ("q41_agg_ageoff", "q41agg_rw", "events.parquet"),
+        ("q44_agg_takedown", "q44agg_rw", "events.parquet"),
+        ("t42_cc_incremental", "cc_index_t42", "documents.parquet"),
+        ("t43_cc_forget", "cc_index_t43", "documents.parquet"),
+        ("t44_cc_compact", "cc_index_t44", "documents.parquet"))) {
       val p = plan(q)
       assert(p.contains(art), s"$q must read its persisted artifact:\n$p")
       assert(!p.contains(corpus), s"$q must never re-scan the corpus:\n$p")
@@ -430,6 +434,15 @@ class PlanSpec extends SparkSpec {
     assert(m2.contains("q42hll_rw") && m2.contains("resketch_keys") &&
       !m2.contains("events.parquet"),
       s"q42's maintenance path must be artifact-only:\n$m2")
+    // the cluster shelf's replacement read: t43's serve must prefer
+    // via the persisted relabel_nodes list; after t44's compaction the
+    // anti-join disappears with it
+    val f = plan("t43_cc_forget")
+    assert(f.contains("relabel_nodes"),
+      s"t43's serve must prefer the replacement via the key list:\n$f")
+    val c = plan("t44_cc_compact")
+    assert(!c.contains("relabel_nodes"),
+      s"t44 must retire the key list and its anti-join:\n$c")
   }
 
   test("q33: the incremental query scans ONLY the delta — cut pushed down, no bounds re-scan") {
