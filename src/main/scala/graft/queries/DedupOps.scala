@@ -2047,9 +2047,16 @@ object DedupOps {
   /** The derived per-doc ingest time: the first 8 md5 hex digits of
     * the decimal id as a BIGINT — uniform over [0, 2^32), reproduced
     * verbatim by the oracle's `('0x' || substr(md5(...)))::BIGINT`. */
-  private val t41IngestTs =
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+  /** The derived per-id ingest time shared by every event-time
+    * retention fixture (t41 band, m13 media, v23 vector): the first 8
+    * md5 hex digits of the decimal id as a BIGINT — uniform over
+    * [0, 2^32), reproduced verbatim by the oracle's
+    * `('0x' || substr(md5(...)))::BIGINT`. */
+  private[graft] def ingestTsExpr(idCol: String): String =
+    s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) " +
       "AS BIGINT)"
+
+  private[graft] val t41IngestTs = ingestTsExpr("doc_id")
 
   // the policy horizons: fifths of the derived-time RANGE — pure
   // compile-time constants on both sides (no bounds scan even at

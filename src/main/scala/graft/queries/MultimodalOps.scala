@@ -466,6 +466,46 @@ object MultimodalOps {
       .orderBy(col("ahash"))
   }
 
+  /** m13's OWN membership copy carrying the derived `ingest_ts`
+    * column (t41's md5 idiom — in production the real capture time
+    * the build has in hand). Horizons are the shared compile-time
+    * fifths of the 2^32 time range — no bounds scan even at build. */
+  private[graft] def m13IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_members_m13",
+      s"mediamembersm13:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  private[graft] def buildMediaTimeAgeOffIndex(s: SparkSession,
+      dir: String): java.nio.file.Path = {
+    val out = m13IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      mediaAhashOf(mediaTable(s, dir).select(col("doc_id"), col("payload")))
+        .select(col("ahash"), col("doc_id"))
+        .withColumn("ingest_ts", expr(DedupOps.t41IngestTs))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+    out
+  }
+
+  /** m13: EVENT-TIME retention on the media shelf — t41's verb with
+    * zero media-specific code: capture time is not monotone with doc
+    * id (the expired set is non-contiguous in id space, which m12's
+    * id-span predicate cannot express), so the timestamp rides IN the
+    * members relation and [[DedupOps.ageOffMembers]]' `tsCol` filters
+    * it index-locally — per-horizon markers/generations exactly as
+    * t41, the expired payload bytes never rejoin any plan. Oracle =
+    * the re-hash over media whose derived capture time survives the
+    * second horizon. */
+  def mediaTimeAgeOff(s: SparkSession, dir: String): DataFrame = {
+    val out = buildMediaTimeAgeOffIndex(s, dir)
+    DedupOps.ageOffMembers(s, out, DedupOps.T41H1, tsCol = "ingest_ts")
+    DedupOps.ageOffMembers(s, out, DedupOps.T41H2, tsCol = "ingest_ts")
+    DedupOps.aliveMembers(s, DedupOps.requireReady(out))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+  }
+
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
     val h = mediaAhash(s, dir)
     val g = h.groupBy(col("ahash"))
@@ -534,7 +574,8 @@ object MultimodalOps {
     "m9_media_index_append" -> (mediaIndexAppendServe _),
     "m10_media_index_compact" -> (mediaIndexCompactServe _),
     "m11_media_tombstone_reelect" -> (mediaTombstoneReelect _),
-    "m12_media_ageoff" -> (mediaAgeOff _))
+    "m12_media_ageoff" -> (mediaAgeOff _),
+    "m13_media_time_ageoff" -> (mediaTimeAgeOff _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -607,6 +648,16 @@ object MultimodalOps {
          | FROM documents)
          |SELECT ahash, min(doc_id) AS canon
          |FROM a CROSS JOIN bounds WHERE doc_id > h2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m13: the re-hash over media whose DERIVED capture time (the t41
+    // md5 idiom, bit-identical on both sides) survives the second
+    // compile-time horizon — expired ids interleave with survivors
+    "m13_media_time_ageoff" ->
+      s"""WITH $ahashCtes
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    ::BIGINT > ${DedupOps.T41H2}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m5_phash_dedup" -> {
       s"""WITH $ahashCtes,

@@ -1028,6 +1028,55 @@ object VectorOps {
       DedupOps.NearDupCellCap))
   }
 
+  /** v23's OWN members copy with the derived `ingest_ts` riding in
+    * the assign relation (t41's md5 idiom on vec_id — in production
+    * the embedding job's real run timestamp). Compile-time horizons:
+    * no scan of anything at policy staging. */
+  private[graft] def v23IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("vec_members_v23",
+      s"vecmembersv23:$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}")
+
+  private[graft] def buildVecTimeAgeOffIndex(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = v23IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val idx = DedupOps.buildNearDupIndex(s, dir)
+      s.read.parquet(s"$idx/assign")
+        .withColumn("ingest_ts",
+          expr(DedupOps.ingestTsExpr("vec_id")))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+    out
+  }
+
+  private[graft] def stageVectorTimeAgeOff(s: SparkSession,
+      dir: String): Unit = {
+    graft.functions.VectorDotProduct.register(s)
+    val out = buildVecTimeAgeOffIndex(s, dir)
+    DedupOps.ageOffMembers(s, out, DedupOps.T41H1,
+      idCol = "vec_id", tsCol = "ingest_ts")
+    DedupOps.ageOffMembers(s, out, DedupOps.T41H2,
+      idCol = "vec_id", tsCol = "ingest_ts")
+  }
+
+  /** v23: EVENT-TIME retention on the vector shelf — t41's verb
+    * through the same [[DedupOps.ageOffMembers]] with idCol AND tsCol
+    * varying, zero vector-specific deletion code: embedding time is
+    * not monotone with vec_id, so the expired set is non-contiguous
+    * in id space (what v22's id-span horizon cannot express) and the
+    * timestamp must ride IN the members. Cells stay FROZEN (v20/v21's
+    * rule), re-election is re-ranking over survivors. Oracle = the
+    * frozen-assignment chain filtered to surviving derived times
+    * AFTER assignment. */
+  def vectorTimeAgeOff(s: SparkSession, dir: String): DataFrame = {
+    stageVectorTimeAgeOff(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      DedupOps.aliveMembers(s,
+        DedupOps.requireReady(v23IndexPath(s, dir)), idCol = "vec_id"),
+      DedupOps.NearDupCellCap))
+  }
+
   private lazy val knnGraphScaledOracle: String =
     s"""${DedupOps.nearDupPairsCtes},
        |d AS (
@@ -1720,7 +1769,8 @@ object VectorOps {
     "v19_knn_index_load" -> (knnGraphServe _),
     "v20_knn_delta_append" -> (knnGraphDeltaAppend _),
     "v21_vector_forget" -> (vectorForget _),
-    "v22_vector_ageoff" -> (vectorAgeOff _))
+    "v22_vector_ageoff" -> (vectorAgeOff _),
+    "v23_vector_time_ageoff" -> (vectorTimeAgeOff _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1822,6 +1872,7 @@ object VectorOps {
     "v20_knn_delta_append" -> knnDeltaOracle,
     "v21_vector_forget" -> v21ForgetOracle,
     "v22_vector_ageoff" -> v22AgeOffOracle,
+    "v23_vector_time_ageoff" -> v23TimeAgeOffOracle,
     "v16_range_search" -> rangeSearchOracle)
 
   /** v21's oracle: the v15 chain with the forgotten slice filtered
@@ -1830,6 +1881,24 @@ object VectorOps {
     * the engine's exact dataflow. */
   private lazy val v21ForgetOracle: String =
     s"""${DedupOps.nearDupPairsCtesWhere(s"vec_id % $V21ForgetMod <> 0")},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
+  /** v23's oracle: v22's shape with the survivor predicate the
+    * derived-time threshold (the t41 md5 idiom — bit-identical on
+    * both sides), applied AFTER the frozen assignment. */
+  private lazy val v23TimeAgeOffOracle: String =
+    s"""${DedupOps.nearDupPairsCtesWhere(
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT > " +
+          DedupOps.T41H2)},
        |d AS (
        | SELECT vec_a AS src, vec_b AS dst, cos FROM p
        | UNION ALL

@@ -282,6 +282,30 @@ class TombstoneSpec extends SparkSpec {
       .map(_.getName).sorted.toSeq === tombNames)
   }
 
+  test("m13/v23: the event-time verb is shelf-agnostic — ts rides in members, per-horizon generations, idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    MultimodalOps.mediaTimeAgeOff(spark, dir).collect()
+    val m = MultimodalOps.m13IndexPath(spark, dir)
+    assert(spark.read.parquet(m.resolve("members").toString)
+      .columns.contains("ingest_ts"),
+      "the capture time must ride IN the media members relation")
+    val tn = m.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(tn.exists(_.startsWith(s"delete-h${DedupOps.T41H1}-")) &&
+      tn.exists(_.startsWith(s"delete-h${DedupOps.T41H2}-")), tn)
+    DedupOps.ageOffMembers(spark, m, DedupOps.T41H2, tsCol = "ingest_ts")
+    assert(m.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq === tn,
+      "a lagging horizon must no-op on the media shelf too")
+    VectorOps.vectorTimeAgeOff(spark, dir).collect()
+    val v = VectorOps.v23IndexPath(spark, dir)
+    assert(spark.read.parquet(v.resolve("members").toString)
+      .columns.contains("ingest_ts"))
+    val vn = v.resolve("tombstones").toFile.listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(vn.exists(_.startsWith(s"delete-h${DedupOps.T41H2}-")), vn)
+  }
+
   test("t38 crash inside an age-off window degrades to rebuild and re-derives deterministically") {
     val tmp = Files.createTempDirectory("t38_crash_spec_").toString
     import spark.implicits._
