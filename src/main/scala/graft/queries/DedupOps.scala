@@ -979,11 +979,32 @@ object DedupOps {
     artifactLock(out).synchronized { retryOnConflict() {
       requireReady(out)
       val cut = cutOf(out)
-      val delta = docs(s, dir)
-        .filter(col("doc_id") > cut && col("doc_id") <= upTo)
-      val hiRow = delta.agg(max(col("doc_id"))).head()
-      if (!hiRow.isNullAt(0)) {
-        val newCut = hiRow.getLong(0)
+      t42AbsorbDelta(s, out,
+        docs(s, dir).filter(col("doc_id") > cut && col("doc_id") <= upTo))
+      ()
+    } }
+  }
+
+  /** The merge-graph ABSORB core, shared by the batch append (t42)
+    * and the streamed maintenance (s18): rows at or below the current
+    * `_CUT` are filtered out (what makes a re-delivered batch an
+    * exact no-op — the at-least-once fence needs no file bookkeeping
+    * beyond the watermark), the merge graph converges, and ONE
+    * generation commits. Returns the batch docs' cluster assignments
+    * AT ABSORB TIME (the conv's delta rows — s18's per-batch flags)
+    * or None when the delta is empty. Caller holds the artifact
+    * lock; readiness is the caller's contract (the stream proceeds on
+    * a marker-less working dir mid-replay, exactly like s16). */
+  private[graft] def t42AbsorbDelta(s: SparkSession,
+      out: java.nio.file.Path, deltaIn: DataFrame,
+      flags: java.nio.file.Path = null): Option[Long] = {
+    val cut = cutOf(out)
+    val delta = deltaIn.filter(col("doc_id") > cut)
+    val hiRow = delta.agg(max(col("doc_id"))).head()
+    if (hiRow.isNullAt(0)) None
+    else {
+      val newCut = hiRow.getLong(0)
+      locally {
         val dm = bandedSignaturesOf(delta)
           .select(col("band"), col("sig"), col("doc_id"))
         // tombstone-aware members (a forget's dead docs must not
@@ -1004,6 +1025,13 @@ object DedupOps {
           cross.unionAll(bucketStarEdges(dm)), null)
         val deltaRows = conv.filter(col("node") > cut)
           .select(col("node"), col("label"))
+        // s18's per-batch probe product: the batch docs' assignments
+        // AT ABSORB TIME, written BEFORE the commit (s16's flag order
+        // — a retried half-committed batch rewrites them identically)
+        if (flags != null)
+          deltaRows.select(col("node").as("doc_id"),
+              col("label").as("cluster_id"))
+            .write.mode("overwrite").parquet(flags.toString)
         // EVERY base-side merge-graph node lands a row: an absorbed
         // base SINGLETON that is its new cluster's min has
         // label == node — neither a delta doc nor a lowering, but its
@@ -1070,19 +1098,10 @@ object DedupOps {
             moveGen(tmpM, out.resolve("members"), f"append-$newCut%d-")
           }, expectedCut = cut)
       }
-    } }
+      Some(newCut)
+    }
   }
 
-  /** t42: the cluster table served INCREMENTALLY — build the base
-    * half, MERGE the tail tranche through the merge-graph append,
-    * serve the min-folded labels through the same cluster-assembly
-    * tail as t13/t33. Oracle = the full-corpus bucket-connectivity
-    * CC (a recursive CTE over the uncapped star edges): append-then-
-    * serve must equal the rebuild exactly — merges, absorbed
-    * singletons, and delta-only clusters included. The two-base-
-    * cluster merge, relabel-generation shape, second-append
-    * composition, and idempotence are pinned on a crafted corpus in
-    * CcIncrementalSpec. */
   /** The artifact's cluster assembly: the replacement-aware current
     * rows, min-folded per node, then the same tail as t13/t33. */
   private[graft] def ccClustersOfFolded(s: SparkSession,
@@ -1098,6 +1117,16 @@ object DedupOps {
       bandedSignaturesOf(docs(s, dir))
         .select(col("band"), col("sig"), col("doc_id"))))
 
+  /** t42: the cluster table served INCREMENTALLY — build the base
+    * half, MERGE the tail tranche through the merge-graph append,
+    * serve the min-folded labels through the same cluster-assembly
+    * tail as t13/t33. Oracle = the full-corpus bucket-connectivity
+    * CC (a recursive CTE over the uncapped star edges): append-then-
+    * serve must equal the rebuild exactly — merges, absorbed
+    * singletons, and delta-only clusters included. The two-base-
+    * cluster merge, relabel-generation shape, second-append
+    * composition, and idempotence are pinned on a crafted corpus in
+    * CcIncrementalSpec. */
   def ccIncrementalServe(s: SparkSession, dir: String): DataFrame = {
     buildT42Index(s, dir)
     t42Append(s, dir)
@@ -3116,32 +3145,45 @@ object DedupOps {
     * closure idiom as [[clusterCcCtes]]. No sub-split and no
     * est_jaccard filter: bucket connectivity is the decomposable
     * graph the incremental engine path maintains exactly. */
-  private lazy val bucketCcCtes: String = {
-    // MATERIALIZED is load-bearing for the t43/t44 oracles: they
-    // reference `bands`/`bcc` twice (the pre- and post-forget CC), and
-    // DuckDB would otherwise inline — and recompute — the md5-shingle
-    // signature pipeline per reference (measured: 61 s -> 0.2 s at
-    // sf0.01)
-    val inner = bandsCtes.stripPrefix("WITH ")
+  // MATERIALIZED is load-bearing for the multi-closure oracles
+  // (t43/t44 reference `bands`/`bcc` twice, s18 runs THREE closures):
+  // DuckDB would otherwise inline — and recompute — the md5-shingle
+  // signature pipeline per reference (measured: 61 s -> 0.2 s at
+  // sf0.01)
+  private[graft] lazy val bandsCtesMaterialized: String =
+    bandsCtes.stripPrefix("WITH ")
       .replace("sh AS (", "sh AS MATERIALIZED (")
       .replace("sig AS (", "sig AS MATERIALIZED (")
       .replace("bands AS (", "bands AS MATERIALIZED (")
-    s"""WITH RECURSIVE $inner,
-       |bmin AS (
+
+  /** One bucket-connectivity closure block, suffix-named so several
+    * can coexist in one statement (s18's per-tranche states). `pred`
+    * restricts the doc population; `{ID}` is replaced with the
+    * site-appropriate column reference. */
+  private[graft] def bucketCcClosureCtes(sfx: String,
+      pred: String): String = {
+    def p(ref: String) = pred.replace("{ID}", ref)
+    s"""bmin$sfx AS (
        | SELECT band, sig, min(doc_id) AS m, count(*) AS cnt
-       | FROM bands GROUP BY 1, 2),
-       |bedges AS (
+       | FROM bands WHERE ${p("doc_id")} GROUP BY 1, 2),
+       |bedges$sfx AS (
        | SELECT DISTINCT b.doc_id AS u, k.m AS v
-       | FROM bands b JOIN bmin k ON b.band = k.band AND b.sig = k.sig
-       | WHERE k.cnt >= 2 AND b.doc_id <> k.m),
-       |bsym AS (SELECT u, v FROM bedges UNION SELECT v, u FROM bedges),
-       |breach(u, v) AS (
-       | SELECT u, u FROM bsym
+       | FROM bands b JOIN bmin$sfx k ON b.band = k.band AND b.sig = k.sig
+       | WHERE ${p("b.doc_id")} AND k.cnt >= 2 AND b.doc_id <> k.m),
+       |bsym$sfx AS (
+       | SELECT u, v FROM bedges$sfx UNION SELECT v, u FROM bedges$sfx),
+       |breach$sfx(u, v) AS (
+       | SELECT u, u FROM bsym$sfx
        | UNION
-       | SELECT r.u, s.v FROM breach r JOIN bsym s ON s.u = r.v),
-       |bcc AS MATERIALIZED (SELECT u AS doc_id, min(v) AS cluster_id
-       |        FROM breach GROUP BY u)""".stripMargin
+       | SELECT r.u, s.v FROM breach$sfx r JOIN bsym$sfx s ON s.u = r.v),
+       |bcc$sfx AS MATERIALIZED (
+       | SELECT u AS doc_id, min(v) AS cluster_id
+       | FROM breach$sfx GROUP BY u)""".stripMargin
   }
+
+  private lazy val bucketCcCtes: String =
+    s"""WITH RECURSIVE $bandsCtesMaterialized,
+       |${bucketCcClosureCtes("", "TRUE")}""".stripMargin
 
   private lazy val bucketClusterOracle: String =
     s"""$bucketCcCtes,

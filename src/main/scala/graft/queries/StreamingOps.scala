@@ -1083,7 +1083,16 @@ object StreamingOps {
     * restart pin. */
   private[graft] def s16RunStream(s: SparkSession,
       work: java.nio.file.Path, staged: java.nio.file.Path,
-      glob: String, checkpoint: String): Unit = {
+      glob: String, checkpoint: String): Unit =
+    runForeachBatchStream(s, staged, glob, checkpoint)(
+      (b, id) => s16ProcessBatch(s, work, b, id))
+
+  /** The shared foreachBatch harness over the staged tranche fixture
+    * (one file per micro-batch, AvailableNow) — s16's write-back and
+    * s18's cluster maintenance differ only in the processor. */
+  private def runForeachBatchStream(s: SparkSession,
+      staged: java.nio.file.Path, glob: String, checkpoint: String)(
+      process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(
       staged.resolve("t-000.parquet").toString).schema
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1095,8 +1104,7 @@ object StreamingOps {
         .option("maxFilesPerTrigger", "1")
         .parquet(staged.toString)
         .writeStream
-        .foreachBatch((b: DataFrame, id: Long) =>
-          s16ProcessBatch(s, work, b, id))
+        .foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1207,6 +1215,121 @@ object StreamingOps {
       s.read.parquet(work.resolve("flags").toString + "/b*")
         .orderBy(col("doc_id"))
     }
+
+  // ------------- s18: the stream MAINTAINS the CLUSTER index — s16's
+  // fence machinery composed with t42's merge-graph absorb (the
+  // highest-order streamed state: not buckets, whole components)
+
+  private val s18EntryLock = new Object
+  private[graft] val lastS18Work =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  /** Per-invocation working copy of the s18 cluster base (t42's build
+    * at the s16 midpoint split, own family so no gate shares a
+    * mutable artifact), plus the `(-1, baseCut)` replay fence. */
+  private[graft] def s18WorkingCopy(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val base = DedupOps.buildT42Index(s, dir, "s18")
+    DedupOps.requireReady(base)
+    val work = Files.createTempDirectory("s18_work_")
+    Seq("labels", "members").foreach { rel =>
+      Files.createDirectories(work.resolve(rel))
+      base.resolve(rel).toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          Files.copy(f.toPath, work.resolve(rel).resolve(f.getName))
+        }
+    }
+    Seq("_CUT", "_INDEX_READY").foreach { n =>
+      Files.copy(base.resolve(n), work.resolve(n))
+    }
+    Files.write(work.resolve("_BATCH"),
+      s"-1 ${DedupOps.cutOf(base)}".getBytes("UTF-8"))
+    work
+  }
+
+  /** ONE micro-batch of the s18 cluster maintenance — s16's protocol
+    * with the absorb swapped:
+    *  0. RESTART REPAIR: un-fenced `append-*` generations in labels
+    *     AND members are a crashed attempt's debris — clear them, and
+    *     REWIND `_CUT` to the fenced cut when it ran ahead (the fence
+    *     is the truth; a `_CUT` past it belongs to a commit that
+    *     never fenced, and the absorb's own `doc_id > cut` replay
+    *     filter would otherwise silently skip the re-delivered
+    *     batch whose generation step 0 just deleted).
+    *  1. REPLAY FENCE + the monotone assert (s16's rule verbatim).
+    *  2-3. PROBE + ABSORB are ONE call — [[DedupOps.t42AbsorbDelta]]
+    *     converges the batch's merge graph, writes the batch docs'
+    *     cluster assignments AT ABSORB TIME to `flags/b<id>` BEFORE
+    *     the commit (a retry rewrites them identically), and commits
+    *     the generation (cleared-first, `_CUT`-conditional).
+    *  4. Fence LAST, carrying the post-commit cut. */
+  private[graft] def s18ProcessBatch(s: SparkSession,
+      work: java.nio.file.Path, batch: DataFrame, batchId: Long): Unit = {
+    val parts = new String(Files.readAllBytes(work.resolve("_BATCH")),
+      "UTF-8").trim.split("\\s+")
+    val (lastBatch, fencedCut) = (parts(0).toLong, parts(1).toLong)
+    if (batchId > lastBatch) {
+      Seq("labels", "members").foreach { rel =>
+        Option(work.resolve(rel).toFile.listFiles()).foreach(
+          _.filter { f =>
+            val n = f.getName
+            n.startsWith("append-") && n.split("-")(1).toLong > fencedCut
+          }.foreach(f => { f.delete(); () }))
+      }
+      if (DedupOps.cutOf(work) > fencedCut)
+        Files.write(work.resolve("_CUT"),
+          fencedCut.toString.getBytes("UTF-8"))
+      val hiRow = batch.agg(max(col("doc_id"))).head()
+      if (!hiRow.isNullAt(0))
+        require(hiRow.getLong(0) >= fencedCut,
+          s"out-of-order batch: batch $batchId max doc_id " +
+            s"${hiRow.getLong(0)} is below the fenced cut $fencedCut — " +
+            "the fence/debris protocol requires monotone batch id ranges")
+      DedupOps.artifactLock(work).synchronized {
+        DedupOps.t42AbsorbDelta(s, work,
+          batch.select(col("doc_id"), col("text")),
+          flags = work.resolve("flags").resolve(s"b$batchId"))
+      }
+      Files.write(work.resolve("_BATCH"),
+        s"$batchId ${DedupOps.cutOf(work)}".getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  private[graft] def s18RunStream(s: SparkSession,
+      work: java.nio.file.Path, staged: java.nio.file.Path,
+      glob: String, checkpoint: String): Unit =
+    runForeachBatchStream(s, staged, glob, checkpoint)(
+      (b, id) => s18ProcessBatch(s, work, b, id))
+
+  /** s18: STREAMED CLUSTER MAINTENANCE — the stream maintains whole
+    * COMPONENTS, not just buckets: each micro-batch converges its
+    * merge graph against the cluster state every earlier batch wrote
+    * (cross edges through the members relation, touched labels
+    * re-elected, merges relabeled) and emits each batch doc's cluster
+    * assignment AT ABSORB TIME. A tranche-3 doc that bridges two
+    * clusters formed in tranches 1 and 2 gets the MERGED min — a fact
+    * only reachable through state the stream itself wrote twice over.
+    * Exactly-once per batch under at-least-once delivery: the replay
+    * fence skips absorbed batches, the absorb's own `doc_id > cut`
+    * filter plus cleared-first generations make an in-window retry
+    * exact, and step 0's debris-plus-cut-rewind repairs every crash
+    * point (pinned in StreamingGateSpec). Emitted assignments are
+    * immutable facts about absorb time — a later batch may merge a
+    * doc's cluster downward, and the oracle reproduces exactly that:
+    * tranche j's docs label under the CC over docs at or below
+    * tranche j's cut, three closures, never revised. */
+  def streamedClusterMaintenance(s: SparkSession, dir: String)
+      : DataFrame = s18EntryLock.synchronized {
+    val staged = stageS16Tail(s, dir)
+    val work = s18WorkingCopy(s, dir)
+    s18RunStream(s, work, staged, "t-*.parquet",
+      work.resolve("ckpt").toString)
+    val old = lastS18Work.getAndSet(work)
+    if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
+    s.read.parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id"))
+  }
 
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
@@ -1332,7 +1455,8 @@ object StreamingOps {
     "s14_stream_index_dedup" -> (streamedIncrementalDedup _),
     "s15_stream_living_index" -> (streamedLivingIndexDedup _),
     "s16_stream_writeback" -> (streamedIndexWriteback _),
-    "s17_stream_retention" -> (streamedRetention _))
+    "s17_stream_retention" -> (streamedRetention _),
+    "s18_stream_clusters" -> (streamedClusterMaintenance _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -1441,6 +1565,34 @@ object StreamingOps {
          |   AND (b.doc_id <= c1 OR k.doc_id > h))
          |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s18: tranche j's docs label under the bucket-connectivity CC
+    // over docs at or below tranche j's cut — three MATERIALIZED
+    // closures, one per streamed state the absorb passed through;
+    // emitted assignments are never revised by later merges
+    "s18_stream_clusters" ->
+      s"""WITH RECURSIVE ${DedupOps.bandsCtesMaterialized},
+         |b0 AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |       FROM documents),
+         |cuts AS MATERIALIZED (
+         | SELECT (lo + hi) // 2 AS mid,
+         |   (lo + hi) // 2 + (hi - (lo + hi) // 2) // 3 AS c1,
+         |   (lo + hi) // 2 + (2 * (hi - (lo + hi) // 2)) // 3 AS c2
+         | FROM b0),
+         |${DedupOps.bucketCcClosureCtes("1",
+            "{ID} <= (SELECT c1 FROM cuts)")},
+         |${DedupOps.bucketCcClosureCtes("2",
+            "{ID} <= (SELECT c2 FROM cuts)")},
+         |${DedupOps.bucketCcClosureCtes("3", "TRUE")},
+         |res AS (
+         | SELECT f.doc_id, f.cluster_id FROM bcc1 f, cuts
+         |  WHERE f.doc_id > mid AND f.doc_id <= c1
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc2 f, cuts
+         |  WHERE f.doc_id > c1 AND f.doc_id <= c2
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc3 f, cuts
+         |  WHERE f.doc_id > c2)
+         |SELECT doc_id, cluster_id FROM res ORDER BY doc_id""".stripMargin,
     "s1_stream_tumbling" -> tumblingOracle,
     // restart recovery must land on the uninterrupted run's table
     "s10_stream_restart" -> tumblingOracle,

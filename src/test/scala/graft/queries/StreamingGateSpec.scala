@@ -613,6 +613,92 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  private def craftS18Corpus(): java.nio.file.Path = {
+    // lo=1 hi=163 → mid=82, c1=109, c2=136. Base: cluster D {1, 2},
+    // singleton 50. Tranche 1: cluster {100, 101}. Tranche 2: cluster
+    // {120, 121}. Tranche 3: 150 = the BRIDGE (tA++tB) that merges the
+    // two STREAM-FORMED clusters, 151 joins the base cluster, 163 new.
+    val tmp = java.nio.file.Files.createTempDirectory("s18_spec_")
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six"
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, "crimson lanterns drift over quiet harbors"),
+      (2L, "crimson lanterns drift over quiet harbors"),
+      (50L, "winter rivers freeze under pale skies"),
+      (100L, tA), (101L, tA),
+      (120L, tB), (121L, tB),
+      (150L, tA + " " + tB),
+      (151L, "crimson lanterns drift over quiet harbors"),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    tmp
+  }
+
+  test("s18 streamed cluster maintenance: a bridge merges clusters the STREAM formed in two earlier batches") {
+    val tmp = craftS18Corpus()
+    val got = StreamingOps.streamedClusterMaintenance(spark, tmp.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(got === Seq((100L, 100L), (101L, 100L), (120L, 120L),
+      (121L, 120L), (150L, 100L), (151L, 1L)),
+      s"tranches 1-2 cluster under their own minima AT ABSORB TIME; " +
+        s"the tranche-3 bridge gets the MERGED min; 163 emits nothing: $got")
+    // the working index converged to exactly the full-corpus clusters
+    // (emitted flags stay as absorbed; the STATE merged downward)
+    val work = StreamingOps.lastS18Work.get()
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.rebuildBucketClusters(spark, tmp.toString)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild,
+      "the streamed index must converge to the batch rebuild")
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
+  test("s18 crash repair: a committed-but-unfenced generation is rewound and the re-delivered batch re-absorbs exactly") {
+    val tmp = craftS18Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s18RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 121")
+    val before = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    // crash shape: batch 1's generation and _CUT landed but the fence
+    // never advanced — rewind + re-deliver must land byte-identically
+    java.nio.file.Files.write(work.resolve("_BATCH"),
+      "0 101".getBytes("UTF-8"))
+    val b1 = spark.read.parquet(staged.resolve("t-001.parquet").toString)
+    StreamingOps.s18ProcessBatch(spark, work, b1, 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 121",
+      "the repair must re-fence the re-delivered batch")
+    assert(DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq === before,
+      "debris rewind + re-absorb must reproduce the exact state")
+    // resume the real stream for the final tranche: the bridge still
+    // merges through the repaired state
+    StreamingOps.s18RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    val flags = spark.read
+      .parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(flags === Seq((100L, 100L), (101L, 100L), (120L, 120L),
+      (121L, 120L), (150L, 100L), (151L, 1L)), flags.toString)
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
