@@ -339,7 +339,7 @@ object DedupOps {
     * parquet-checkpoint scan for big ones — so `clearCache()`
     * semantics are unchanged (CacheLifecycleSpec). Shared by the
     * in-query t13 path and the t33 index BUILD. */
-  private def ccConvergedLabelsDf(s: SparkSession,
+  private[graft] def ccConvergedLabelsDf(s: SparkSession,
       edges: DataFrame, memoKey: String): DataFrame =
     ccMaterialize(s,
       if (memoKey == null) ccConvergedLabels(s, edges)
@@ -423,6 +423,58 @@ object DedupOps {
 
   private def ccConvergedLabels(s: SparkSession,
       edges: DataFrame): CcLabels = {
+    // --- FAST PATH: a small edge set converges on the DRIVER. The
+    // distributed loop below pays several Spark actions PER ROUND
+    // (persist + label-sum + pointer jump), each with fixed job
+    // overhead — measured ~20 s for a 227-node merge graph at
+    // local[32], i.e. pure scheduling, zero compute. Below the
+    // threshold ONE action collects the edges and a union-find with
+    // path compression labels every component with its min member —
+    // identical semantics (min-label fixpoint), microseconds of
+    // driver CPU, no persisted blocks. This is the CcLocal doctrine
+    // applied one stage earlier, and it is what makes the per-batch
+    // merge graphs (t42/s18: O(batch + touched labels), hundreds of
+    // edges) viable inside a micro-batch. At fleet scale (t13's 25 M
+    // LSH pairs) the limit+collect probe overflows the threshold and
+    // the distributed loop runs unchanged.
+    val localMax = s.conf.get("graft.cc.localEdgeMax", "200000").toInt
+    val probe = edges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(localMax + 1).collect()
+    if (probe.length <= localMax) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c)
+          parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the SMALLER root: the root stays the running
+        // component min, so no second pass is needed
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val n = it.next()
+        rows.add(org.apache.spark.sql.Row(n, find(n)))
+      }
+      return CcLocal(schema, rows)
+    }
     // --- discovery: how many rounds until the labels stop moving?
     // A DataFrame loop (Tungsten joins + hash aggregates), not RDDs:
     // the round-7 rewrite of the original RDD loop — same persist/
@@ -883,7 +935,7 @@ object DedupOps {
     * index's back, which is precisely what makes the merge-graph
     * update exact. Star edges (member ↔ bucket min) keep the edge
     * list linear in membership rows — never the per-bucket clique. */
-  private[queries] def bucketStarEdges(members: DataFrame): DataFrame = {
+  private[graft] def bucketStarEdges(members: DataFrame): DataFrame = {
     val bmin = members.groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("m"), count(lit(1)).as("cnt"))
     members.join(bmin, Seq("band", "sig"))
@@ -1005,8 +1057,13 @@ object DedupOps {
     else {
       val newCut = hiRow.getLong(0)
       locally {
+        // the batch's banding feeds the merge edges, the membership
+        // write, and the generation write — persist once (unpersisted
+        // before return; the absorb leaves no blocks behind)
         val dm = bandedSignaturesOf(delta)
           .select(col("band"), col("sig"), col("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // tombstone-aware members (a forget's dead docs must not
         // resurface as bucket-mates) and replacement-aware labels
         val members = aliveMembers(s, out)
@@ -1097,6 +1154,7 @@ object DedupOps {
               moveGen(tmpR, out.resolve("labels"), f"relabel-a$newCut%d-")
             moveGen(tmpM, out.resolve("members"), f"append-$newCut%d-")
           }, expectedCut = cut)
+        } finally dm.unpersist(blocking = true)
       }
       Some(newCut)
     }

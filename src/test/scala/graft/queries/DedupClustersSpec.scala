@@ -33,19 +33,31 @@ class DedupClustersSpec extends SparkSpec {
   test("CC core: a 150-node chain (diameter >> round cap) resolves correctly") {
     import spark.implicits._
     val edges = (1L to 149L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = DedupOps.connectedComponentsOf(spark, edges).collect()
-    assert(cc.length === 150)
-    cc.foreach { r =>
-      assert(r.getAs[Long]("cluster_id") === 1L,
-        s"node ${r.getAs[Long]("doc_id")} mislabeled")
-      assert(r.getAs[Long]("cluster_size") === 150L)
+    // BOTH convergence paths must label the chain identically: the
+    // driver union-find (the default at this size) and the doubling
+    // loop (forced — its pointer-jump round cap is what this chain
+    // exists to exercise)
+    def check(cc: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(cc.length === 150)
+      cc.foreach { r =>
+        assert(r.getAs[Long]("cluster_id") === 1L,
+          s"node ${r.getAs[Long]("doc_id")} mislabeled")
+        assert(r.getAs[Long]("cluster_size") === 150L)
+      }
     }
+    check(DedupOps.connectedComponentsOf(spark, edges).collect())
+    spark.conf.set("graft.cc.localEdgeMax", "0")
+    try check(DedupOps.connectedComponentsOf(spark, edges).collect())
+    finally spark.conf.unset("graft.cc.localEdgeMax")
   }
 
   test("CC: overlapping invocations keep private checkpoints (big-graph path)") {
     import spark.implicits._
-    // force the distributed spill/checkpoint path on tiny graphs
+    // force the distributed spill/checkpoint path on tiny graphs —
+    // past BOTH small-graph escapes (the driver union-find fast path
+    // and the local-relation lineage cut)
     spark.conf.set("graft.cc.smallGraphMaxNodes", "0")
+    spark.conf.set("graft.cc.localEdgeMax", "0")
     try {
       val e1 = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
       val e2 = Seq((100L, 101L), (101L, 102L)).toDF("doc_a", "doc_b")
@@ -73,7 +85,10 @@ class DedupClustersSpec extends SparkSpec {
       assert(registered.size >= 2 &&
         registered.stream().allMatch(p => p.contains(appId)),
         s"final checkpoints not registered for shutdown sweep: $registered")
-    } finally spark.conf.unset("graft.cc.smallGraphMaxNodes")
+    } finally {
+      spark.conf.unset("graft.cc.smallGraphMaxNodes")
+      spark.conf.unset("graft.cc.localEdgeMax")
+    }
   }
 
   test("CC core: empty edge list yields empty clustering") {
