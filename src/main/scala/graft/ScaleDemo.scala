@@ -135,10 +135,12 @@ object ScaleDemo {
       spark.read.parquet(evParquet.toString).count()
     }
     val baseDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc",
+          "ccdelta", "inc"))
         Tables(spark, "/root/testdata/sf0.1", "documents").count()
       else 0L
-    if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc") && (!Files.exists(docsParquet) ||
+    if (in("all", "docs", "t8", "audit", "t13", "curation", "cc",
+        "ccdelta", "inc") && (!Files.exists(docsParquet) ||
         corpusStale(docsParquet, baseDocs * copies))) {
       time(s"generate ${copies}x documents") {
         // copy k of each doc rotates its word order by k: every copy
@@ -176,7 +178,8 @@ object ScaleDemo {
         fleetDir.toFile.list().count(_.endsWith(".txt"))
       else 0
     val actualDocs =
-      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc", "inc"))
+      if (in("all", "docs", "t8", "audit", "t13", "curation", "cc",
+          "ccdelta", "inc"))
         spark.read.parquet(docsParquet.toString).count()
       else 0L
     if (phase == "all" || phase == "fleet") {
@@ -205,7 +208,7 @@ object ScaleDemo {
       noop(jobhistory.Reports.timelinePerJobSweepLine(v))
     }
     }
-    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc", "inc", "v20", "sweep")) {
+    if (in("all", "docs", "ann", "t8", "audit", "t13", "t9sweep", "knn", "curation", "cc", "ccdelta", "inc", "v20", "sweep")) {
     spark.catalog.clearCache()
     // t23 at fleet scale — separable (`phase=audit`) because the audit
     // re-derives the EXACT intersection for every one of the ~25 M LSH
@@ -360,6 +363,43 @@ object ScaleDemo {
       spark.catalog.clearCache()
       time("t44 post-compact serve (single generation, no anti-join)") {
         noop(queries.DedupOps.ccClustersOfFolded(spark, ccOut))
+      }
+    }
+    // the NIGHTLY shape (`phase=ccdelta`, also in cc/all): this
+    // fixture is adversarially dedup-heavy (every doc is in a
+    // 100-copy rotation family), so the half-corpus append above
+    // touches ~EVERY cluster and incremental ≈ rebuild there — the
+    // merge-graph update earns its keep when the delta touches a
+    // small fraction of clusters, which is what a real crawl does.
+    // Measure exactly that: converge to a 99 % watermark (staging),
+    // then time the LAST 1 % tranche alone against the full
+    // re-convergence comparator above.
+    if (in("all", "cc", "ccdelta")) {
+      spark.catalog.clearCache()
+      val ccOutB = queries.DedupOps
+        .t42IndexPath(spark, docsDir.toString, "sd42b")
+      def rmB(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rmB)); p.delete(); ()
+      }
+      rmB(ccOutB.toFile)
+      val db = spark.read.parquet(docsParquet.toString)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val cut99 = db.getLong(0) +
+        ((db.getLong(1) - db.getLong(0)) * 99) / 100
+      queries.DedupOps.buildT42Index(spark, docsDir.toString, "sd42b")
+      time("t42 staging: absorb to the 99% watermark (maintenance)") {
+        queries.DedupOps.t42Append(spark, docsDir.toString, "sd42b",
+          upTo = cut99)
+      }
+      spark.catalog.clearCache()
+      time("t42 NIGHTLY append: the last 1% tranche " +
+          "(merge-graph, O(batch + touched))") {
+        queries.DedupOps.t42Append(spark, docsDir.toString, "sd42b")
+      }
+      spark.catalog.clearCache()
+      time("t42 post-nightly steady serve") {
+        noop(queries.DedupOps.ccClustersOfFolded(spark,
+          queries.DedupOps.requireReady(ccOutB)))
       }
     }
     // t34 (`phase=inc`): incremental-dedup economics at fleet scale —
