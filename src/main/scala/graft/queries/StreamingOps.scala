@@ -1318,7 +1318,14 @@ object StreamingOps {
     * immutable facts about absorb time — a later batch may merge a
     * doc's cluster downward, and the oracle reproduces exactly that:
     * tranche j's docs label under the CC over docs at or below
-    * tranche j's cut, three closures, never revised. */
+    * tranche j's cut, three closures, never revised.
+    *
+    * DELIBERATE SCOPING: the working labels dir gains one generation
+    * per micro-batch (read amplification O(batches), s16's pre-fold
+    * state). The stream never forgets, so every generation is plain
+    * min-foldable and s16's fenced fold-at-batch-start transfers —
+    * but it deserves its own gate (fold + relabel-row interaction
+    * under the crash protocol), not a silent rider on this one. */
   def streamedClusterMaintenance(s: SparkSession, dir: String)
       : DataFrame = s18EntryLock.synchronized {
     val staged = stageS16Tail(s, dir)
