@@ -438,9 +438,16 @@ object DedupOps {
     // LSH pairs) the limit+collect probe overflows the threshold and
     // the distributed loop runs unchanged.
     val localMax = s.conf.get("graft.cc.localEdgeMax", "200000").toInt
-    val probe = edges
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .limit(localMax + 1).collect()
+    // the probe EXECUTES the (possibly expensive) edge derivation —
+    // for t13's ~25M LSH pairs the pair generation's map side would
+    // otherwise run once for the probe and again for the loop, so the
+    // casted edges persist FIRST and both paths read the cache; every
+    // exit (local result, loop finally) drops the blocks
+    val edgesCached = edges
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = edgesCached.limit(localMax + 1).collect()
     if (probe.length <= localMax) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -473,6 +480,7 @@ object DedupOps {
         val n = it.next()
         rows.add(org.apache.spark.sql.Row(n, find(n)))
       }
+      edgesCached.unpersist(blocking = true)
       return CcLocal(schema, rows)
     }
     // --- discovery: how many rounds until the labels stop moving?
@@ -483,8 +491,10 @@ object DedupOps {
     // Java-serialized shuffles (fleet t13 at 25 M edges: the RDD loop
     // was the dominant cost).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val symDf = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val symDf = edgesCached
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edgesCached
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val nodes = symDf.select(col("src")).distinct()
     val withSelf = symDf.union(nodes.select(col("src"), col("src").as("dst")))
     // one materialization of the (possibly expensive) edge derivation
@@ -611,6 +621,7 @@ object DedupOps {
       if (prop != null) prop.unpersist(blocking = true)
       labels.unpersist(blocking = true)
       symCached.unpersist(blocking = true)
+      edgesCached.unpersist(blocking = true)
     }
   }
 
@@ -1012,7 +1023,18 @@ object DedupOps {
     val files = Option(dst.toFile.listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
     val (rel, plain) = files.partition(_.getName.startsWith("relabel-"))
-    val plainDf = s.read.parquet(plain.map(_.toString): _*)
+    // a base whose labels write produced ZERO part files (no clustered
+    // docs in the tranche) leaves an empty plain list — Spark's
+    // zero-path parquet read throws, so synthesize the empty relation
+    val plainDf =
+      if (plain.nonEmpty) s.read.parquet(plain.map(_.toString): _*)
+      else s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     if (rel.isEmpty) plainDf
     else plainDf
       .join(s.read.parquet(out.resolve("relabel_nodes").toString),
@@ -1295,9 +1317,15 @@ object DedupOps {
     artifactLock(out).synchronized {
       requireReady(out)
       val dst = out.resolve("labels")
+      // an active replacement COUNTS as mutated even when the forget's
+      // re-derivation produced zero part files (every affected
+      // component vanished — Spark emits no part file for an empty
+      // result): compaction must still retire `relabel_nodes`, or
+      // every later forget permanently refuses with "compact first"
       val mutated = Option(dst.toFile.listFiles()).toSeq.flatten
         .exists(f => f.getName.startsWith("append-") ||
-          f.getName.startsWith("relabel-"))
+          f.getName.startsWith("relabel-")) ||
+        java.nio.file.Files.exists(out.resolve("relabel_nodes"))
       if (mutated) {
         withArtifactLease(out) {
           val tmp = out.resolve("labels_compact")

@@ -843,9 +843,9 @@ object StreamingOps {
       ((name.startsWith("part-") || name.startsWith("compact-")) &&
         !name.startsWith(f"compact-$ownCompact%d-")))
 
-  private def s16GenCount(work: java.nio.file.Path,
-      fencedCut: Long): Int = {
-    val names = Option(work.resolve("buckets").toFile.listFiles())
+  private[graft] def s16GenCount(work: java.nio.file.Path,
+      fencedCut: Long, rel: String = "buckets"): Int = {
+    val names = Option(work.resolve(rel).toFile.listFiles())
       .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
     names.filter(n => n.startsWith("append-") &&
         n.split("-")(1).toLong <= fencedCut)
@@ -854,32 +854,61 @@ object StreamingOps {
         n.startsWith("compact-"))) 1 else 0)
   }
 
-  /** Phase A of the stream fold: materialize the min-folded buckets
-    * and the concatenated members of every FENCED generation into temp
-    * dirs (eager parquet writes — a crash here is inert debris), then
-    * write the `_FOLD` intent marker recording the fenced cut. Exposed
-    * separately so the spec can pin a crash exactly between intent and
-    * commit. */
-  private[graft] def s16FoldPhaseA(s: SparkSession,
-      work: java.nio.file.Path, fencedCut: Long): Unit = {
-    def fencedFiles(rel: String): Seq[String] =
-      Option(work.resolve(rel).toFile.listFiles()).toSeq.flatten
-        .filter(f => s16IsFenced(f.getName, fencedCut, fencedCut))
-        .map(_.toString)
-    s.read.parquet(fencedFiles("buckets"): _*)
-      .groupBy(col("band"), col("sig"))
-      .agg(min(col("canon")).as("canon"))
-      .write.mode("overwrite")
-      .parquet(work.resolve("buckets_fold").toString)
-    // members carry no fold semantics — the "compaction" is a file
-    // concat (fewer generations to list/read), tombstones untouched
-    s.read.parquet(fencedFiles("members"): _*)
-      .write.mode("overwrite")
-      .parquet(work.resolve("members_fold").toString)
+  /** Phase A of the stream fold, shared by the s16 bucket index and
+    * the s18 cluster index: materialize each relation's fold over
+    * every FENCED generation into a temp dir (eager parquet writes —
+    * a crash here is inert debris), then write the `_FOLD` intent
+    * marker recording the fenced cut. `folds` maps relation name →
+    * fold function (min-fold for buckets/labels, identity concat for
+    * members). `relabel-*` files never match [[s16IsFenced]], so an
+    * active replacement (s19's retention forget) is NEVER disturbed:
+    * plain rows fold, the read's anti-join against `relabel_nodes`
+    * commutes with the per-key min. A relation with zero fenced files
+    * (a base whose labels write emitted no part file) skips its fold
+    * dir — the commit tolerates the absence. */
+  private def streamFoldPhaseA(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long,
+      folds: Seq[(String, DataFrame => DataFrame)]): Unit = {
+    folds.foreach { case (rel, fold) =>
+      val files =
+        Option(work.resolve(rel).toFile.listFiles()).toSeq.flatten
+          .filter(f => s16IsFenced(f.getName, fencedCut, fencedCut))
+          .map(_.toString)
+      if (files.nonEmpty)
+        fold(s.read.parquet(files: _*))
+          .write.mode("overwrite")
+          .parquet(work.resolve(s"${rel}_fold").toString)
+    }
     Files.write(work.resolve("_FOLD"),
       fencedCut.toString.getBytes("UTF-8"))
     ()
   }
+
+  /** s16's phase A: min-folded buckets + concatenated members
+    * (members carry no fold semantics — the "compaction" is a file
+    * concat: fewer generations to list/read; tombstones untouched).
+    * Exposed separately so the spec can pin a crash exactly between
+    * intent and commit. */
+  private[graft] def s16FoldPhaseA(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long): Unit =
+    streamFoldPhaseA(s, work, fencedCut, Seq(
+      "buckets" -> (df => df.groupBy(col("band"), col("sig"))
+        .agg(min(col("canon")).as("canon"))),
+      "members" -> identity))
+
+  /** s18's phase A: min-folded labels (per node — the cluster
+    * shelf's associative merge, labels only ever decrease under
+    * appends) + concatenated members. Plain generations only:
+    * `relabel-*` replacement files and `relabel_nodes` stay
+    * untouched, so a fold landing while a retention forget's
+    * replacement is active keeps the read's prefer-replacement
+    * semantics byte-exact. */
+  private[graft] def s18FoldPhaseA(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long): Unit =
+    streamFoldPhaseA(s, work, fencedCut, Seq(
+      "labels" -> (df => df.groupBy(col("node"))
+        .agg(min(col("label")).as("label"))),
+      "members" -> identity))
 
   /** Phase B — idempotent commit, also the crash REPAIR: copy the fold
     * results in as `compact-<fencedCut>-NNN` (copy, not move, and
@@ -894,8 +923,19 @@ object StreamingOps {
     * copies already landed (they are deleted only after the copy
     * loop), so repair degrades to the deletion steps. */
   private[graft] def s16FoldCommit(s: SparkSession,
-      work: java.nio.file.Path, fencedCut: Long): Unit = {
-    Seq("buckets", "members").foreach { rel =>
+      work: java.nio.file.Path, fencedCut: Long): Unit =
+    streamFoldCommit(s, work, fencedCut, Seq("buckets", "members"))
+
+  /** s18's phase B — same idempotent commit/repair over the cluster
+    * index's relations. */
+  private[graft] def s18FoldCommit(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long): Unit =
+    streamFoldCommit(s, work, fencedCut, Seq("labels", "members"))
+
+  private def streamFoldCommit(s: SparkSession,
+      work: java.nio.file.Path, fencedCut: Long,
+      rels: Seq[String]): Unit = {
+    rels.foreach { rel =>
       val dst = work.resolve(rel)
       val tmp = work.resolve(s"${rel}_fold")
       if (Files.exists(tmp)) {
@@ -937,6 +977,22 @@ object StreamingOps {
     if (max > 0 && s16GenCount(work, fencedCut) > max) {
       s16FoldPhaseA(s, work, fencedCut)
       s16FoldCommit(s, work, fencedCut)
+    }
+  }
+
+  /** s18's auto-compact: the same fenced-fold-at-batch-start policy
+    * over the cluster index — without it the working labels dir gains
+    * one min-foldable generation per micro-batch FOREVER (read
+    * amplification O(batches), the r18 scoping this closes). Counted
+    * on the labels relation; `relabel-*` files don't count (they are
+    * the replacement, bounded at one by t43's refusal discipline) and
+    * never fold. */
+  private def s18MaybeFold(s: SparkSession, work: java.nio.file.Path,
+      fencedCut: Long): Unit = {
+    val max = s.conf.get("graft.stream.autoCompactMax", "2").toInt
+    if (max > 0 && s16GenCount(work, fencedCut, "labels") > max) {
+      s18FoldPhaseA(s, work, fencedCut)
+      s18FoldCommit(s, work, fencedCut)
     }
   }
 
@@ -1269,16 +1325,37 @@ object StreamingOps {
       "UTF-8").trim.split("\\s+")
     val (lastBatch, fencedCut) = (parts(0).toLong, parts(1).toLong)
     if (batchId > lastBatch) {
+      // debris: a crashed commit's own generation — `append-<tag>` in
+      // both relations, plus the `relabel-a<tag>` labels a post-forget
+      // absorb folds into an active replacement (s19's retention
+      // composition): leftovers above the fence would pollute the
+      // re-absorb's current-labels read exactly like a bucket would
       Seq("labels", "members").foreach { rel =>
         Option(work.resolve(rel).toFile.listFiles()).foreach(
           _.filter { f =>
             val n = f.getName
-            n.startsWith("append-") && n.split("-")(1).toLong > fencedCut
+            (n.startsWith("append-") &&
+              n.split("-")(1).toLong > fencedCut) ||
+            (n.startsWith("relabel-a") &&
+              n.stripPrefix("relabel-a").split("-")(0).toLong > fencedCut)
           }.foreach(f => { f.delete(); () }))
       }
       if (DedupOps.cutOf(work) > fencedCut)
         Files.write(work.resolve("_CUT"),
           fencedCut.toString.getBytes("UTF-8"))
+      // a `_FOLD` intent marker is a crash inside the auto-compact's
+      // commit — re-run the idempotent repair (s16's step 0b), then
+      // the policy itself bounds the fenced generation count
+      if (Files.exists(work.resolve("_FOLD"))) {
+        val cut = new String(Files.readAllBytes(work.resolve("_FOLD")),
+          "UTF-8").trim.toLong
+        DedupOps.artifactLock(work).synchronized {
+          s18FoldCommit(s, work, cut)
+        }
+      }
+      DedupOps.artifactLock(work).synchronized {
+        s18MaybeFold(s, work, fencedCut)
+      }
       val hiRow = batch.agg(max(col("doc_id"))).head()
       if (!hiRow.isNullAt(0))
         require(hiRow.getLong(0) >= fencedCut,
@@ -1320,12 +1397,15 @@ object StreamingOps {
     * tranche j's docs label under the CC over docs at or below
     * tranche j's cut, three closures, never revised.
     *
-    * DELIBERATE SCOPING: the working labels dir gains one generation
-    * per micro-batch (read amplification O(batches), s16's pre-fold
-    * state). The stream never forgets, so every generation is plain
-    * min-foldable and s16's fenced fold-at-batch-start transfers —
-    * but it deserves its own gate (fold + relabel-row interaction
-    * under the crash protocol), not a silent rider on this one. */
+    * Generation growth is BOUNDED: s16's fenced fold-at-batch-start
+    * transfers ([[s18MaybeFold]] — labels min-fold per node, members
+    * concat, two-phase `_FOLD` intent with restart-mid-fold repair),
+    * so the working labels dir holds at most `autoCompactMax` served
+    * generations forever instead of one per batch. `relabel-*`
+    * replacement files never fold (an active retention forget keeps
+    * its prefer-replacement read byte-exact) and are retired by
+    * compaction, bounded at one active replacement by t43's refusal
+    * discipline. */
   def streamedClusterMaintenance(s: SparkSession, dir: String)
       : DataFrame = s18EntryLock.synchronized {
     val staged = stageS16Tail(s, dir)

@@ -660,6 +660,68 @@ class StreamingGateSpec extends SparkSpec {
       .collect().map(_.toSeq.toVector).toSeq
     assert(folded === rebuild,
       "the streamed index must converge to the batch rebuild")
+    // the generation count is BOUNDED by the auto-compact policy
+    // (threshold 2, default): batch 2's start found base + append-101
+    // + append-121 = 3 fenced generations, folded them into one
+    // compact-121 base, and committed its own append-163 beside it —
+    // 2 served generations forever, not one per batch (the r18
+    // scoping this round closes)
+    Seq("labels", "members").foreach { rel =>
+      val names = work.resolve(rel).toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      assert(names.exists(_.startsWith("compact-121-")),
+        s"$rel must hold the folded base: ${names.toSeq}")
+      assert(names.filter(_.startsWith("append-"))
+        .map(_.split("-")(1)).distinct.toSeq === Seq("163"),
+        s"$rel must hold only the post-fold generation: ${names.toSeq}")
+      assert(!names.exists(_.startsWith("part-")),
+        s"the pre-fold base must be folded away in $rel")
+    }
+    assert(!java.nio.file.Files.exists(work.resolve("_FOLD")),
+      "the fold's intent marker must not outlive its commit")
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
+  test("s18 restart mid-fold: the intent-marker repair completes the labels fold; fence untouched, assignments exact") {
+    val tmp = craftS18Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s18RunStream(spark, work, staged, "t-00[01].parquet", ckpt)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 121")
+    // crash INSIDE the fold's commit: phase A (temp dirs + `_FOLD`
+    // intent) completed, phase B never ran
+    StreamingOps.s18FoldPhaseA(spark, work, 121L)
+    assert(java.nio.file.Files.exists(work.resolve("_FOLD")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 121",
+      "the fold must never touch the replay fence")
+    // the restart delivers batch 2: step 0's repair completes the
+    // fold, the absorb reads the folded base, assignments are exact
+    StreamingOps.s18RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    val flags = spark.read
+      .parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(flags === Seq((100L, 100L), (101L, 100L), (120L, 120L),
+      (121L, 120L), (150L, 100L), (151L, 1L)), flags.toString)
+    assert(!java.nio.file.Files.exists(work.resolve("_FOLD")))
+    Seq("labels", "members").foreach { rel =>
+      val names = work.resolve(rel).toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      assert(names.exists(_.startsWith("compact-121-")), names.toSeq)
+      assert(names.filter(_.startsWith("append-"))
+        .map(_.split("-")(1)).distinct.toSeq === Seq("163"), names.toSeq)
+      assert(!names.exists(_.startsWith("part-")), names.toSeq)
+    }
+    // the repaired, folded state still converged to the rebuild
+    assert(DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq ===
+      DedupOps.rebuildBucketClusters(spark, tmp.toString)
+        .collect().map(_.toSeq.toVector).toSeq)
+    DedupOps.deleteRecursively(work.toFile)
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
