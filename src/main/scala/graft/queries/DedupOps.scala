@@ -1249,6 +1249,15 @@ object DedupOps {
       requireReady(out)
       val marker = out.resolve(s"_FORGOTTEN_$tag")
       if (!java.nio.file.Files.exists(marker)) {
+        // an EMPTY id set (t45's lagging horizon — yesterday's cutoff
+        // re-run, or a horizon below every ingest time) is a pure
+        // no-op: marker only, no tombstones, and crucially NO
+        // replacement — landing an empty relabel generation would
+        // refuse every later forget for nothing
+        if (ids.isEmpty) {
+          java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+          ()
+        } else {
         require(!java.nio.file.Files.exists(out.resolve("relabel_nodes")),
           s"$out already holds an active relabel replacement: compact " +
             "first (t44Compact) — composing raise-capable replacements " +
@@ -1301,6 +1310,7 @@ object DedupOps {
           java.nio.file.Files.write(ready,
             System.nanoTime().toString.getBytes("UTF-8"))
           ()
+        }
         }
       }
     }
@@ -1392,6 +1402,130 @@ object DedupOps {
     val out = requireReady(t42IndexPath(s, dir, "t44"))
     t43Forget(s, out, t43CanonIds(s, out), "canons")
     t44Compact(s, out)
+    ccClustersOfFolded(s, out)
+  }
+
+  // ------------ t45: RETENTION on the cluster shelf — the last empty
+  // cell in the policy × shelf matrix (t38/t41 band, m12/m13 media,
+  // v22/v23 vector, q41 sum all have scheduled TTL verbs; the cluster
+  // shelf had only the id-list forget)
+
+  /** t45's OWN cluster artifact over the FULL corpus, with the
+    * derived per-doc ingest time (the shared t41/m13/v23 md5 idiom)
+    * riding IN the members relation — a horizon advance is then
+    * index-local: the expired set evaluates on the index's own
+    * `ingest_ts` column, never the corpus. `_CUT` = hi (the index is
+    * fully absorbed; retention is the only mutation this family
+    * gates). */
+  private[graft] def buildT45Index(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = t42IndexPath(s, dir, "t45")
+    ensureArtifact(out) {
+      val d = docs(s, dir)
+      val hi = d.agg(max(col("doc_id"))).head().getLong(0)
+      val members = bandedSignaturesOf(d)
+        .select(col("band"), col("sig"), col("doc_id"))
+        .withColumn("ingest_ts", org.apache.spark.sql.functions
+          .expr(t41IngestTs))
+      members.write.mode("overwrite")
+        .parquet(out.resolve("members").toString)
+      ccConvergedLabelsDf(s, bucketStarEdges(
+          s.read.parquet(out.resolve("members").toString)), null)
+        .write.mode("overwrite").parquet(out.resolve("labels").toString)
+      java.nio.file.Files.write(out.resolve("_CUT"),
+        hi.toString.getBytes("UTF-8"))
+    }
+    out
+  }
+
+  /** AGE OFF the cluster index at `horizon` — retention composed with
+    * t43's forget: the expired set is a PREDICATE over the members
+    * relation's own timestamp column (id-span via `tsCol = "doc_id"`,
+    * event-time via the persisted `ingest_ts` — both forms, t41's
+    * rule), evaluated index-locally, then routed through the SAME
+    * [[t43Forget]] machinery because min-label merge is not
+    * invertible: an expired doc can SPLIT its component and RAISE
+    * survivors' labels, which `ageOffMembers`' plain tombstone (built
+    * for min-fold re-election) cannot express on this shelf. The
+    * forget tombstones the expired membership AND re-derives exactly
+    * the affected components into a replacement generation —
+    * O(expired + affected), never the corpus. Idempotent PER HORIZON
+    * (`_FORGOTTEN_h<horizon>` marker — re-running yesterday's cutoff
+    * short-circuits); a LAGGING horizon (below every ingest time)
+    * no-ops without landing a replacement; t43's refusal discipline
+    * stands — the nightly schedule is advance → compact → advance,
+    * and a second advance on an uncompacted replacement fails
+    * loudly. Expired ids read the RAW members relation (not the
+    * tombstone-joined view) so the lazy plan is stable across the
+    * forget's own mutations. */
+  private[graft] def t45AgeOff(s: SparkSession, out: java.nio.file.Path,
+      horizon: Long, tsCol: String = "ingest_ts"): Unit = {
+    val expired = s.read.parquet(out.resolve("members").toString)
+      .filter(col(tsCol) <= horizon)
+      .select(col("doc_id")).distinct()
+    t43Forget(s, out, expired, s"h$horizon")
+  }
+
+  /** t45: cluster-shelf EVENT-TIME retention, served — build the
+    * timestamp-carrying cluster artifact, advance the policy horizon
+    * twice (compacting between advances — the refusal discipline's
+    * steady state), serve the surviving clusters. The expired set is
+    * NON-CONTIGUOUS in id space (the hash-time interleaves expired
+    * and surviving ids), so splits, re-elections, and vanished
+    * components must all be exactly as if the expired docs had never
+    * been ingested: the oracle is the bucket-CC REBUILD over docs
+    * whose derived ingest time exceeds the second constant horizon.
+    * Split/raise/lagging-horizon/refusal pinned in
+    * CcIncrementalSpec. */
+  def ccTimeAgeOff(s: SparkSession, dir: String): DataFrame = {
+    val out = buildT45Index(s, dir)
+    t45AgeOff(s, requireReady(out), T41H1)
+    t44Compact(s, out)
+    t45AgeOff(s, out, T41H2)
+    ccClustersOfFolded(s, requireReady(out))
+  }
+
+  // ------------ t46: EXTERNAL takedown list on the cluster shelf —
+  // t39's input-relation shape (a legal-hold queue, a GDPR request
+  // log) × t43's component re-derivation
+
+  /** FORGET an externally-supplied id RELATION from the cluster
+    * index. The generation tag is the md5 fingerprint of the SORTED
+    * id list (the q44/s16 compliance rule: a second DIFFERENT list
+    * lands beside the first instead of short-circuiting on a shared
+    * marker — a silent no-op on a new erasure request would be a
+    * compliance failure; re-submitting the SAME list stays a marker
+    * no-op). One aggregation computes the fingerprint — O(list),
+    * the cost of reading the request at all; erasure lists are
+    * bounded by request volume, never corpus-sized. Absent ids
+    * no-op and repeated ids are idempotent by anti-join/semi-join
+    * construction (t39's edge semantics, pinned in
+    * CcIncrementalSpec). */
+  private[graft] def t43ForgetExternal(s: SparkSession,
+      out: java.nio.file.Path, ids: DataFrame): Unit = {
+    val tag = ids.select(col("doc_id"))
+      .agg(md5(concat_ws(",",
+        sort_array(collect_list(col("doc_id"))))).as("fp"))
+      .head().getString(0).take(12)
+    t43Forget(s, out, ids.select(col("doc_id")).distinct(), s"x$tag")
+  }
+
+  /** t46: the cluster shelf's external-takedown verb, served — the
+    * fully-absorbed cluster index (t42's machinery on t46's own
+    * artifact copy), the staged t39 erasure relation (every
+    * corpus-range multiple of 7, plus an absent id that must no-op
+    * and a repeated id that must be idempotent) routed through the
+    * list-fingerprint forget, survivors served. Oracle = the
+    * bucket-CC rebuild over docs not divisible by 7 — splits,
+    * re-elections, and vanished components exactly as if the erased
+    * docs had never been ingested. */
+  def ccTakedownExternal(s: SparkSession, dir: String): DataFrame = {
+    buildT42Index(s, dir, "t46")
+    t42Append(s, dir, "t46")
+    val out = requireReady(t42IndexPath(s, dir, "t46"))
+    val ext = stageT39Erasures(s, dir)
+    t43ForgetExternal(s, out,
+      s.read.parquet(ext.resolve("erasures").toString))
     ccClustersOfFolded(s, out)
   }
 
@@ -2851,6 +2985,8 @@ object DedupOps {
     "t39_takedown_external" -> (takedownExternal _),
     "t40_auto_compact" -> (autoCompactServe _),
     "t41_time_ageoff" -> (indexTimeAgeOff _),
+    "t45_cc_time_ageoff" -> (ccTimeAgeOff _),
+    "t46_cc_takedown_external" -> (ccTakedownExternal _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -3281,6 +3417,20 @@ object DedupOps {
        |FROM bcc JOIN bsizes USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** The survivor-restricted bucket-CC cluster table — t45 (event-time
+    * survivors) and t46 (erasure-list survivors) rebuild the closure
+    * over docs matching `pred` ({ID} = the doc id reference). */
+  private def bucketSurvivorClusterOracle(pred: String): String =
+    s"""WITH RECURSIVE $bandsCtesMaterialized,
+       |${bucketCcClosureCtes("", pred)},
+       |bsizes AS (
+       | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       | FROM bcc GROUP BY cluster_id)
+       |SELECT bcc.cluster_id, bcc.doc_id, bsizes.cluster_size,
+       | bcc.doc_id = bcc.cluster_id AS keep
+       |FROM bcc JOIN bsizes USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   /** t43/t44's oracle: the bucket-CC rebuilt over corpus minus the
     * FULL index's cluster ids (the canons the engine forgets) — the
     * second recursive closure over the surviving docs' bands. */
@@ -3353,6 +3503,18 @@ object DedupOps {
     "t43_cc_forget" -> bucketForgetOracle,
     // t44: compaction after the forget is invisible — t43's oracle
     "t44_cc_compact" -> bucketForgetOracle,
+    // t45: cluster retention — survivors are docs whose DERIVED ingest
+    // time (the shared md5 idiom) exceeds the second constant horizon;
+    // splits, re-elections, and vanished components exactly as if the
+    // expired docs had never been ingested
+    "t45_cc_time_ageoff" -> bucketSurvivorClusterOracle(
+      "('0x' || substr(md5(CAST({ID} AS VARCHAR)), 1, 8))::BIGINT " +
+        "> 1717986918"),
+    // t46: external erasure list — survivors are docs not divisible by
+    // 7 (the staged t39 list; its absent id and duplicate are
+    // invisible to the oracle by construction)
+    "t46_cc_takedown_external" -> bucketSurvivorClusterOracle(
+      "{ID} % 7 <> 0"),
     // delta docs flagged against the BASE tranche's buckets only; no
     // bucket cap CTEs — the probe join generates no pairs
     "t34_incremental_dedup" ->

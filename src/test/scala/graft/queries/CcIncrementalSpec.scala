@@ -219,4 +219,83 @@ class CcIncrementalSpec extends SparkSpec {
       "the post-compaction forget must split the re-merged component")
     DedupOps.deleteRecursively(tmp.toFile)
   }
+
+  test("t45 retention: expired docs split components; lagging horizon no-ops; per-horizon idempotence; refusal until compaction") {
+    // the id-span form (tsCol = doc_id) for deterministic horizons;
+    // the event-time form (the md5-derived ingest_ts, NON-CONTIGUOUS
+    // in id space) is hash-gated end-to-end by t45_cc_time_ageoff
+    val tmp = craftCorpus()
+    val out = DedupOps.buildT45Index(spark, tmp.toString)
+    DedupOps.requireReady(out)
+    // LAGGING horizon (below every id): marker only — no tombstones,
+    // no replacement (an empty relabel generation would refuse every
+    // later forget for nothing), serve untouched
+    DedupOps.t45AgeOff(spark, out, 0L, tsCol = "doc_id")
+    assert(java.nio.file.Files.exists(out.resolve("_FORGOTTEN_h0")))
+    assert(!java.nio.file.Files.exists(out.resolve("relabel_nodes")),
+      "a lagging horizon must not land a replacement")
+    assert(rows(DedupOps.ccClustersOfFolded(spark, out)) ===
+      rebuildMinus(tmp, Set.empty))
+    // horizon 2 expires {1, 2}: the bridged component {1,2,10,11,100}
+    // SHRINKS and its label RAISES to 10 — exactly what a min-fold
+    // tombstone cannot express and the component re-derivation can
+    DedupOps.t45AgeOff(spark, out, 2L, tsCol = "doc_id")
+    val served = rows(DedupOps.ccClustersOfFolded(spark, out))
+    assert(served === rebuildMinus(tmp, Set(1L, 2L)))
+    assert(served.map(r => r._2 -> r._1).toMap.get(11L).contains(10L),
+      s"the surviving members must re-converge under the raised min: " +
+        s"$served")
+    // re-running yesterday's horizon short-circuits on its marker
+    val names0 = out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    DedupOps.t45AgeOff(spark, out, 2L, tsCol = "doc_id")
+    assert(out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0, "a re-run horizon must be a marker no-op")
+    // a FURTHER advance refuses while the replacement is active —
+    // the nightly schedule is advance -> compact -> advance
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.t45AgeOff(spark, out, 10L, tsCol = "doc_id")
+    }
+    assert(e.getMessage.contains("compact first"))
+    assert(DedupOps.t44Compact(spark, out))
+    DedupOps.t45AgeOff(spark, out, 10L, tsCol = "doc_id")
+    assert(rows(DedupOps.ccClustersOfFolded(spark, out)) ===
+      rebuildMinus(tmp, Set(1L, 2L, 10L)),
+      "the post-compaction advance must serve the twice-aged survivors")
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
+  test("t46 external list: absent ids no-op, repeated ids idempotent, a second DIFFERENT list lands") {
+    val tmp = craftCorpus()
+    DedupOps.buildT42Index(spark, tmp.toString, "t46")
+    DedupOps.t42Append(spark, tmp.toString, "t46")
+    val out = DedupOps.requireReady(
+      DedupOps.t42IndexPath(spark, tmp.toString, "t46"))
+    import spark.implicits._
+    // the t39 edge shape: the bridge 100, a REPEATED id, and an id
+    // ABSENT from the corpus — the absent id must no-op (not error),
+    // the duplicate must be idempotent
+    val list1 = Seq(100L, 100L, 999L).toDF("doc_id")
+    DedupOps.t43ForgetExternal(spark, out, list1)
+    val served1 = rows(DedupOps.ccClustersOfFolded(spark, out))
+    assert(served1 === rebuildMinus(tmp, Set(100L)),
+      s"only the present id's erasure may have an effect: $served1")
+    // re-submitting the SAME list is a marker no-op (same fingerprint)
+    val names0 = out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    DedupOps.t43ForgetExternal(spark, out, list1)
+    assert(out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0)
+    // a second DIFFERENT list must LAND (the q44/s16 compliance rule:
+    // a shared marker would silently drop a new erasure request) —
+    // after the compaction the refusal discipline demands
+    assert(DedupOps.t44Compact(spark, out))
+    DedupOps.t43ForgetExternal(spark, out, Seq(120L).toDF("doc_id"))
+    assert(rows(DedupOps.ccClustersOfFolded(spark, out)) ===
+      rebuildMinus(tmp, Set(100L, 120L)),
+      "the second, different erasure list must take effect")
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
 }
