@@ -1282,10 +1282,12 @@ object StreamingOps {
 
   /** Per-invocation working copy of the s18 cluster base (t42's build
     * at the s16 midpoint split, own family so no gate shares a
-    * mutable artifact), plus the `(-1, baseCut)` replay fence. */
-  private[graft] def s18WorkingCopy(s: SparkSession, dir: String)
-      : java.nio.file.Path = {
-    val base = DedupOps.buildT42Index(s, dir, "s18")
+    * mutable artifact), plus the `(-1, baseCut)` replay fence. `fam`
+    * keys the pristine base per GATE (s18 maintenance / s19
+    * retention) — order-independence again. */
+  private[graft] def s18WorkingCopy(s: SparkSession, dir: String,
+      fam: String = "s18"): java.nio.file.Path = {
+    val base = DedupOps.buildT42Index(s, dir, fam)
     DedupOps.requireReady(base)
     val work = Files.createTempDirectory("s18_work_")
     Seq("labels", "members").foreach { rel =>
@@ -1418,6 +1420,64 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------- s19: RETENTION between CLUSTER-stream batches — the
+  // s17 row on the s18 column, the last policy × streaming cell
+
+  private val s19EntryLock = new Object
+  private[graft] val lastS19Work =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  /** s19: retention age-off ON THE STREAMED CLUSTER INDEX — the
+    * horizon advance landing BETWEEN s18's micro-batches. Tranche 1
+    * absorbs against the pristine base (s18's machinery verbatim);
+    * then the policy horizon advances through the CLUSTER shelf's
+    * retention verb ([[DedupOps.t45AgeOff]] — NOT the membership
+    * shelves' plain tombstone, because expiry can SPLIT a component
+    * and RAISE labels: the expired docs tombstone in `members` and
+    * the affected components re-derive over the survivors into a
+    * `relabel-*` replacement, t43's machinery; the `_BATCH` fence and
+    * `_CUT` are untouched — a policy advance is not a batch); then
+    * the stream resumes (same checkpoint, widened glob) and tranches
+    * 2-3 absorb against the SURVIVING state: their merge graphs probe
+    * [[DedupOps.aliveMembers]] (an expired bucket-mate never edges)
+    * and the replacement-aware current labels (a raised label serves
+    * raised), while tranche 1's emitted assignments STAND — immutable
+    * facts about absorb time; retention changes what the index
+    * serves, never history. s18's fenced auto-fold composes UNTOUCHED
+    * across the advance: the fold min-folds plain generations only,
+    * which commutes with the replacement's anti-join, so batch 3's
+    * fold-at-start runs with the active replacement in place — the
+    * exact fold × forget interaction the r18 scoping called out,
+    * exercised by this gate every run. The horizon derives from the
+    * index's own members bounds (s17's rule — no corpus scan).
+    * Oracle: s18's three materialized closures with the post-advance
+    * states restricted to survivors (docs above h). */
+  def streamedClusterRetention(s: SparkSession, dir: String): DataFrame =
+    s19EntryLock.synchronized {
+      val staged = stageS16Tail(s, dir)
+      val work = s18WorkingCopy(s, dir, "s19")
+      val ck = work.resolve("ckpt").toString
+      // base cut and the index-derived policy horizon, captured
+      // BEFORE any batch advances _CUT
+      val mid = DedupOps.cutOf(work)
+      val lo = s.read.parquet(work.resolve("members").toString)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      val h = lo + (mid - lo) / 2
+      // segment 1: tranche 1 absorbed against the pristine base
+      s18RunStream(s, work, staged, "t-000.parquet", ck)
+      // the retention advance, between batches (id-span horizon — the
+      // event-time form is t45's own gate; the streamed composition
+      // is what this one pins)
+      DedupOps.t45AgeOff(s, work, h, tsCol = "doc_id")
+      // segment 2: the stream resumes from the same checkpoint
+      s18RunStream(s, work, staged, "t-*.parquet", ck)
+      val old = lastS19Work.getAndSet(work)
+      if (old != null && old != work)
+        DedupOps.deleteRecursively(old.toFile)
+      s.read.parquet(work.resolve("flags").toString + "/b*")
+        .orderBy(col("doc_id"))
+    }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -1543,7 +1603,8 @@ object StreamingOps {
     "s15_stream_living_index" -> (streamedLivingIndexDedup _),
     "s16_stream_writeback" -> (streamedIndexWriteback _),
     "s17_stream_retention" -> (streamedRetention _),
-    "s18_stream_clusters" -> (streamedClusterMaintenance _))
+    "s18_stream_clusters" -> (streamedClusterMaintenance _),
+    "s19_stream_cluster_retention" -> (streamedClusterRetention _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -1670,6 +1731,38 @@ object StreamingOps {
          |${DedupOps.bucketCcClosureCtes("2",
             "{ID} <= (SELECT c2 FROM cuts)")},
          |${DedupOps.bucketCcClosureCtes("3", "TRUE")},
+         |res AS (
+         | SELECT f.doc_id, f.cluster_id FROM bcc1 f, cuts
+         |  WHERE f.doc_id > mid AND f.doc_id <= c1
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc2 f, cuts
+         |  WHERE f.doc_id > c1 AND f.doc_id <= c2
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc3 f, cuts
+         |  WHERE f.doc_id > c2)
+         |SELECT doc_id, cluster_id FROM res ORDER BY doc_id""".stripMargin,
+    // s19: s18's three-closure rule with the post-advance states
+    // restricted to SURVIVORS (docs above the id-span horizon h =
+    // lo + (mid - lo) // 2): tranche 1 labels under the full
+    // base+t1 closure (emitted before the advance — flags stand),
+    // tranches 2-3 under survivor-only closures (an expired
+    // bucket-mate never edges; raised labels serve raised)
+    "s19_stream_cluster_retention" ->
+      s"""WITH RECURSIVE ${DedupOps.bandsCtesMaterialized},
+         |b0 AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |       FROM documents),
+         |cuts AS MATERIALIZED (
+         | SELECT (lo + hi) // 2 AS mid,
+         |   (lo + hi) // 2 + (hi - (lo + hi) // 2) // 3 AS c1,
+         |   (lo + hi) // 2 + (2 * (hi - (lo + hi) // 2)) // 3 AS c2,
+         |   lo + ((lo + hi) // 2 - lo) // 2 AS h
+         | FROM b0),
+         |${DedupOps.bucketCcClosureCtes("1",
+            "{ID} <= (SELECT c1 FROM cuts)")},
+         |${DedupOps.bucketCcClosureCtes("2",
+            "{ID} <= (SELECT c2 FROM cuts) AND {ID} > (SELECT h FROM cuts)")},
+         |${DedupOps.bucketCcClosureCtes("3",
+            "{ID} > (SELECT h FROM cuts)")},
          |res AS (
          | SELECT f.doc_id, f.cluster_id FROM bcc1 f, cuts
          |  WHERE f.doc_id > mid AND f.doc_id <= c1

@@ -761,6 +761,79 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("s19 retention between cluster-stream batches: expired components split/vanish for later absorbs; emitted assignments stand") {
+    // lo=1 hi=163 → mid=82, horizon h = 1 + (82-1)/2 = 41, tranche
+    // cuts c1=109 c2=136. Base: cluster D {1, 2} (EXPIRES WHOLE),
+    // cluster E {40, 50, 51} whose CANON 40 expires — the component
+    // SHRINKS and its label RAISES to 50 (the re-election no min fold
+    // could express), singleton 60. Tranche 1: cluster {100, 101} —
+    // absorbed BEFORE the advance. Tranche 2: 120 has text D — its
+    // only mates expired, the COMPONENT vanished, no assignment; 121
+    // has text E — clusters with the survivors under the RAISED min
+    // 50, never the expired 40. Tranche 3: 150 bridges the
+    // stream-formed {100, 101} with E's merged cluster → the merged
+    // min 50; tranche 1's emitted 100→100 / 101→100 STAND even though
+    // the state merged downward.
+    val tD = "crimson lanterns drift over quiet harbors"
+    val tE = "winter rivers freeze under pale skies"
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tmp = java.nio.file.Files.createTempDirectory("s19_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, tD), (2L, tD),
+      (40L, tE), (50L, tE), (51L, tE),
+      (60L, "one two three four five six"),
+      (100L, tA), (101L, tA),
+      (120L, tD),
+      (121L, tE),
+      (150L, tA + " " + tE),
+      (163L, "planets orbit the bright distant star"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val got = StreamingOps.streamedClusterRetention(spark, tmp.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(got === Seq((100L, 100L), (101L, 100L), (121L, 50L),
+      (150L, 50L)),
+      s"120's component vanished (no assignment); 121 clusters with " +
+        s"the survivors under the RAISED min 50 (canon 40 expired); " +
+        s"the bridge 150 merges to 50; tranche 1's assignments " +
+        s"stand: $got")
+    val work = StreamingOps.lastS19Work.get()
+    // the advance landed through the cluster shelf's forget (horizon
+    // marker + member tombstones + a relabel replacement), not a batch
+    assert(java.nio.file.Files.exists(work.resolve("_FORGOTTEN_h41")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim.split("\\s+")(0).toLong === 2L)
+    // the final state converged to the survivors-only rebuild
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.connectedComponentsOf(spark,
+      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") > 41L))
+        .select(col("band"), col("sig"), col("doc_id"))))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild,
+      "the streamed index must equal the survivors-only rebuild")
+    // a lagging scheduler re-advancing the same horizon is a marker
+    // no-op on the streamed cluster shelf too
+    val names0 = work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    DedupOps.t45AgeOff(spark, work, 41L, tsCol = "doc_id")
+    assert(work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
