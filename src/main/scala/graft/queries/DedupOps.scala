@@ -1598,6 +1598,48 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t34 through the SQL-TEXT surface — the same incremental probe
+    * computed by ONE `spark.sql(...)` statement over registered temp
+    * views of the corpus and the persisted bucket relation, gated
+    * against the IDENTICAL oracle as the programmatic t34: an
+    * analytics engine's users write SQL strings, not only DataFrame
+    * code, and the highest-traffic pipeline shape (the nightly batch
+    * probing yesterday's index) earns the text path its own hash
+    * gate (§2.12's rule applied to the pipeline operators). The
+    * native `minhash_sig` kernel is reachable from SQL text because
+    * it registers as a session function (TextHashes.register — the
+    * same codegen'd expression, zero UDFs), and the band explosion is
+    * the UNION ALL idiom the DuckDB oracle itself uses. View names
+    * resolve through the per-invocation serial
+    * ([[JobHistoryOps.withSqlViews]] — no clobbered user views, no
+    * leaked catalog entries; hygiene pinned in IndexAppendSpec). */
+  def incrementalDedupSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(s)
+    val idx = buildBandIndex(s, dir)
+    val cut = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "_CUT")), "UTF-8").trim.toLong
+    val bandSel = (0 until NumBands).map { b =>
+      val key = (0 until BandSize).map(r => s"sig_arr[${b * BandSize + r}]")
+        .mkString("concat_ws(':', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS sig FROM sig"
+    }.mkString("\n UNION ALL ")
+    JobHistoryOps.withSqlViews(s, Seq(
+      "t34_documents" -> docs(s, dir),
+      "t34_buckets" -> s.read.parquet(s"$idx/buckets")))(nm =>
+      s"""WITH delta AS (
+         | SELECT doc_id, split(text, ' ') AS words
+         | FROM ${nm("t34_documents")} WHERE doc_id > $cut),
+         |sig AS (
+         | SELECT doc_id, minhash_sig(words) AS sig_arr
+         | FROM delta WHERE size(words) >= 3),
+         |bands AS (
+         | $bandSel)
+         |SELECT b.doc_id, min(b.band) AS band, min(k.canon) AS dup_of
+         |FROM bands b JOIN ${nm("t34_buckets")} k
+         | ON b.band = k.band AND b.sig = k.sig
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+  }
+
   // ------------------------ t35: index WRITE-BACK (append + advance)
 
   /** Where the READ-WRITE band index lives. t34/s14 deliberately probe
@@ -2978,6 +3020,7 @@ object DedupOps {
     "t43_cc_forget" -> (ccForgetServe _),
     "t44_cc_compact" -> (ccForgetCompactServe _),
     "t34_incremental_dedup" -> (incrementalDedup _),
+    "t34_incremental_dedup_sql" -> (incrementalDedupSql _),
     "t35_index_append" -> (indexAppendServe _),
     "t36_index_compact" -> (indexCompactServe _),
     "t37_tombstone_reelect" -> (tombstoneReelect _),
@@ -3485,6 +3528,22 @@ object DedupOps {
        |  THEN 'train' ELSE 'eval' END AS split
        |FROM g ORDER BY doc_id""".stripMargin
 
+  private lazy val t34Oracle: String =
+    s"""$bandsCtes,
+       |bounds AS (
+       | SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents),
+       |bkt AS (
+       | SELECT band, sig, min(doc_id) AS canon
+       | FROM bands CROSS JOIN bounds WHERE doc_id <= cut
+       | GROUP BY band, sig),
+       |f AS (
+       | SELECT b.doc_id, b.band, k.canon
+       | FROM bands b CROSS JOIN bounds
+       | JOIN bkt k ON b.band = k.band AND b.sig = k.sig
+       | WHERE b.doc_id > cut)
+       |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t7_minhash_lsh" -> minhashOracle,
     "t23_sketch_audit" -> sketchAuditOracle,
@@ -3517,21 +3576,10 @@ object DedupOps {
       "{ID} % 7 <> 0"),
     // delta docs flagged against the BASE tranche's buckets only; no
     // bucket cap CTEs — the probe join generates no pairs
-    "t34_incremental_dedup" ->
-      s"""$bandsCtes,
-         |bounds AS (
-         | SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents),
-         |bkt AS (
-         | SELECT band, sig, min(doc_id) AS canon
-         | FROM bands CROSS JOIN bounds WHERE doc_id <= cut
-         | GROUP BY band, sig),
-         |f AS (
-         | SELECT b.doc_id, b.band, k.canon
-         | FROM bands b CROSS JOIN bounds
-         | JOIN bkt k ON b.band = k.band AND b.sig = k.sig
-         | WHERE b.doc_id > cut)
-         |SELECT doc_id, min(band) AS band, min(canon) AS dup_of
-         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t34_incremental_dedup" -> t34Oracle,
+    // the SQL-text path must land on the identical probe — one oracle
+    // serves the DataFrame and text surfaces (§2.12's rule)
+    "t34_incremental_dedup_sql" -> t34Oracle,
     // the full-corpus bucket relation — the from-scratch REBUILD the
     // engine's append path must be indistinguishable from (canon = min
     // is merge-associative, so base-build + delta-append ≡ this)

@@ -102,7 +102,7 @@ object JobHistoryOps {
     * no longer needs the catalog entries). */
   private val sqlViewSerial = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def withSqlViews(s: SparkSession,
+  private[graft] def withSqlViews(s: SparkSession,
       views: Seq[(String, DataFrame)])(
       sql: (String => String) => String): DataFrame = {
     val serial = sqlViewSerial.incrementAndGet()

@@ -376,4 +376,25 @@ class IndexAppendSpec extends SparkSpec {
     assert("documents\\.parquet".r.findAllIn(probe).size <= 1,
       s"the probe must scan the corpus once (delta only):\n$probe")
   }
+
+  test("t34 SQL-text surface equals the DataFrame probe; view hygiene (no clobber, no leak)") {
+    // a user's SAME-NAMED view must survive the statement (the text
+    // path suffixes its views with a per-invocation serial), and the
+    // catalog must hold nothing new afterwards
+    spark.sql("CREATE OR REPLACE TEMP VIEW t34_documents AS SELECT 7 AS x")
+    val before = spark.catalog.listTables().collect()
+      .map(_.name).toSet
+    val viaSql = DedupOps.incrementalDedupSql(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    val viaDf = DedupOps.incrementalDedup(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    assert(viaSql === viaDf,
+      "the SQL-text probe must land on the identical flags")
+    assert(spark.catalog.listTables().collect().map(_.name).toSet ===
+      before, "the text path must drop its serial-suffixed views")
+    assert(spark.sql("SELECT x FROM t34_documents").head().getInt(0) === 7,
+      "a same-named user view must never be clobbered")
+    spark.catalog.dropTempView("t34_documents")
+    ()
+  }
 }
