@@ -340,7 +340,9 @@ object Bench {
     // stay full — every registry family q/t/v/s/m numbers its ops, so
     // the prefix is unique), greedily packed into short lines
     def shortKey(n: String): String =
-      if (n.startsWith("jh_")) n else n.takeWhile(_ != '_')
+      if (n.startsWith("jh_")) n
+      else n.takeWhile(_ != '_') +
+        (if (n.endsWith("_sql")) "sql" else "")
     // a future registry name sharing a prefix would silently merge two
     // entries into one duplicate JSON key, losing one query's median
     // from the tail telemetry — fail loudly instead

@@ -391,6 +391,23 @@ object ScaleDemo {
         queries.DedupOps.t42Append(spark, docsDir.toString, "sd42b",
           upTo = cut99)
       }
+      // working copy of the 99%-staged artifact, taken BEFORE the
+      // nightly append: the s18 stream block below replays the same
+      // last-1% tranche as TEN micro-batches against it
+      val s18Work = Files.createTempDirectory("sd_s18_")
+      Seq("labels", "members").foreach { rel =>
+        Files.createDirectories(s18Work.resolve(rel))
+        ccOutB.resolve(rel).toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            Files.copy(f.toPath, s18Work.resolve(rel).resolve(f.getName))
+            ()
+          }
+      }
+      Seq("_CUT", "_INDEX_READY").foreach { n =>
+        Files.copy(ccOutB.resolve(n), s18Work.resolve(n)); ()
+      }
+      Files.write(s18Work.resolve("_BATCH"),
+        s"-1 ${queries.DedupOps.cutOf(s18Work)}".getBytes("UTF-8"))
       spark.catalog.clearCache()
       time("t42 NIGHTLY append: the last 1% tranche " +
           "(merge-graph, O(batch + touched))") {
@@ -400,6 +417,35 @@ object ScaleDemo {
       time("t42 post-nightly steady serve") {
         noop(queries.DedupOps.ccClustersOfFolded(spark,
           queries.DedupOps.requireReady(ccOutB)))
+      }
+      // s18 fenced fold at scale: the same last-1% tranche absorbed
+      // as ten stream micro-batches — pre-fold the labels dir gained
+      // one min-foldable generation per batch FOREVER (read
+      // amplification O(batches)); the threshold-2 policy bounds the
+      // served generation count, folds amortized at batch start
+      spark.catalog.clearCache()
+      locally {
+        val d10 = spark.read.parquet(docsParquet.toString)
+        val hiAll = db.getLong(1)
+        time("s18 stream-absorb 10 micro-batches under fenced " +
+            "auto-compact (threshold 2, labels+members fold)") {
+          (1 to 10).foreach { g =>
+            val loB = cut99 + (hiAll - cut99) * (g - 1) / 10
+            val hiB =
+              if (g == 10) hiAll else cut99 + (hiAll - cut99) * g / 10
+            queries.StreamingOps.s18ProcessBatch(spark, s18Work,
+              d10.filter(col("doc_id") > loB && col("doc_id") <= hiB)
+                .select(col("doc_id"), col("text")), (g - 1).toLong)
+            println(s"SCALE s18 after batch $g: " +
+              s"${queries.DedupOps.generationCount(s18Work, "labels")} " +
+              "labels generations")
+          }
+        }
+        spark.catalog.clearCache()
+        time("s18 post-stream folded serve (policy-bounded read)") {
+          noop(queries.DedupOps.ccClustersOfFolded(spark, s18Work))
+        }
+        queries.DedupOps.deleteRecursively(s18Work.toFile)
       }
     }
     // t34 (`phase=inc`): incremental-dedup economics at fleet scale —

@@ -864,6 +864,59 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(work.toFile)
   }
 
+  test("stream working dir: a second process's live lease refuses the batch commit; the fence stays un-advanced so the retry window survives") {
+    // the batch artifacts are lease-protected (ArtifactLeaseSpec);
+    // this pins the STREAM working dir: the foreachBatch owner's
+    // mutation meets a foreign process's `_LEASE` and must refuse
+    // LOUDLY before advancing any state the replay fence trusts —
+    // the at-least-once window then re-delivers the batch exactly
+    val tmp = craftS16Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s16WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s16RunStream(spark, work, staged, "t-000.parquet", ckpt)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "0 100")
+    val prevTtl = sys.props.get("graft.artifact.leaseTtlMs")
+    val prevWait = sys.props.get("graft.artifact.leaseWaitMs")
+    sys.props("graft.artifact.leaseTtlMs") = "60000"
+    sys.props("graft.artifact.leaseWaitMs") = "300"
+    val b1 = spark.read.parquet(staged.resolve("t-001.parquet").toString)
+    try {
+      java.nio.file.Files.write(work.resolve("_LEASE"),
+        "live@second-process".getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        StreamingOps.s16ProcessBatch(spark, work, b1, 1L)
+      }
+      assert(e.getMessage.contains("could not acquire"))
+      assert(new String(java.nio.file.Files.readAllBytes(
+        work.resolve("_BATCH")), "UTF-8").trim === "0 100",
+        "a refused commit must never advance the replay fence")
+      // the takedown verb refuses on the same foreign lease too — a
+      // maintenance job can't mutate the index out from under the
+      // stream's owner either
+      val e2 = intercept[IllegalStateException] {
+        StreamingOps.s16Takedown(spark, work, Seq(100L))
+      }
+      assert(e2.getMessage.contains("could not acquire"))
+      java.nio.file.Files.deleteIfExists(work.resolve("_LEASE"))
+      ()
+    } finally {
+      Seq("graft.artifact.leaseTtlMs" -> prevTtl,
+        "graft.artifact.leaseWaitMs" -> prevWait).foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props -= k; ()
+      }
+    }
+    // the foreign holder released: the re-delivered batch lands exactly
+    StreamingOps.s16ProcessBatch(spark, work, b1, 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      work.resolve("_BATCH")), "UTF-8").trim === "1 120")
+    assert(s16Flags(work) === Seq((120L, 100L)))
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s7 exactly-once: the doubled delivery collapses to one row per event") {
     val out = StreamingOps.streamedExactlyOnce(spark, dir).collect()
     val n = Tables(spark, dir, "events").count()
