@@ -1268,8 +1268,14 @@ object DedupOps {
         val folded = t42FoldedLabels(s, out)
         val affLabels = folded.join(idNodes, Seq("node"), "left_semi")
           .select(col("label")).distinct()
+        // persisted: the affected set feeds the survivor subgraph (the
+        // re-convergence's edge derivation) AND lands as the
+        // relabel_nodes key list — two actions over the same
+        // folded-labels double-join; dropped before return
         val affNodes = folded.join(affLabels, Seq("label"), "left_semi")
           .select(col("node"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val survivors = affNodes.join(idNodes, Seq("node"), "left_anti")
         val subMembers = aliveMembers(s, out)
           .join(survivors.withColumnRenamed("node", "doc_id"),
@@ -1311,6 +1317,7 @@ object DedupOps {
             System.nanoTime().toString.getBytes("UTF-8"))
           ()
         }
+        } finally affNodes.unpersist(blocking = true)
         }
       }
     }
@@ -1460,10 +1467,16 @@ object DedupOps {
     * forget's own mutations. */
   private[graft] def t45AgeOff(s: SparkSession, out: java.nio.file.Path,
       horizon: Long, tsCol: String = "ingest_ts"): Unit = {
+    // persist the expired set once: the forget's emptiness probe,
+    // tombstone write, and affected/survivor joins would otherwise
+    // each re-run the members scan + distinct (s19 pays this per
+    // stream rep); dropped before return on every path
     val expired = s.read.parquet(out.resolve("members").toString)
       .filter(col(tsCol) <= horizon)
       .select(col("doc_id")).distinct()
-    t43Forget(s, out, expired, s"h$horizon")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try t43Forget(s, out, expired, s"h$horizon")
+    finally expired.unpersist(blocking = true)
   }
 
   /** t45: cluster-shelf EVENT-TIME retention, served — build the
