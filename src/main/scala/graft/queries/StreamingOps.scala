@@ -1467,8 +1467,16 @@ object StreamingOps {
       s18RunStream(s, work, staged, "t-000.parquet", ck)
       // the retention advance, between batches (id-span horizon — the
       // event-time form is t45's own gate; the streamed composition
-      // is what this one pins)
-      DedupOps.t45AgeOff(s, work, h, tsCol = "doc_id")
+      // is what this one pins). The forget runs at the stream's own
+      // state-partition count: its relations are micro-batch-sized
+      // (expired ids, affected components), so 32-way exchanges would
+      // pay ~4× the task-scheduling overhead for zero parallelism win
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("graft.stream.statePartitions", "8"))
+        DedupOps.t45AgeOff(s, work, h, tsCol = "doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // segment 2: the stream resumes from the same checkpoint
       s18RunStream(s, work, staged, "t-*.parquet", ck)
       val old = lastS19Work.getAndSet(work)

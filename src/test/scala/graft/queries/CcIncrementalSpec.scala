@@ -266,6 +266,28 @@ class CcIncrementalSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("t45/t46 serve plans read only their artifacts — the corpus never rejoins a steady-state read") {
+    // steady state = artifacts built, horizons/lists landed (marker
+    // no-ops on re-serve): the returned plan must be an artifact-only
+    // read — at 100 TB a retention/erasure SERVE that re-scans the
+    // corpus would defeat the shelf's whole point
+    val dir = "/root/testdata/sf0.001"
+    val t45 = DedupOps.ccTimeAgeOff(spark, dir)
+    t45.collect()
+    val p45 = t45.queryExecution.executedPlan.toString
+    assert(!p45.contains("documents.parquet"),
+      s"t45 serve must never re-scan the corpus:\n$p45")
+    assert(p45.contains("cc_index_t45"),
+      "t45 serve must read the persisted cluster artifact")
+    val t46 = DedupOps.ccTakedownExternal(spark, dir)
+    t46.collect()
+    val p46 = t46.queryExecution.executedPlan.toString
+    assert(!p46.contains("documents.parquet"),
+      s"t46 serve must never re-scan the corpus:\n$p46")
+    assert(p46.contains("cc_index_t46"),
+      "t46 serve must read the persisted cluster artifact")
+  }
+
   test("t46 external list: absent ids no-op, repeated ids idempotent, a second DIFFERENT list lands") {
     val tmp = craftCorpus()
     DedupOps.buildT42Index(spark, tmp.toString, "t46")
