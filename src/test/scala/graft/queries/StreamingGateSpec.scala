@@ -834,6 +834,64 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("s18 × external takedown: an id-list forget between cluster-stream batches re-routes later absorbs; fingerprint idempotence holds on the stream") {
+    // craftS18Corpus: base cluster D {1, 2}, singleton 50; t1 {100,
+    // 101}; t2 {120, 121}; t3 bridge 150, 151 (text D), 163. The
+    // erasure list [1, 1, 999] lands BETWEEN t1 and t2 through the
+    // t46 verb (duplicate id + absent id — the t39 edges, on the
+    // stream): D's canon 1 dies, the survivor 2 re-singletons (no
+    // label row), and when 151 arrives in t3 it clusters with the
+    // SURVIVOR under min 2 — in the takedown-free s18 run it labeled
+    // under 1.
+    val tmp = craftS18Corpus()
+    val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString)
+    val ckpt = work.resolve("ckpt").toString
+    StreamingOps.s18RunStream(spark, work, staged, "t-000.parquet", ckpt)
+    import spark.implicits._
+    DedupOps.t43ForgetExternal(spark, work,
+      Seq(1L, 1L, 999L).toDF("doc_id"))
+    // re-submitting the SAME list on the live stream dir is a marker
+    // no-op; a DIFFERENT list refuses until compaction (the refusal
+    // discipline holds mid-stream too)
+    val names0 = work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    DedupOps.t43ForgetExternal(spark, work,
+      Seq(1L, 1L, 999L).toDF("doc_id"))
+    assert(work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0)
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.t43ForgetExternal(spark, work, Seq(50L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("compact first"))
+    // the stream resumes across the replacement; the fence never saw
+    // the takedown
+    StreamingOps.s18RunStream(spark, work, staged, "t-*.parquet", ckpt)
+    val flags = spark.read
+      .parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(flags === Seq((100L, 100L), (101L, 100L), (120L, 120L),
+      (121L, 120L), (150L, 100L), (151L, 2L)),
+      s"151 must cluster with the SURVIVOR 2, never the erased 1: " +
+        s"$flags")
+    // final state = the rebuild over corpus minus the erased id
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.connectedComponentsOf(spark,
+      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") =!= 1L))
+        .select(col("band"), col("sig"), col("doc_id"))))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild)
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
