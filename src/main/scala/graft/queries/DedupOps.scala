@@ -447,8 +447,14 @@ object DedupOps {
       .select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = edgesCached.limit(localMax + 1).collect()
-    if (probe.length <= localMax) {
+    // a failing probe (corrupt input, cancelled job) must not strand
+    // the cache for the session — the leak-free invariant holds on
+    // every exit, exceptional ones included
+    val probe =
+      try edgesCached.limit(localMax + 1).collect()
+      catch { case t: Throwable =>
+        edgesCached.unpersist(blocking = true); throw t }
+    if (probe.length <= localMax) try {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -480,9 +486,8 @@ object DedupOps {
         val n = it.next()
         rows.add(org.apache.spark.sql.Row(n, find(n)))
       }
-      edgesCached.unpersist(blocking = true)
       return CcLocal(schema, rows)
-    }
+    } finally edgesCached.unpersist(blocking = true)
     // --- discovery: how many rounds until the labels stop moving?
     // A DataFrame loop (Tungsten joins + hash aggregates), not RDDs:
     // the round-7 rewrite of the original RDD loop — same persist/
@@ -1023,9 +1028,11 @@ object DedupOps {
     val files = Option(dst.toFile.listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
     val (rel, plain) = files.partition(_.getName.startsWith("relabel-"))
-    // a base whose labels write produced ZERO part files (no clustered
-    // docs in the tranche) leaves an empty plain list — Spark's
-    // zero-path parquet read throws, so synthesize the empty relation
+    // defensive: today's writer emits a schema-bearing part file even
+    // for an empty result (partition 0 always writes), so `plain` is
+    // non-empty through every in-tree path — but a zero-path parquet
+    // read throws, and this read must not depend on a writer detail
+    // that has changed across Spark versions
     val plainDf =
       if (plain.nonEmpty) s.read.parquet(plain.map(_.toString): _*)
       else s.createDataFrame(
@@ -1334,11 +1341,12 @@ object DedupOps {
     artifactLock(out).synchronized {
       requireReady(out)
       val dst = out.resolve("labels")
-      // an active replacement COUNTS as mutated even when the forget's
-      // re-derivation produced zero part files (every affected
-      // component vanished — Spark emits no part file for an empty
-      // result): compaction must still retire `relabel_nodes`, or
-      // every later forget permanently refuses with "compact first"
+      // an active replacement COUNTS as mutated independently of the
+      // relabel generation's file shape (today's writer emits a part
+      // file even for an empty re-derivation, but the key list is the
+      // semantic truth): compaction must retire `relabel_nodes` in
+      // every case, or a later forget permanently refuses with
+      // "compact first"
       val mutated = Option(dst.toFile.listFiles()).toSeq.flatten
         .exists(f => f.getName.startsWith("append-") ||
           f.getName.startsWith("relabel-")) ||

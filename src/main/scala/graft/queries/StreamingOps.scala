@@ -896,19 +896,66 @@ object StreamingOps {
         .agg(min(col("canon")).as("canon"))),
       "members" -> identity))
 
+  /** The s18 REPLACEMENT-side fold set: `relabel-a<tag>` generations
+    * at or below the fenced cut (the post-forget absorbs' lowerings —
+    * committed by the same argument as `append-*`; debris above the
+    * fence was cleared in step 0a) plus any PRIOR `relabel-c`
+    * compact, excluding this fold's own output. `relabel-f*` (the
+    * forget's re-derivation) deliberately stays out: its crash
+    * protocol is the forget's own marker-keyed re-submission, and
+    * min-folding it with the a-side would be correct but would
+    * entangle the two repair stories for no read win (there is at
+    * most ONE f-generation by the refusal discipline). */
+  private def s18RelabelFoldable(work: java.nio.file.Path,
+      fencedCut: Long): Seq[String] =
+    Option(work.resolve("labels").toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter { n =>
+        n.endsWith(".parquet") && (
+          (n.startsWith("relabel-a") &&
+            n.stripPrefix("relabel-a").split("-")(0).toLong <= fencedCut) ||
+          (n.startsWith("relabel-c") &&
+            !n.startsWith(f"relabel-c$fencedCut%d-")))
+      }
+      .map(n => work.resolve("labels").resolve(n).toString)
+
+  /** Distinct replacement-side generations eligible to fold — what
+    * the policy thresholds on. Without this count a stream absorbing
+    * across an ACTIVE replacement (s19's shape, uncompacted) would
+    * gain one permanent `relabel-a` generation per batch — the exact
+    * O(batches) growth the plain-side fold exists to prevent. */
+  private def s18RelabelGenCount(work: java.nio.file.Path,
+      fencedCut: Long): Int = {
+    val names = Option(work.resolve("labels").toFile.listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
+    names.filter(n => n.startsWith("relabel-a") &&
+        n.stripPrefix("relabel-a").split("-")(0).toLong <= fencedCut)
+      .map(_.stripPrefix("relabel-a").split("-")(0)).distinct.size +
+      (if (names.exists(_.startsWith("relabel-c"))) 1 else 0)
+  }
+
   /** s18's phase A: min-folded labels (per node — the cluster
     * shelf's associative merge, labels only ever decrease under
-    * appends) + concatenated members. Plain generations only:
-    * `relabel-*` replacement files and `relabel_nodes` stay
-    * untouched, so a fold landing while a retention forget's
-    * replacement is active keeps the read's prefer-replacement
-    * semantics byte-exact. */
+    * appends) + concatenated members on the PLAIN side, and — when
+    * more than one replacement-side generation is fenced — the
+    * min-fold of the `relabel-a`/`relabel-c` files into a
+    * `labels_relfold` temp (replacement rows are all for nodes in
+    * `relabel_nodes`; the read unions every `relabel-*` file and
+    * min-folds per node, so folding a SUBSET commutes). `relabel-f*`
+    * and `relabel_nodes` stay untouched — the prefer-replacement
+    * read is byte-exact across the fold. The shared phase A writes
+    * the `_FOLD` intent marker LAST, covering both sides' commit. */
   private[graft] def s18FoldPhaseA(s: SparkSession,
-      work: java.nio.file.Path, fencedCut: Long): Unit =
+      work: java.nio.file.Path, fencedCut: Long): Unit = {
+    if (s18RelabelGenCount(work, fencedCut) > 1)
+      s.read.parquet(s18RelabelFoldable(work, fencedCut): _*)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .write.mode("overwrite")
+        .parquet(work.resolve("labels_relfold").toString)
     streamFoldPhaseA(s, work, fencedCut, Seq(
       "labels" -> (df => df.groupBy(col("node"))
         .agg(min(col("label")).as("label"))),
       "members" -> identity))
+  }
 
   /** Phase B — idempotent commit, also the crash REPAIR: copy the fold
     * results in as `compact-<fencedCut>-NNN` (copy, not move, and
@@ -926,11 +973,43 @@ object StreamingOps {
       work: java.nio.file.Path, fencedCut: Long): Unit =
     streamFoldCommit(s, work, fencedCut, Seq("buckets", "members"))
 
-  /** s18's phase B — same idempotent commit/repair over the cluster
-    * index's relations. */
+  /** s18's phase B — the replacement side commits first (copy the
+    * relfold in as `relabel-c<fencedCut>-NNN` with REPLACE_EXISTING,
+    * delete the folded-away sources, drop the temp — every step
+    * re-runnable: a missing temp means the copies landed, the
+    * deletion predicate is a pure function of the fenced cut the
+    * `_FOLD` marker records), then the shared plain-side commit,
+    * which retires `_FOLD` LAST so a crash anywhere re-enters this
+    * whole repair. */
   private[graft] def s18FoldCommit(s: SparkSession,
-      work: java.nio.file.Path, fencedCut: Long): Unit =
+      work: java.nio.file.Path, fencedCut: Long): Unit = {
+    val dst = work.resolve("labels")
+    val tmp = work.resolve("labels_relfold")
+    if (Files.exists(tmp)) {
+      tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f.toPath,
+            dst.resolve(f"relabel-c$fencedCut%d-$i%03d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+    // sources retire ONLY once the fold output demonstrably landed
+    // (temp present = copies just made; temp gone but own-compact
+    // files present = a crashed commit's copies — the repair case).
+    // A fold that never wrote a relfold (the plain side alone
+    // triggered, one replacement generation fenced) must not delete
+    // the un-replaced source.
+    val relFoldLanded = Files.exists(tmp) ||
+      Option(dst.toFile.listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith(f"relabel-c$fencedCut%d-"))
+    if (relFoldLanded)
+      s18RelabelFoldable(work, fencedCut)
+        .foreach(p => { new java.io.File(p).delete(); () })
+    DedupOps.deleteRecursively(tmp.toFile)
     streamFoldCommit(s, work, fencedCut, Seq("labels", "members"))
+  }
 
   private def streamFoldCommit(s: SparkSession,
       work: java.nio.file.Path, fencedCut: Long,
@@ -974,26 +1053,30 @@ object StreamingOps {
   private def s16MaybeFold(s: SparkSession, work: java.nio.file.Path,
       fencedCut: Long): Unit = {
     val max = s.conf.get("graft.stream.autoCompactMax", "2").toInt
-    if (max > 0 && s16GenCount(work, fencedCut) > max) {
-      s16FoldPhaseA(s, work, fencedCut)
-      s16FoldCommit(s, work, fencedCut)
-    }
+    if (max > 0 && s16GenCount(work, fencedCut) > max)
+      DedupOps.withArtifactLease(work) {
+        s16FoldPhaseA(s, work, fencedCut)
+        s16FoldCommit(s, work, fencedCut)
+      }
   }
 
-  /** s18's auto-compact: the same fenced-fold-at-batch-start policy
-    * over the cluster index — without it the working labels dir gains
-    * one min-foldable generation per micro-batch FOREVER (read
-    * amplification O(batches), the r18 scoping this closes). Counted
-    * on the labels relation; `relabel-*` files don't count (they are
-    * the replacement, bounded at one by t43's refusal discipline) and
-    * never fold. */
+  /** s18's auto-compact: the fenced-fold-at-batch-start policy over
+    * BOTH of the cluster index's growing sides — the plain
+    * generations (base + `append-*`) and, when a replacement is
+    * active, the `relabel-a*` lowerings post-forget absorbs stack
+    * beside it (each folds to one `relabel-c` compact; `relabel-f*`
+    * itself is bounded at one by t43's refusal discipline and never
+    * folds). Either side exceeding the threshold triggers one
+    * two-phase fold under the cross-process lease. */
   private def s18MaybeFold(s: SparkSession, work: java.nio.file.Path,
       fencedCut: Long): Unit = {
     val max = s.conf.get("graft.stream.autoCompactMax", "2").toInt
-    if (max > 0 && s16GenCount(work, fencedCut, "labels") > max) {
-      s18FoldPhaseA(s, work, fencedCut)
-      s18FoldCommit(s, work, fencedCut)
-    }
+    if (max > 0 && (s16GenCount(work, fencedCut, "labels") > max ||
+        s18RelabelGenCount(work, fencedCut) > max))
+      DedupOps.withArtifactLease(work) {
+        s18FoldPhaseA(s, work, fencedCut)
+        s18FoldCommit(s, work, fencedCut)
+      }
   }
 
   /** ONE micro-batch of the s16 write-back — exposed for the spec's
@@ -1056,15 +1139,23 @@ object StreamingOps {
       // commit — re-run the idempotent commit (repair); the fence was
       // never touched by the fold, so the batch replay logic is
       // unaffected
+      // the fold repair and the policy fold DELETE committed
+      // generations — mutations a concurrent PROCESS must never see
+      // mid-flight, so they run under the cross-process lease like
+      // every other artifact mutation (the commit/takedown paths
+      // already do via commitArtifactAppend/applyTakedown)
       if (Files.exists(work.resolve("_FOLD"))) {
         val cut = new String(Files.readAllBytes(work.resolve("_FOLD")),
           "UTF-8").trim.toLong
         DedupOps.artifactLock(work).synchronized {
-          s16FoldCommit(s, work, cut)
+          DedupOps.withArtifactLease(work) {
+            s16FoldCommit(s, work, cut)
+          }
         }
       }
       // step 0c: the auto-compact policy — fold FENCED generations
       // when they exceed the threshold, before this batch probes
+      // (the lease is taken INSIDE, only when a fold triggers)
       DedupOps.artifactLock(work).synchronized {
         s16MaybeFold(s, work, fencedCut)
       }
@@ -1348,11 +1439,16 @@ object StreamingOps {
       // a `_FOLD` intent marker is a crash inside the auto-compact's
       // commit — re-run the idempotent repair (s16's step 0b), then
       // the policy itself bounds the fenced generation count
+      // fold repair + policy fold under the cross-process lease
+      // (they delete committed generations — s16's rule; the policy
+      // fold takes the lease inside, only when a fold triggers)
       if (Files.exists(work.resolve("_FOLD"))) {
         val cut = new String(Files.readAllBytes(work.resolve("_FOLD")),
           "UTF-8").trim.toLong
         DedupOps.artifactLock(work).synchronized {
-          s18FoldCommit(s, work, cut)
+          DedupOps.withArtifactLease(work) {
+            s18FoldCommit(s, work, cut)
+          }
         }
       }
       DedupOps.artifactLock(work).synchronized {

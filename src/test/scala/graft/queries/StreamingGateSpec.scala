@@ -892,6 +892,73 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("s18 fold bounds the REPLACEMENT side: post-forget batches' relabel-a generations fold into one relabel-c; serve exact") {
+    // base cluster E {40, 50, 51}; 40 is forgotten BEFORE the stream,
+    // so every later batch doc (tE text, one per batch) merges into
+    // the REPLACED component and lands its rows as a relabel-a
+    // generation beside the active replacement. Without the
+    // replacement-side fold the labels dir would gain one permanent
+    // relabel-a per batch (the exact O(batches) growth the plain-side
+    // fold prevents); with it the a-side folds into one relabel-c
+    // whenever it exceeds the threshold.
+    val tD = "crimson lanterns drift over quiet harbors"
+    val tE = "winter rivers freeze under pale skies"
+    val tmp = java.nio.file.Files.createTempDirectory("s18rf_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    Seq((1L, tD), (2L, tD), (40L, tE), (50L, tE), (51L, tE),
+      (90L, tE), (95L, tE), (100L, tE), (105L, tE), (110L, tE))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString, "s18rf")
+    DedupOps.t43Forget(spark, work, Seq(40L).toDF("doc_id"), "rf")
+    val d = spark.read.parquet(tmp.resolve("documents.parquet").toString)
+    Seq(90L, 95L, 100L, 105L, 110L).zipWithIndex.foreach {
+      case (id, b) =>
+        StreamingOps.s18ProcessBatch(spark, work,
+          d.filter(col("doc_id") === id), b.toLong)
+    }
+    val names = work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    val relA = names.filter(_.startsWith("relabel-a"))
+      .map(_.stripPrefix("relabel-a").split("-")(0)).distinct
+    val relC = names.filter(_.startsWith("relabel-c"))
+    assert(relC.nonEmpty,
+      s"the replacement side must have folded at least once: " +
+        s"${names.toSeq}")
+    assert(relA.size + 1 <= 2,
+      s"relabel generations must stay bounded by the threshold: " +
+        s"${names.toSeq}")
+    assert(names.exists(_.startsWith("relabel-frf-")),
+      "the forget's own replacement generation never folds")
+    // the folded, replacement-active state still serves exactly the
+    // survivors-only rebuild — and every batch doc clustered under
+    // the replaced component's raised min
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.connectedComponentsOf(spark,
+      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") =!= 40L))
+        .select(col("band"), col("sig"), col("doc_id"))))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild)
+    val flags = spark.read
+      .parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(flags === Seq((90L, 50L), (95L, 50L), (100L, 50L),
+      (105L, 50L), (110L, 50L)), flags.toString)
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
