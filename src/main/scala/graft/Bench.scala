@@ -247,6 +247,12 @@ object Bench {
         (() => { graft.queries.MultimodalOps.stageMediaTombstones(spark, sfDir); () }),
       Set("v21_vector_forget") ->
         (() => { graft.queries.VectorOps.stageVectorForget(spark, sfDir); () }),
+      Set("m14_media_takedown_external") ->
+        (() => { graft.queries.MultimodalOps
+                   .stageMediaTakedownExternal(spark, sfDir); () }),
+      Set("v24_vector_takedown_external") ->
+        (() => { graft.queries.VectorOps
+                   .stageVectorTakedownExternal(spark, sfDir); () }),
       Set("v22_vector_ageoff") ->
         (() => { graft.queries.VectorOps.stageVectorAgeOff(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with

@@ -413,6 +413,50 @@ object MultimodalOps {
     DedupOps.applyTakedown(s, m11IndexPath(s, dir))(m11TakedownSet)
   }
 
+  // ---------------- m14: EXTERNAL takedown list on the media shelf
+  // (t39's input-relation shape — m11 derives its list index-side for
+  // fixture reproducibility; production's erasures arrive from a
+  // legal-hold queue as a staged relation)
+
+  private[graft] def m14IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("media_members_m14",
+      s"mediamembersm14:$dir@${DedupOps.pathFingerprint(s, s"$dir/documents.parquet")}")
+
+  /** m14: the staged t39 erasure relation (corpus-range multiples of
+    * 7, plus an absent id that must no-op and a repeated id that must
+    * be idempotent — the same staged list the band/cluster shelves
+    * erase, because an erasure request names DOCUMENTS, not shelves:
+    * one list fans out to every index holding the doc's derived
+    * state) applied to the media membership through the SHARED
+    * [[DedupOps.applyTakedown]], re-elected canons served. The
+    * payload bytes are never touched — the membership rows carry the
+    * hash, which is the point: honoring the erasure needs no decode.
+    * Oracle = the re-hash over docs not divisible by 7. */
+  def mediaTakedownExternal(s: SparkSession, dir: String): DataFrame = {
+    stageMediaTakedownExternal(s, dir)
+    DedupOps.aliveMembers(s, DedupOps.requireReady(m14IndexPath(s, dir)))
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+  }
+
+  /** m14's maintenance path alone (members copy + external-list
+    * takedown), exposed for the bench pre-stager. */
+  private[graft] def stageMediaTakedownExternal(s: SparkSession,
+      dir: String): Unit = {
+    val out = m14IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      mediaAhashOf(mediaTable(s, dir)
+          .select(col("doc_id"), col("payload")))
+        .select(col("ahash"), col("doc_id"))
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+    val ext = DedupOps.stageT39Erasures(s, dir)
+    DedupOps.applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
+      _ => s.read.parquet(ext.resolve("erasures").toString))
+  }
+
   /** m12's OWN membership copy (m11 holds the canon-takedown's
     * tombstones; gates never share a mutable artifact). `_HORIZONS`
     * persists the fixture's two retention cutoffs at build time —
@@ -575,7 +619,8 @@ object MultimodalOps {
     "m10_media_index_compact" -> (mediaIndexCompactServe _),
     "m11_media_tombstone_reelect" -> (mediaTombstoneReelect _),
     "m12_media_ageoff" -> (mediaAgeOff _),
-    "m13_media_time_ageoff" -> (mediaTimeAgeOff _))
+    "m13_media_time_ageoff" -> (mediaTimeAgeOff _),
+    "m14_media_takedown_external" -> (mediaTakedownExternal _))
 
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
@@ -637,6 +682,14 @@ object MultimodalOps {
          | GROUP BY ahash HAVING count(*) >= 2)
          |SELECT ahash, min(doc_id) AS canon
          |FROM a WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m14: the external list's effect on PRESENT docs only (absent
+    // ids no-op, duplicates idempotent) — the re-hash over docs not
+    // divisible by 7, t39's oracle rule on the media shelf
+    "m14_media_takedown_external" ->
+      s"""WITH $ahashCtes
+         |SELECT ahash, min(doc_id) AS canon
+         |FROM a WHERE doc_id % 7 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // m12: the re-hash over media above the SECOND horizon (the two
     // horizon advances compose; integer // matches the engine's Long

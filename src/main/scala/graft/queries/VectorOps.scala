@@ -970,6 +970,74 @@ object VectorOps {
     DedupOps.applyTakedown(s, v21IndexPath(s, dir))(v21ForgetSet)
   }
 
+  // ------------- v24: EXTERNAL takedown list on the vector shelf
+  // (t39's input-relation shape — v21's list is index-derived for
+  // fixture reproducibility; production's erasures arrive staged)
+
+  private[graft] def v24IndexPath(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    DedupOps.artifactDir("vec_members_v24",
+      s"vecmembersv24:$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}")
+
+  /** Stage v24's external erasure list over the EMBEDDINGS id range
+    * (the vector shelf's own id space): every in-range vec_id
+    * divisible by 7, plus an absent id (must no-op) and a repeated id
+    * (must be idempotent) — t39's exact edge set. Staged once per
+    * fingerprint; `Math.floorDiv` for the first multiple (the t39
+    * negative-lo lesson). */
+  private[graft] def stageV24Erasures(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val out = DedupOps.artifactDir("v24_erasures",
+      s"v24erasures:$dir@${DedupOps.pathFingerprint(s, s"$dir/embeddings.parquet")}")
+    DedupOps.ensureArtifact(out) {
+      val Array(lo, hi) = graft.Tables(s, dir, "embeddings")
+        .agg(min(col("vec_id")), max(col("vec_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val first = Math.floorDiv(lo + 6, 7) * 7
+      import s.implicits._
+      s.range(first, hi + 1, 7).select(col("id").as("vec_id"))
+        .unionAll(Seq(hi + 1000L, first).toDF("vec_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out.resolve("erasures").toString)
+    }
+    out
+  }
+
+  /** v24: the vector shelf's external-takedown verb — the staged
+    * erasure relation tombstones the membership inverted file through
+    * the SHARED [[DedupOps.applyTakedown]] (the assign relation is
+    * already unfolded, so deletion needs no new state — v21's
+    * invertible-for-free rule), and the kNN graph re-ranks over the
+    * survivors: a survivor whose top-3 neighbor was erased pulls up
+    * its next-best within-cell candidate from the existing
+    * row_number tail. Learned cells stay FROZEN (v20's rule: an
+    * erasure must not relearn the quantizer). Oracle = the v15 chain
+    * with the mod-7 survivors filtered AFTER the frozen full-corpus
+    * assignment — the engine's exact dataflow. */
+  def vectorTakedownExternal(s: SparkSession, dir: String): DataFrame = {
+    stageVectorTakedownExternal(s, dir)
+    knnDirectedTop3(DedupOps.cellBlockedPairs(
+      DedupOps.aliveMembers(s,
+        DedupOps.requireReady(v24IndexPath(s, dir)), idCol = "vec_id"),
+      DedupOps.NearDupCellCap))
+  }
+
+  /** v24's maintenance path alone, exposed for the bench
+    * pre-stager. */
+  private[graft] def stageVectorTakedownExternal(s: SparkSession,
+      dir: String): Unit = {
+    graft.functions.VectorDotProduct.register(s)
+    val out = v24IndexPath(s, dir)
+    DedupOps.ensureArtifact(out) {
+      val idx = DedupOps.buildNearDupIndex(s, dir)
+      s.read.parquet(s"$idx/assign")
+        .write.mode("overwrite").parquet(out.resolve("members").toString)
+    }
+    val ext = stageV24Erasures(s, dir)
+    DedupOps.applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
+      _ => s.read.parquet(ext.resolve("erasures").toString))
+  }
+
   /** v22's OWN members copy (v21 holds the erasure-batch tombstones;
     * gates never share a mutable artifact). `_HORIZONS` derives from
     * the assign relation's OWN vec_id bounds — fully index-local, the
@@ -1770,7 +1838,8 @@ object VectorOps {
     "v20_knn_delta_append" -> (knnGraphDeltaAppend _),
     "v21_vector_forget" -> (vectorForget _),
     "v22_vector_ageoff" -> (vectorAgeOff _),
-    "v23_vector_time_ageoff" -> (vectorTimeAgeOff _))
+    "v23_vector_time_ageoff" -> (vectorTimeAgeOff _),
+    "v24_vector_takedown_external" -> (vectorTakedownExternal _))
 
   val oracle: Map[String, String] = Map(
     "v8_cluster_prune" -> clusterPruneOracle,
@@ -1871,6 +1940,7 @@ object VectorOps {
     // a hash match proves no relearn happened on the delta
     "v20_knn_delta_append" -> knnDeltaOracle,
     "v21_vector_forget" -> v21ForgetOracle,
+    "v24_vector_takedown_external" -> v24TakedownOracle,
     "v22_vector_ageoff" -> v22AgeOffOracle,
     "v23_vector_time_ageoff" -> v23TimeAgeOffOracle,
     "v16_range_search" -> rangeSearchOracle)
@@ -1881,6 +1951,23 @@ object VectorOps {
     * the engine's exact dataflow. */
   private lazy val v21ForgetOracle: String =
     s"""${DedupOps.nearDupPairsCtesWhere(s"vec_id % $V21ForgetMod <> 0")},
+       |d AS (
+       | SELECT vec_a AS src, vec_b AS dst, cos FROM p
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst, cos FROM p),
+       |rr AS (
+       | SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       | FROM d)
+       |SELECT src, dst, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
+  /** v24's oracle: v21's shape with the survivor predicate the
+    * external list's complement (vec_id % 7 <> 0 — the absent and
+    * repeated ids are invisible by construction), applied AFTER the
+    * frozen full-corpus assignment. */
+  private lazy val v24TakedownOracle: String =
+    s"""${DedupOps.nearDupPairsCtesWhere("vec_id % 7 <> 0")},
        |d AS (
        | SELECT vec_a AS src, vec_b AS dst, cos FROM p
        | UNION ALL

@@ -427,6 +427,38 @@ class TombstoneSpec extends SparkSpec {
       idx.resolve("_INDEX_READY")), "UTF-8") === nonce0)
   }
 
+  test("m14/v24: the external list fans out to the media and vector shelves through the same shared mechanics") {
+    // one erasure request names DOCUMENTS; every shelf holding the
+    // doc's derived state honors it through applyTakedown. The media
+    // serve must equal the re-hash over surviving docs; the vector
+    // serve must equal the re-ranked graph over surviving members —
+    // both with the frozen-learned-state rule (no re-hash of
+    // survivors, no relearned cells).
+    val sf = "/root/testdata/sf0.001"
+    val m = MultimodalOps.mediaTakedownExternal(spark, sf)
+      .collect().map(_.toSeq.toVector).toSeq
+    val mRebuild = MultimodalOps.mediaAhashOf(
+        MultimodalOps.mediaTable(spark, sf)
+          .select(col("doc_id"), col("payload"))
+          .filter(col("doc_id") % 7L =!= 0L))
+      .groupBy(col("ahash")).agg(min(col("doc_id")).as("canon"))
+      .orderBy(col("ahash"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(m === mRebuild)
+    // the staged vector list carries the t39 edges (absent + repeat)
+    val ext = VectorOps.stageV24Erasures(spark, sf)
+    val ids = spark.read.parquet(ext.resolve("erasures").toString)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.count(_ == ids.min) === 2, s"repeated id missing: $ids")
+    assert(ids.max > ids.sorted.dropRight(1).last + 900,
+      s"absent id missing: ${ids.max}")
+    val v = VectorOps.vectorTakedownExternal(spark, sf).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(r => r.getAs[Long]("src") % 7L != 0L &&
+      r.getAs[Long]("dst") % 7L != 0L),
+      "no erased vector may appear on either side of a served edge")
+  }
+
   test("v22 age-off on the vector shelf: frozen cells, per-horizon tombstones, re-rank over survivors") {
     val dir = "/root/testdata/sf0.001"
     // fingerprint-keyed artifact persists across runs — fresh lifecycle
