@@ -1511,23 +1511,19 @@ object DedupOps {
   // log) × t43's component re-derivation
 
   /** FORGET an externally-supplied id RELATION from the cluster
-    * index. The generation tag is the md5 fingerprint of the SORTED
-    * id list (the q44/s16 compliance rule: a second DIFFERENT list
-    * lands beside the first instead of short-circuiting on a shared
-    * marker — a silent no-op on a new erasure request would be a
-    * compliance failure; re-submitting the SAME list stays a marker
-    * no-op). One aggregation computes the fingerprint — O(list),
-    * the cost of reading the request at all; erasure lists are
-    * bounded by request volume, never corpus-sized. Absent ids
+    * index. The generation tag is the [[erasureFingerprint]] of the
+    * SORTED DISTINCT id list (the q44/s16 compliance rule: a second
+    * DIFFERENT list lands beside the first instead of
+    * short-circuiting on a shared marker — a silent no-op on a new
+    * erasure request would be a compliance failure; re-submitting a
+    * semantically equal list — byte-identical or differing only in
+    * duplicate multiplicity — stays a marker no-op). Absent ids
     * no-op and repeated ids are idempotent by anti-join/semi-join
     * construction (t39's edge semantics, pinned in
     * CcIncrementalSpec). */
   private[graft] def t43ForgetExternal(s: SparkSession,
       out: java.nio.file.Path, ids: DataFrame): Unit = {
-    val tag = ids.select(col("doc_id"))
-      .agg(md5(concat_ws(",",
-        sort_array(collect_list(col("doc_id"))))).as("fp"))
-      .head().getString(0).take(12)
+    val tag = erasureFingerprint(ids)
     t43Forget(s, out, ids.select(col("doc_id")).distinct(), s"x$tag")
   }
 
@@ -2171,6 +2167,45 @@ object DedupOps {
   private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit =
     applyTakedown(s, t37IndexPath(s, dir))(t37TakedownSet)
 
+  /** Sorted-DISTINCT-id md5 fingerprint of an erasure request — the
+    * compliance key shared by every external-list verb (the q44/s16
+    * rule): the tag derives from WHAT is being erased, so a second
+    * DIFFERENT list lands beside the first while a re-submitted list
+    * — byte-identical OR differing only in duplicate multiplicity,
+    * semantically the same request — shares the tag and stays a
+    * marker no-op. One O(list) aggregation, the cost of reading the
+    * request at all; erasure lists are bounded by request volume,
+    * never corpus-sized. */
+  private[graft] def erasureFingerprint(ids: DataFrame,
+      idCol: String = "doc_id"): String =
+    ids.select(col(idCol)).distinct()
+      .agg(md5(concat_ws(",",
+        sort_array(collect_list(col(idCol))))).as("fp"))
+      .head().getString(0).take(12)
+
+  /** EXTERNAL-list takedown, fingerprint-keyed — the ONE shared verb
+    * behind t39 (band), m14 (media), and v24 (vector): tombstone the
+    * externally-supplied ids through [[applyTakedown]] with
+    * `gen`/`marker` derived from the list's [[erasureFingerprint]].
+    * A fixed marker here would silently no-op the SECOND, different
+    * erasure list the artifact ever receives — the exact compliance
+    * failure the fingerprint rule exists to prevent (production's
+    * shape is a legal-hold queue delivering a new list nightly) —
+    * and two lists landing under one fixed gen would collide on the
+    * `delete-<gen>-NNN` filenames. The distinct() also deduplicates
+    * the tombstone rows themselves (the serve's anti-join is already
+    * idempotent on repeats; smaller tombstones are free). Pinned in
+    * TombstoneSpec: second-different-list lands, re-submitted list
+    * no-ops, on all three shelves. */
+  private[graft] def applyTakedownExternal(s: SparkSession,
+      out: java.nio.file.Path, ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val tag = erasureFingerprint(ids, idCol)
+    applyTakedown(s, out, gen = s"x$tag",
+      marker = s"_TAKEDOWN_X$tag")(
+      _ => ids.select(col(idCol)).distinct())
+  }
+
   /** The tombstone-aware membership read, shared by the deletable
     * families' serves: anti-join the tombstones on `idCol` when a
     * delete generation exists — a compacted (or never-deleted-from)
@@ -2460,8 +2495,8 @@ object DedupOps {
     val out = t39IndexPath(s, dir)
     buildMembersIndexAt(s, dir, out)
     val ext = stageT39Erasures(s, dir)
-    applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
-      _ => s.read.parquet(ext.resolve("erasures").toString))
+    applyTakedownExternal(s, out,
+      s.read.parquet(ext.resolve("erasures").toString))
     aliveMembers(s, requireReady(out))
       .groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("canon"))

@@ -453,8 +453,8 @@ object MultimodalOps {
         .write.mode("overwrite").parquet(out.resolve("members").toString)
     }
     val ext = DedupOps.stageT39Erasures(s, dir)
-    DedupOps.applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
-      _ => s.read.parquet(ext.resolve("erasures").toString))
+    DedupOps.applyTakedownExternal(s, out,
+      s.read.parquet(ext.resolve("erasures").toString))
   }
 
   /** m12's OWN membership copy (m11 holds the canon-takedown's

@@ -865,7 +865,12 @@ object StreamingOps {
     * plain rows fold, the read's anti-join against `relabel_nodes`
     * commutes with the per-key min. A relation with zero fenced files
     * (a base whose labels write emitted no part file) skips its fold
-    * dir — the commit tolerates the absence. */
+    * dir — the commit tolerates the absence. Every skipped fold dir
+    * is DELETED if present: a crash after a prior attempt's temp
+    * write but before its `_FOLD` marker leaves unmarked debris, and
+    * a later fold that skips the rewrite must not let the commit copy
+    * a STALE temp in under the new cut (rows the old attempt folded
+    * may since have been retired). */
   private def streamFoldPhaseA(s: SparkSession,
       work: java.nio.file.Path, fencedCut: Long,
       folds: Seq[(String, DataFrame => DataFrame)]): Unit = {
@@ -878,6 +883,9 @@ object StreamingOps {
         fold(s.read.parquet(files: _*))
           .write.mode("overwrite")
           .parquet(work.resolve(s"${rel}_fold").toString)
+      else
+        DedupOps.deleteRecursively(
+          work.resolve(s"${rel}_fold").toFile)
     }
     Files.write(work.resolve("_FOLD"),
       fencedCut.toString.getBytes("UTF-8"))
@@ -943,7 +951,14 @@ object StreamingOps {
     * min-folds per node, so folding a SUBSET commutes). `relabel-f*`
     * and `relabel_nodes` stay untouched — the prefer-replacement
     * read is byte-exact across the fold. The shared phase A writes
-    * the `_FOLD` intent marker LAST, covering both sides' commit. */
+    * the `_FOLD` intent marker LAST, covering both sides' commit.
+    * When the replacement side does NOT fold (≤ 1 generation fenced
+    * — e.g. a t44Compact retired the replacement since the last
+    * attempt), any pre-existing `labels_relfold` is a crashed
+    * PRE-marker attempt's unmarked debris and is DELETED here:
+    * letting the commit copy it in as `relabel-c<newCut>` would
+    * resurrect retired relabel rows with `relabel_nodes` gone —
+    * the prefer-replacement read would then misread. */
   private[graft] def s18FoldPhaseA(s: SparkSession,
       work: java.nio.file.Path, fencedCut: Long): Unit = {
     if (s18RelabelGenCount(work, fencedCut) > 1)
@@ -951,6 +966,9 @@ object StreamingOps {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .write.mode("overwrite")
         .parquet(work.resolve("labels_relfold").toString)
+    else
+      DedupOps.deleteRecursively(
+        work.resolve("labels_relfold").toFile)
     streamFoldPhaseA(s, work, fencedCut, Seq(
       "labels" -> (df => df.groupBy(col("node"))
         .agg(min(col("label")).as("label"))),

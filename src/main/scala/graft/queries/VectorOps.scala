@@ -1034,8 +1034,9 @@ object VectorOps {
         .write.mode("overwrite").parquet(out.resolve("members").toString)
     }
     val ext = stageV24Erasures(s, dir)
-    DedupOps.applyTakedown(s, out, gen = "ext", marker = "_TAKEDOWN_EXT")(
-      _ => s.read.parquet(ext.resolve("erasures").toString))
+    DedupOps.applyTakedownExternal(s, out,
+      s.read.parquet(ext.resolve("erasures").toString),
+      idCol = "vec_id")
   }
 
   /** v22's OWN members copy (v21 holds the erasure-batch tombstones;

@@ -310,6 +310,16 @@ class CcIncrementalSpec extends SparkSpec {
     assert(out.resolve("labels").toFile.listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
       names0)
+    // …and so is a semantically equal list that differs only in
+    // duplicate MULTIPLICITY (the fingerprint is over the distinct
+    // sorted ids): with the replacement still active, a new
+    // fingerprint would fail loudly with 'compact first' — a
+    // re-submission must never do that
+    DedupOps.t43ForgetExternal(spark, out,
+      Seq(100L, 999L, 999L, 999L).toDF("doc_id"))
+    assert(out.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq ===
+      names0)
     // a second DIFFERENT list must LAND (the q44/s16 compliance rule:
     // a shared marker would silently drop a new erasure request) —
     // after the compaction the refusal discipline demands

@@ -959,6 +959,71 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("s18 fold: unmarked relfold debris from a pre-marker crash never resurrects a retired replacement") {
+    // crash AFTER a prior fold attempt wrote labels_relfold but
+    // BEFORE its _FOLD marker: the temp is unmarked debris. A
+    // t44Compact then retires the replacement (relabel_nodes gone).
+    // A later PLAIN-side fold skips the relabel rewrite (≤ 1
+    // generation fenced) — it must DELETE the stale temp, not let
+    // the commit copy it in as relabel-c<newCut>, which would
+    // resurrect retired relabel rows with no relabel_nodes to scope
+    // the prefer-replacement read.
+    val tD = "crimson lanterns drift over quiet harbors"
+    val tE = "winter rivers freeze under pale skies"
+    val tF = "granite towers guard the sleeping canyon"
+    val tmp = java.nio.file.Files.createTempDirectory("s18dbr_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    // hi = 99 → the working copy's base cut (lo+hi)/2 = 50 covers
+    // BOTH base clusters {1,2} and {10,11,12}; 99 is the unstreamed
+    // tail (never absorbed — only there to place the cut)
+    Seq((1L, tD), (2L, tD), (10L, tE), (11L, tE), (12L, tE), (99L, tF))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString, "s18dbr")
+    DedupOps.t43Forget(spark, work, Seq(10L).toDF("doc_id"), "dbr")
+    // the pre-marker crash debris: a relfold temp whose rows map the
+    // replaced component to a label that t44Compact is about to
+    // retire (11/12 → the pre-forget min 10 — exactly what a stale
+    // fold over since-retired relabel-a rows would have materialized)
+    Seq((11L, 10L), (12L, 10L)).toDF("node", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(work.resolve("labels_relfold").toString)
+    assert(DedupOps.t44Compact(spark, work),
+      "the compaction must retire the active replacement")
+    assert(!java.nio.file.Files.exists(work.resolve("relabel_nodes")))
+    // the later plain-side fold: relabel side has nothing fenced —
+    // phase A must clear the debris, the commit must copy nothing in
+    StreamingOps.s18FoldPhaseA(spark, work, 999L)
+    assert(!java.nio.file.Files.exists(work.resolve("labels_relfold")),
+      "phase A must delete a relfold temp it did not rewrite")
+    StreamingOps.s18FoldCommit(spark, work, 999L)
+    val names = work.resolve("labels").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(!names.exists(_.startsWith("relabel-")),
+      s"no retired relabel row may come back: $names")
+    // the serve still equals the survivors-only rebuild over the
+    // ABSORBED tranche (doc_id ≤ the working copy's cut, minus the
+    // forgotten 10): the retired replacement's component re-derives
+    // under its raised min 11, never under the debris's stale 10
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.connectedComponentsOf(spark,
+      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") <= 50L && col("doc_id") =!= 10L))
+        .select(col("band"), col("sig"), col("doc_id"))))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild)
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)

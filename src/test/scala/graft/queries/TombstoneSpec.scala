@@ -510,4 +510,69 @@ class TombstoneSpec extends SparkSpec {
     assert(recovered === first)
     assert(Files.size(marker) > 0, "recovery must re-stamp a fresh nonce")
   }
+
+  test("external-list markers are fingerprint-keyed: a second DIFFERENT list lands, a re-submitted list no-ops at any multiplicity") {
+    // the compliance rule (q44/s16/t46) on the tombstone shelves:
+    // gen/marker derive from the erasure list's sorted-DISTINCT-id
+    // md5, so a legal-hold queue's SECOND, different list lands
+    // beside the first — the fixed-_TAKEDOWN_EXT shape would silently
+    // no-op it — while a re-submitted request (byte-identical OR
+    // differing only in duplicate multiplicity) short-circuits.
+    val dir = craft() // twins {1, 100}; singletons {2}, {150}
+    import spark.implicits._
+    val out = DedupOps.t39IndexPath(spark, dir)
+    DedupOps.buildMembersIndexAt(spark, dir, out)
+    def canons: Seq[Long] = DedupOps.aliveMembers(
+        spark, DedupOps.requireReady(out))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("canon"))
+      .select(col("canon")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    DedupOps.applyTakedownExternal(spark, out, Seq(1L).toDF("doc_id"))
+    assert(canons === Seq(2L, 100L, 150L), "canon 1 erased → re-elect 100")
+    // the second, DIFFERENT list must LAND (999 is absent → no-ops)
+    DedupOps.applyTakedownExternal(spark, out,
+      Seq(100L, 999L).toDF("doc_id"))
+    assert(canons === Seq(2L, 150L),
+      "a new erasure list must take effect, never share a marker")
+    // two fingerprint markers + two tombstone generations on disk —
+    // distinct gens also means no delete-* filename collision
+    val markers = out.toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("_TAKEDOWN_X")).sorted.toSeq
+    assert(markers.size === 2 && markers.distinct.size === 2, markers)
+    val gens = out.resolve("tombstones").toFile.listFiles()
+      .map(_.getName.split("-")(1)).distinct.toSeq
+    assert(gens.size === 2, gens)
+    // re-submission at a different duplicate multiplicity is the SAME
+    // request: marker no-op (nonce untouched, no third generation)
+    val nonce0 = new String(Files.readAllBytes(
+      out.resolve("_INDEX_READY")), "UTF-8")
+    DedupOps.applyTakedownExternal(spark, out,
+      Seq(100L, 100L, 999L, 999L, 999L).toDF("doc_id"))
+    assert(new String(Files.readAllBytes(
+      out.resolve("_INDEX_READY")), "UTF-8") === nonce0)
+    assert(out.resolve("tombstones").toFile.listFiles()
+      .map(_.getName.split("-")(1)).distinct.toSeq.size === 2)
+    assert(canons === Seq(2L, 150L))
+  }
+
+  test("m14/v24 route through the shared fingerprint-keyed takedown (no fixed marker on any shelf)") {
+    // the gate fixtures stage one deterministic list per artifact —
+    // the pin here is the marker SHAPE on the real gate artifacts:
+    // both shelves' markers carry the staged list's fingerprint, so
+    // the second-different-list behavior pinned above holds for them
+    // by construction (one shared verb, zero shelf-specific code).
+    val sf = "/root/testdata/sf0.001"
+    MultimodalOps.stageMediaTakedownExternal(spark, sf)
+    val mTag = DedupOps.erasureFingerprint(spark.read.parquet(
+      DedupOps.stageT39Erasures(spark, sf).resolve("erasures").toString))
+    assert(Files.exists(MultimodalOps.m14IndexPath(spark, sf)
+      .resolve(s"_TAKEDOWN_X$mTag")))
+    VectorOps.stageVectorTakedownExternal(spark, sf)
+    val vTag = DedupOps.erasureFingerprint(spark.read.parquet(
+      VectorOps.stageV24Erasures(spark, sf).resolve("erasures").toString),
+      idCol = "vec_id")
+    assert(Files.exists(VectorOps.v24IndexPath(spark, sf)
+      .resolve(s"_TAKEDOWN_X$vTag")))
+  }
 }
