@@ -254,7 +254,13 @@ object Bench {
         (() => { graft.queries.VectorOps
                    .stageVectorTakedownExternal(spark, sfDir); () }),
       Set("v22_vector_ageoff") ->
-        (() => { graft.queries.VectorOps.stageVectorAgeOff(spark, sfDir); () }))
+        (() => { graft.queries.VectorOps.stageVectorAgeOff(spark, sfDir); () }),
+      // t47's four maintenance legs (build + fingerprint-keyed
+      // takedown per shelf) run eagerly inside the call; the returned
+      // summary plan stays lazy, so this stages without serving —
+      // the timed reps then measure the four O(index) summary aggs
+      Set("t47_takedown_fanout") ->
+        (() => { graft.queries.DedupOps.takedownFanout(spark, sfDir); () }))
     // Note: some stagers intentionally warm session memos shared with
     // in-query operators (buildNearDupIndex populates t9/v15's
     // centroid memo, buildCcIndex populates t13's label memo) — that

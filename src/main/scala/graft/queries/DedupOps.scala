@@ -1546,6 +1546,71 @@ object DedupOps {
     ccClustersOfFolded(s, out)
   }
 
+  // ------------ t47: ONE erasure request fans out to EVERY shelf
+
+  /** t47: the cross-shelf erasure FAN-OUT — the production contract
+    * each single-shelf verb's Scaladoc states ("an erasure request
+    * names DOCUMENTS; every index holding the doc's derived state
+    * honors it") exercised as ONE call: the SAME staged t39 list
+    * routed through the band membership (t39's artifact and verb),
+    * the media membership (m14's), the cluster index (t46's
+    * component re-derivation), and a sum-shelf partials family of
+    * t47's own (q44's verb — the listed ids erased as principals;
+    * q44's gate artifact stays untouched so its fixture holds), then
+    * ONE per-shelf survivor summary served: `(shelf, n_groups,
+    * n_rows, checksum)` where checksum is the surviving id sum on
+    * the membership shelves and the integer-cent value sum on the
+    * sum shelf. This is the audit a real compliance pipeline runs
+    * nightly — same list ⇒ same surviving doc set on every
+    * membership shelf (set equality pinned in TombstoneSpec) and no
+    * listed principal contributing to any served aggregate. The
+    * fan-out adds ZERO deletion code: each leg is the shelf's
+    * existing fingerprint-keyed takedown, so re-running it — or
+    * running it beside the single-shelf gates on the same artifacts
+    * — is a per-shelf marker no-op, and the summaries are one
+    * O(index) aggregation per shelf (the corpus never rejoins any
+    * steady-state read). */
+  def takedownFanout(s: SparkSession, dir: String): DataFrame = {
+    val ext = stageT39Erasures(s, dir)
+    val list = s.read.parquet(ext.resolve("erasures").toString)
+    val band = t39IndexPath(s, dir)
+    buildMembersIndexAt(s, dir, band)
+    applyTakedownExternal(s, band, list)
+    MultimodalOps.stageMediaTakedownExternal(s, dir)
+    buildT42Index(s, dir, "t46")
+    t42Append(s, dir, "t46")
+    val cc = requireReady(t42IndexPath(s, dir, "t46"))
+    t43ForgetExternal(s, cc, list)
+    val summed = Relational.fanoutSumTakedown(s, dir, list)
+    val bandSum = aliveMembers(s, requireReady(band)).agg(
+        countDistinct(col("band"), col("sig")).as("n_groups"),
+        count(lit(1)).as("n_rows"),
+        sum_distinct(col("doc_id")).as("checksum"))
+      .select(lit("band").as("shelf"), col("n_groups"),
+        col("n_rows"), col("checksum"))
+    val ccSum = ccClustersOfFolded(s, cc).agg(
+        countDistinct(col("cluster_id")).as("n_groups"),
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("checksum"))
+      .select(lit("cluster").as("shelf"), col("n_groups"),
+        col("n_rows"), col("checksum"))
+    val mediaSum = aliveMembers(s,
+        requireReady(MultimodalOps.m14IndexPath(s, dir))).agg(
+        countDistinct(col("ahash")).as("n_groups"),
+        count(lit(1)).as("n_rows"),
+        sum_distinct(col("doc_id")).as("checksum"))
+      .select(lit("media").as("shelf"), col("n_groups"),
+        col("n_rows"), col("checksum"))
+    val sumSum = summed.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_events")).as("n_rows"),
+        sum(round(col("sum_value") * 100).cast("long")).as("checksum"))
+      .select(lit("sum").as("shelf"), col("n_groups"),
+        col("n_rows"), col("checksum"))
+    bandSum.unionAll(ccSum).unionAll(mediaSum).unionAll(sumSum)
+      .orderBy(col("shelf"))
+  }
+
   // ---------------------------------- t34: incremental (delta) dedup
 
   /** Where the persisted LSH BAND index for `dir`'s BASE tranche
@@ -3086,6 +3151,7 @@ object DedupOps {
     "t41_time_ageoff" -> (indexTimeAgeOff _),
     "t45_cc_time_ageoff" -> (ccTimeAgeOff _),
     "t46_cc_takedown_external" -> (ccTakedownExternal _),
+    "t47_takedown_fanout" -> (takedownFanout _),
     "t23_sketch_audit" -> (sketchAudit _),
     "t29_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -3630,6 +3696,59 @@ object DedupOps {
     // invisible to the oracle by construction)
     "t46_cc_takedown_external" -> bucketSurvivorClusterOracle(
       "{ID} % 7 <> 0"),
+    // t47: the cross-shelf fan-out audit — one row per shelf, each a
+    // survivor summary of the SAME staged list's effect: band/media =
+    // the membership relations minus listed docs, cluster = the
+    // recursive closure over surviving docs (t46's CTEs), sum = q33's
+    // statistics over events whose user_id is not a listed id (the
+    // list reproduced exactly: in-doc-range multiples of 7 plus the
+    // absent hi+1000, which must no-op on every shelf INCLUDING the
+    // events dimension — hence the explicit elist, not a bare mod)
+    "t47_takedown_fanout" ->
+      s"""WITH RECURSIVE $bandsCtesMaterialized,
+         |${MultimodalOps.ahashCtes},
+         |${bucketCcClosureCtes("", "{ID} % 7 <> 0")},
+         |esumb AS (
+         | SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |elist AS (
+         | SELECT CAST(g.x AS BIGINT) AS user_id
+         | FROM esumb b,
+         |   unnest(generate_series(((b.lo + 6) // 7) * 7, b.hi, 7)) AS g(x)
+         | UNION ALL SELECT b.hi + 1000 FROM esumb b),
+         |sumsurv AS (
+         | SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS pn
+         | FROM events e
+         | WHERE e.user_id NOT IN (SELECT user_id FROM elist)
+         | GROUP BY 1)
+         |SELECT * FROM (
+         | SELECT 'band' AS shelf,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT band, sig FROM bands
+         |     WHERE doc_id % 7 <> 0)) AS n_groups,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bands
+         |   WHERE doc_id % 7 <> 0) AS n_rows,
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM
+         |    (SELECT DISTINCT doc_id FROM bands
+         |     WHERE doc_id % 7 <> 0)) AS checksum
+         | UNION ALL
+         | SELECT 'cluster',
+         |  (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM bcc),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bcc),
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM bcc)
+         | UNION ALL
+         | SELECT 'media',
+         |  (SELECT CAST(count(DISTINCT ahash) AS BIGINT) FROM a
+         |   WHERE doc_id % 7 <> 0),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a WHERE doc_id % 7 <> 0),
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM a
+         |   WHERE doc_id % 7 <> 0)
+         | UNION ALL
+         | SELECT 'sum',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sumsurv),
+         |  (SELECT CAST(sum(n_events) AS BIGINT) FROM sumsurv),
+         |  (SELECT CAST(sum(pn) AS BIGINT) FROM sumsurv))
+         |ORDER BY shelf""".stripMargin,
     // delta docs flagged against the BASE tranche's buckets only; no
     // bucket cap CTEs — the probe join generates no pairs
     "t34_incremental_dedup" -> t34Oracle,

@@ -625,7 +625,7 @@ object MultimodalOps {
   /** m5/m6 shared oracle prefix: the 64-bit average hash per payload,
     * ending at `a(doc_id, ahash)` — bit 63 of the BIGINT is the sign
     * bit (v6's formulation). */
-  private lazy val ahashCtes: String =
+  private[queries] lazy val ahashCtes: String =
     s"""h AS (
        | SELECT doc_id, repeat(md5(text), $PayloadRepeats) AS hx FROM documents),
        |px AS (

@@ -1793,8 +1793,9 @@ object Relational {
     * the same living aggregate) lands as its own generation under its
     * own tag, and so the spec can pin that composition. */
   private[graft] def q44Erase(s: SparkSession, dir: String,
-      erasures: DataFrame, tag: String): Unit = {
-    val out = q44RwPath(s, dir)
+      erasures: DataFrame, tag: String,
+      fam: String = "q44agg"): Unit = {
+    val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve(s"_ERASED_$tag")
       if (!java.nio.file.Files.exists(marker)) {
@@ -1814,6 +1815,27 @@ object Relational {
           }, expectedCut = cut)
       }
     } }
+  }
+
+  /** The sum-shelf leg of the t47 cross-shelf fan-out: the SAME doc
+    * list every membership shelf erases, applied as erased PRINCIPALS
+    * (user ids) to t47's OWN partials family — the q44 gate's
+    * artifact stays untouched so its single-list fixture holds. The
+    * verb is [[q44Erase]] unchanged (fingerprint-keyed marker, one
+    * broadcast-semi corpus scan per list, `retractx*` generation);
+    * the serve is the netted merge with q39's ghost-key filter. */
+  private[queries] def fanoutSumTakedown(s: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
+    buildRwPartials(s, dir, "t47agg")(q33Partial)
+    appendPartials(s, dir, "t47agg")(q33Partial)
+    val erasures = ids.select(col("doc_id").as("user_id"))
+    q44Erase(s, dir, erasures,
+      DedupOps.erasureFingerprint(erasures, idCol = "user_id"),
+      fam = "t47agg")
+    q33Merge(s.read.parquet(
+      DedupOps.requireReady(rwPartialsPath(s, dir, "t47agg"))
+        .resolve("partials").toString))
+      .filter(col("n_events") > 0)
   }
 
   private[graft] def q44Takedown(s: SparkSession, dir: String): Unit = {

@@ -575,4 +575,52 @@ class TombstoneSpec extends SparkSpec {
     assert(Files.exists(VectorOps.v24IndexPath(spark, sf)
       .resolve(s"_TAKEDOWN_X$vTag")))
   }
+
+  test("t47 fan-out: one erasure list yields ONE surviving doc set across every shelf holding doc state") {
+    // the cross-shelf consistency a compliance pipeline is audited
+    // on: after the fan-out, the band and media membership shelves
+    // serve EXACTLY the same surviving doc set (corpus minus the
+    // present listed ids), the cluster shelf serves a subset of it
+    // (clustered survivors — singletons carry no rows by t13's rule)
+    // with no listed id, and the sum shelf's aggregate equals the
+    // recomputation over the surviving principals' events.
+    val sf = "/root/testdata/sf0.001"
+    DedupOps.takedownFanout(spark, sf).collect()
+    val listDf = spark.read.parquet(
+      DedupOps.stageT39Erasures(spark, sf).resolve("erasures").toString)
+    val listed = listDf.collect().map(_.getAs[Long]("doc_id")).toSet
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
+    val expected =
+      ids(Tables(spark, sf, "documents"), "doc_id") -- listed
+    val band = ids(DedupOps.aliveMembers(spark,
+      DedupOps.requireReady(DedupOps.t39IndexPath(spark, sf))), "doc_id")
+    val media = ids(DedupOps.aliveMembers(spark,
+      DedupOps.requireReady(MultimodalOps.m14IndexPath(spark, sf))),
+      "doc_id")
+    assert(band === expected, "band shelf must serve corpus minus listed")
+    assert(media === band, "media and band shelves must agree exactly")
+    val cluster = ids(DedupOps.ccClustersOfFolded(spark,
+      DedupOps.requireReady(DedupOps.t42IndexPath(spark, sf, "t46"))),
+      "doc_id")
+    assert(cluster.subsetOf(expected) &&
+      cluster.intersect(listed).isEmpty,
+      "the cluster shelf must serve only surviving docs")
+    // sum shelf: the served aggregate ≡ the rebuild over events whose
+    // principal survives (same list, applied as user ids)
+    val served = Relational.fanoutSumTakedown(spark, sf, listDf)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuilt = Tables(spark, sf, "events")
+      .join(listDf.select(col("doc_id").as("user_id")),
+        Seq("user_id"), "left_anti")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("cents")).cast("double") / 100d, 2).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(served === rebuilt,
+      "no listed principal may contribute to the served aggregate")
+  }
 }
