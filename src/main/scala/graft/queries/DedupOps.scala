@@ -969,7 +969,7 @@ object DedupOps {
     * `_CUT` persists the watermark so no serve re-scans the corpus
     * for bounds. Idempotent under the nonce-marker contract. */
   private[graft] def buildT42Index(s: SparkSession, dir: String,
-      fam: String = "t42"): java.nio.file.Path = {
+      fam: String = "t42", withTs: Boolean = false): java.nio.file.Path = {
     val out = t42IndexPath(s, dir, fam)
     ensureArtifact(out) {
       val d = docs(s, dir)
@@ -977,8 +977,12 @@ object DedupOps {
       val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val cut = (lo + hi) / 2
-      bandedSignaturesOf(d.filter(col("doc_id") <= cut))
+      val m0 = bandedSignaturesOf(d.filter(col("doc_id") <= cut))
         .select(col("band"), col("sig"), col("doc_id"))
+      // an event-time-governed index (s20's retention) carries the
+      // derived ingest time in its members from the start (t45's
+      // layout at t42's cut)
+      (if (withTs) m0.withColumn("ingest_ts", expr(t41IngestTs)) else m0)
         .write.mode("overwrite").parquet(out.resolve("members").toString)
       ccConvergedLabelsDf(s, bucketStarEdges(
           s.read.parquet(out.resolve("members").toString)), null)
@@ -1161,7 +1165,18 @@ object DedupOps {
         val tmpR = out.resolve("labels_append_rel")
         if (hasRel) genRel.write.mode("overwrite").parquet(tmpR.toString)
         val tmpM = out.resolve("members_append")
-        dm.write.mode("overwrite").parquet(tmpM.toString)
+        // an event-time-governed artifact (t45/s20) carries ingest_ts
+        // in EVERY members generation: appended rows derive it by the
+        // same rule, keeping the relation schema-uniform so a later
+        // horizon advance evaluates batch-absorbed docs too (a
+        // ts-less append would hide its docs from the expiry
+        // predicate and poison mixed-schema reads)
+        val dmOut =
+          if (s.read.parquet(out.resolve("members").toString)
+              .schema.fieldNames.contains("ingest_ts"))
+            dm.withColumn("ingest_ts", expr(t41IngestTs))
+          else dm
+        dmOut.write.mode("overwrite").parquet(tmpM.toString)
         def moveGen(src: java.nio.file.Path, dst: java.nio.file.Path,
             prefix: String): Unit = {
           Option(dst.toFile.listFiles()).foreach(

@@ -1395,8 +1395,8 @@ object StreamingOps {
     * keys the pristine base per GATE (s18 maintenance / s19
     * retention) — order-independence again. */
   private[graft] def s18WorkingCopy(s: SparkSession, dir: String,
-      fam: String = "s18"): java.nio.file.Path = {
-    val base = DedupOps.buildT42Index(s, dir, fam)
+      fam: String = "s18", withTs: Boolean = false): java.nio.file.Path = {
+    val base = DedupOps.buildT42Index(s, dir, fam, withTs)
     DedupOps.requireReady(base)
     val work = Files.createTempDirectory("s18_work_")
     Seq("labels", "members").foreach { rel =>
@@ -1600,6 +1600,60 @@ object StreamingOps {
         .orderBy(col("doc_id"))
     }
 
+  // ------------- s20: EVENT-TIME retention on the cluster stream —
+  // s19's composition with t41's horizon form, the remaining
+  // policy-shape × streaming cell
+
+  private val s20EntryLock = new Object
+  private[graft] val lastS20Work =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  /** s20: s19's mid-stream retention advance with the horizon in
+    * EVENT TIME over the members relation's own persisted
+    * `ingest_ts` — the non-contiguous-in-id-space case an id-span
+    * predicate cannot express (t41's rule, composed onto the
+    * streamed cluster index). The working copy builds with the
+    * derived ingest time in its base members (t45's layout at t42's
+    * cut) and the absorb keeps EVERY appended generation
+    * schema-uniform by deriving the same column, so the advance —
+    * [[DedupOps.t45AgeOff]] at its DEFAULT `tsCol = "ingest_ts"`,
+    * the constant policy horizon `T41H1` (no bounds scan on either
+    * side) — expires an interleaved subset of base AND tranche-1
+    * docs alike. Everything else is s19 verbatim: fence and `_CUT`
+    * untouched by the advance, later batches probe `aliveMembers` +
+    * replacement-aware labels, emitted assignments stand, the
+    * fenced fold runs with the active replacement. Oracle = s18's
+    * three closures with the post-advance states restricted to
+    * survivors — here `{ID} > c1 OR derived_ts({ID}) > H1` (docs
+    * absorbed after the advance were never subject to it; expired
+    * docs are those at or below tranche 1's cut whose derived time
+    * lags the horizon). Interleaved expired/surviving, raised-canon
+    * re-election, and flags-stand pinned on a crafted corpus in
+    * StreamingGateSpec. */
+  def streamedClusterRetentionEventTime(s: SparkSession, dir: String)
+      : DataFrame =
+    s20EntryLock.synchronized {
+      val staged = stageS16Tail(s, dir)
+      val work = s18WorkingCopy(s, dir, "s20", withTs = true)
+      val ck = work.resolve("ckpt").toString
+      s18RunStream(s, work, staged, "t-000.parquet", ck)
+      // the event-time advance between batches, at the stream's own
+      // state-partition count (the forget's relations are
+      // micro-batch-sized — s19's call)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("graft.stream.statePartitions", "8"))
+        DedupOps.t45AgeOff(s, work, DedupOps.T41H1)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s18RunStream(s, work, staged, "t-*.parquet", ck)
+      val old = lastS20Work.getAndSet(work)
+      if (old != null && old != work)
+        DedupOps.deleteRecursively(old.toFile)
+      s.read.parquet(work.resolve("flags").toString + "/b*")
+        .orderBy(col("doc_id"))
+    }
+
   /** s7: EXACTLY-ONCE ingest from at-least-once delivery — the
     * contract every real event pipeline needs at the front door. The
     * fixture is deliberately delivered TWICE (a union of two file
@@ -1726,7 +1780,9 @@ object StreamingOps {
     "s16_stream_writeback" -> (streamedIndexWriteback _),
     "s17_stream_retention" -> (streamedRetention _),
     "s18_stream_clusters" -> (streamedClusterMaintenance _),
-    "s19_stream_cluster_retention" -> (streamedClusterRetention _))
+    "s19_stream_cluster_retention" -> (streamedClusterRetention _),
+    "s20_stream_event_retention" ->
+      (streamedClusterRetentionEventTime _))
 
   /** Shared by s1 and s10: both finish at the full tumbling
     * aggregation — s1 in one uninterrupted run, s10 across a
@@ -1885,6 +1941,39 @@ object StreamingOps {
             "{ID} <= (SELECT c2 FROM cuts) AND {ID} > (SELECT h FROM cuts)")},
          |${DedupOps.bucketCcClosureCtes("3",
             "{ID} > (SELECT h FROM cuts)")},
+         |res AS (
+         | SELECT f.doc_id, f.cluster_id FROM bcc1 f, cuts
+         |  WHERE f.doc_id > mid AND f.doc_id <= c1
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc2 f, cuts
+         |  WHERE f.doc_id > c1 AND f.doc_id <= c2
+         | UNION ALL
+         | SELECT f.doc_id, f.cluster_id FROM bcc3 f, cuts
+         |  WHERE f.doc_id > c2)
+         |SELECT doc_id, cluster_id FROM res ORDER BY doc_id""".stripMargin,
+    // s20: s19's rule with the horizon in EVENT TIME — post-advance
+    // survivors are docs absorbed after the advance ({ID} > c1) OR
+    // docs whose derived md5 ingest time beats the constant horizon
+    // (t41's non-contiguous-in-id-space expiry, streamed)
+    "s20_stream_event_retention" ->
+      s"""WITH RECURSIVE ${DedupOps.bandsCtesMaterialized},
+         |b0 AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |       FROM documents),
+         |cuts AS MATERIALIZED (
+         | SELECT (lo + hi) // 2 AS mid,
+         |   (lo + hi) // 2 + (hi - (lo + hi) // 2) // 3 AS c1,
+         |   (lo + hi) // 2 + (2 * (hi - (lo + hi) // 2)) // 3 AS c2
+         | FROM b0),
+         |${DedupOps.bucketCcClosureCtes("1",
+            "{ID} <= (SELECT c1 FROM cuts)")},
+         |${DedupOps.bucketCcClosureCtes("2",
+            "{ID} <= (SELECT c2 FROM cuts) AND ({ID} > (SELECT c1 FROM " +
+            "cuts) OR ('0x' || substr(md5(CAST({ID} AS VARCHAR)), 1, " +
+            "8))::BIGINT > 858993459)")},
+         |${DedupOps.bucketCcClosureCtes("3",
+            "({ID} > (SELECT c1 FROM cuts) OR ('0x' || " +
+            "substr(md5(CAST({ID} AS VARCHAR)), 1, 8))::BIGINT > " +
+            "858993459)")},
          |res AS (
          | SELECT f.doc_id, f.cluster_id FROM bcc1 f, cuts
          |  WHERE f.doc_id > mid AND f.doc_id <= c1

@@ -1024,6 +1024,82 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
+  test("s20 event-time retention mid-stream: interleaved expiry, raised canon, flags stand") {
+    // t41's rule on the STREAMED cluster index: the horizon is event
+    // time over the persisted ingest_ts, so the expired set is
+    // NON-CONTIGUOUS in id space — {6, 19, 24} expire under T41H1
+    // (derived md5 ingest times) while 10 and 11, BETWEEN them in id
+    // order, survive: no id-span cut can express this set.
+    //   cluster E (tE): {6, 10, 11} + streamed {110, 150} — canon 6
+    //     expires, the component re-derives under the raised min 10
+    //   cluster D (tD): {19, 24} — both expire, the component vanishes
+    //   cluster F (tF): {1, 2} — untouched (never re-derived)
+    //   199 (tZ): streamed singleton, emits nothing
+    val tD = "crimson lanterns drift over quiet harbors"
+    val tE = "winter rivers freeze under pale skies"
+    val tF = "granite towers guard the sleeping canyon"
+    val tZ = "copper bells echo through morning markets"
+    val tmp = java.nio.file.Files.createTempDirectory("s20_spec_")
+    import spark.implicits._
+    val stage = tmp.resolve("stage")
+    // hi = 199 → base cut (lo+hi)/2 = 100 covers all three clusters
+    Seq((1L, tF), (2L, tF), (6L, tE), (10L, tE), (11L, tE),
+      (19L, tD), (24L, tD), (110L, tE), (150L, tE), (199L, tZ))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tmp.resolve("documents.parquet"))
+    val work = StreamingOps.s18WorkingCopy(spark, tmp.toString, "s20sp",
+      withTs = true)
+    val d = spark.read.parquet(tmp.resolve("documents.parquet").toString)
+    // batch 0 BEFORE the advance: 110 joins E under the original min
+    StreamingOps.s18ProcessBatch(spark, work,
+      d.filter(col("doc_id") === 110L), 0L)
+    def flags: Seq[(Long, Long)] = spark.read
+      .parquet(work.resolve("flags").toString + "/b*")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSeq
+    assert(flags === Seq((110L, 6L)),
+      "pre-advance absorb must flag under the original canon")
+    // the EVENT-TIME advance between batches
+    DedupOps.t45AgeOff(spark, work, DedupOps.T41H1)
+    val expired = spark.read
+      .parquet(work.resolve("tombstones").toString)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expired === Set(6L, 19L, 24L),
+      s"the ingest_ts predicate must expire exactly the lagging docs " +
+        s"(including the batch-absorbable range): $expired")
+    // interleaving pin: survivors sit strictly BETWEEN expired ids —
+    // the set no id-span horizon can express (t41's rule)
+    assert(expired.min < 10L && 11L < expired.max)
+    // post-advance batches: 150 joins the re-derived component under
+    // the RAISED min; the singleton 199 emits nothing; batch 0's
+    // emitted flag STANDS (immutable fact about absorb time)
+    StreamingOps.s18ProcessBatch(spark, work,
+      d.filter(col("doc_id") === 150L), 1L)
+    StreamingOps.s18ProcessBatch(spark, work,
+      d.filter(col("doc_id") === 199L), 2L)
+    assert(flags === Seq((110L, 6L), (150L, 10L)), flags.toString)
+    // the served state equals the survivors-only rebuild, survivors
+    // selected by the SAME derived-ingest-time rule the engine used
+    val folded = DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq
+    val rebuild = DedupOps.connectedComponentsOf(spark,
+      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+        graft.Tables(spark, tmp.toString, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(expr(DedupOps.t41IngestTs) > DedupOps.T41H1))
+        .select(col("band"), col("sig"), col("doc_id"))))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded === rebuild)
+    DedupOps.deleteRecursively(work.toFile)
+    DedupOps.deleteRecursively(tmp.toFile)
+  }
+
   test("s16 restart mid-fold: the intent-marker repair completes the fold; fence untouched, probe exact") {
     val tmp = craftS16Corpus()
     val staged = StreamingOps.stageS16Tail(spark, tmp.toString)
