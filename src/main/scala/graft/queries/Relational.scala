@@ -788,6 +788,19 @@ object Relational {
     // formulation) is itself a full-column scan at 100 TB. In
     // production the cut is known maintenance state; here the
     // artifact IS that state.
+    val (partsDir, cut) = q33HistArtifact(s, dir, raw)
+    // today: scan the delta only (ts > cut pushes to the parquet scan —
+    // plan-pinned in PlanSpec) + merge with the stored partials
+    q33Merge(s.read.parquet(partsDir.toString)
+      .unionAll(q33Partial(raw.filter(col("ts") > tsCutLit(raw, cut)))))
+  }
+
+  /** q33's "yesterday" state — the partials parquet + the persisted
+    * `_CUT` watermark — staged once per input fingerprint; shared by
+    * the DataFrame serve and the SQL-text twin so both read the SAME
+    * maintenance artifact. */
+  private def q33HistArtifact(s: SparkSession, dir: String,
+      raw: DataFrame): (java.nio.file.Path, Long) = {
     val hist = java.nio.file.Paths.get("target",
       s"q33_hist_${layoutHex(s, dir, "events")}").toAbsolutePath
     val cutFile = hist.resolve("_CUT")
@@ -810,12 +823,53 @@ object Relational {
         java.nio.file.Files.write(cutFile, cut.toString.getBytes("UTF-8"))
       }
     }
-    val cut = new String(java.nio.file.Files.readAllBytes(cutFile),
-      "UTF-8").trim.toLong
-    // today: scan the delta only (ts > cut pushes to the parquet scan —
-    // plan-pinned in PlanSpec) + merge with the stored partials
-    q33Merge(s.read.parquet(partsDir.toString)
-      .unionAll(q33Partial(raw.filter(col("ts") > tsCutLit(raw, cut)))))
+    (partsDir, new String(java.nio.file.Files.readAllBytes(cutFile),
+      "UTF-8").trim.toLong)
+  }
+
+  /** The `ts > cut` literal as SQL TEXT — [[tsCutLit]]'s rule for the
+    * text surface, matched to the parquet encoding the events table
+    * shipped with (epoch-nanos BIGINT vs TIMESTAMP micros). */
+  private def tsCutSql(raw: DataFrame, cutNanos: Long): String =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => cutNanos.toString
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        s"timestampadd(MICROSECOND, ${cutNanos / 1000}, " +
+          "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))"
+      case _ => s"timestamp_micros(${cutNanos / 1000})"
+    }
+
+  /** q33 through the SQL-TEXT surface — the incremental refresh (the
+    * relational maintenance family's highest-traffic read: merge the
+    * persisted per-key partials with the delta's, scanning only
+    * `ts > _CUT`) as ONE `spark.sql(...)` statement over
+    * serial-suffixed temp views of the raw events and the partials
+    * artifact, gated by the IDENTICAL oracle as the programmatic
+    * q33 (§2.12's rule on this family, t34_sql's pattern): a SQL-first
+    * user's nightly dashboard refresh is exactly this statement. The
+    * delta predicate embeds via [[tsCutSql]] so the pushed scan
+    * matches the DataFrame path's encoding handling; view hygiene
+    * (no clobbered user views, no leaked catalog entries) pinned in
+    * RelationalSpec. */
+  def q33IncrementalAggSql(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val (partsDir, cut) = q33HistArtifact(s, dir, raw)
+    JobHistoryOps.withSqlViews(s, Seq(
+      "q33_events" -> raw,
+      "q33_partials" -> s.read.parquet(partsDir.toString)))(nm =>
+      s"""WITH dp AS (
+         | SELECT event_type, count(*) AS pn,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS pc
+         | FROM ${nm("q33_events")}
+         | WHERE ts > ${tsCutSql(raw, cut)}
+         | GROUP BY event_type),
+         |allp AS (
+         | SELECT event_type, pn, pc FROM ${nm("q33_partials")}
+         | UNION ALL
+         | SELECT event_type, pn, pc FROM dp)
+         |SELECT event_type, sum(pn) AS n_events,
+         | round(CAST(sum(pc) AS DOUBLE) / 100, 2) AS sum_value
+         |FROM allp GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** q34: INCREMENTAL DISTINCT-COUNT maintenance — q33's
@@ -1883,6 +1937,7 @@ object Relational {
     "q31_partition_prune" -> (q31PartitionPrune _),
     "q32_bucketed_join" -> (q32BucketedJoin _),
     "q33_incremental_agg" -> (q33IncrementalAgg _),
+    "q33_incremental_agg_sql" -> (q33IncrementalAggSql _),
     "q34_incremental_distinct" -> (q34IncrementalDistinct _),
     "q35_agg_append" -> (q35AggAppend _),
     "q36_sketch_append" -> (q36SketchAppend _),
@@ -2070,6 +2125,9 @@ object Relational {
     // the maintenance split is internal — the oracle is the one-pass
     // aggregate over the full table (same cent-exact statistics)
     "q33_incremental_agg" -> q33Oracle,
+    // the SQL-text path must land on the identical refresh — one
+    // oracle serves the DataFrame and text surfaces (§2.12's rule)
+    "q33_incremental_agg_sql" -> q33Oracle,
     "q34_incremental_distinct" -> q34Oracle,
     // the write-back duals serve the SAME published result off the
     // APPENDED artifact — one oracle gates the read-only and living

@@ -130,4 +130,24 @@ class RelationalSpec extends SparkSpec {
       assert(m.getAs[Long]("n") === n)
     }
   }
+
+  test("q33 SQL-text surface equals the DataFrame refresh; view hygiene (no clobber, no leak)") {
+    // t34_sql's contract on the relational maintenance family: a
+    // user's same-named view survives the statement and the catalog
+    // holds nothing new afterwards
+    spark.sql("CREATE OR REPLACE TEMP VIEW q33_events AS SELECT 7 AS x")
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val viaSql = Relational.q33IncrementalAggSql(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    val viaDf = Relational.q33IncrementalAgg(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    assert(viaSql === viaDf,
+      "the SQL-text refresh must land on the identical aggregate")
+    assert(spark.catalog.listTables().collect().map(_.name).toSet ===
+      before, "the text path must drop its serial-suffixed views")
+    assert(spark.sql("SELECT x FROM q33_events").head().getInt(0) === 7,
+      "a same-named user view must never be clobbered")
+    spark.catalog.dropTempView("q33_events")
+    ()
+  }
 }
