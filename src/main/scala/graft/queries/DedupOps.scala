@@ -449,12 +449,22 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a failing probe (corrupt input, cancelled job) must not strand
     // the cache for the session — the leak-free invariant holds on
-    // every exit, exceptional ones included
-    val probe =
-      try edgesCached.limit(localMax + 1).collect()
+    // every exit, exceptional ones included. ONE count() materializes
+    // the cache and sizes the graph — the earlier limit+collect probe
+    // paid several fixed-overhead jobs per invocation (CollectLimit's
+    // incremental partition rounds, each re-planning the broadcasts),
+    // the dominant per-batch cost of the streamed cluster gates
+    // (s18/s19/s20) and of every forget's re-derivation; both the
+    // local fast path and the distributed loop read the same cache
+    // afterwards, so the full materialization is never wasted work
+    val edgeCount =
+      try edgesCached.count()
       catch { case t: Throwable =>
         edgesCached.unpersist(blocking = true); throw t }
-    if (probe.length <= localMax) try {
+    if (edgeCount <= localMax) try {
+      // the collect reads the blocks the count just materialized; a
+      // failure lands in the finally below
+      val probe = edgesCached.collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -1163,17 +1173,20 @@ object DedupOps {
         val tmp = out.resolve("labels_append")
         genPlain.write.mode("overwrite").parquet(tmp.toString)
         val tmpR = out.resolve("labels_append_rel")
-        if (hasRel) genRel.write.mode("overwrite").parquet(tmpR.toString)
+        if (hasRel) {          genRel.write.mode("overwrite").parquet(tmpR.toString) }
         val tmpM = out.resolve("members_append")
         // an event-time-governed artifact (t45/s20) carries ingest_ts
         // in EVERY members generation: appended rows derive it by the
         // same rule, keeping the relation schema-uniform so a later
         // horizon advance evaluates batch-absorbed docs too (a
         // ts-less append would hide its docs from the expiry
-        // predicate and poison mixed-schema reads)
+        // predicate and poison mixed-schema reads). One footer read,
+        // memoized per artifact path — the property is fixed at build
+        // time, so a stream never re-lists the members dir for it
         val dmOut =
-          if (s.read.parquet(out.resolve("members").toString)
-              .schema.fieldNames.contains("ingest_ts"))
+          if (membersCarryTs.computeIfAbsent(out, p =>
+              s.read.parquet(p.resolve("members").toString)
+                .schema.fieldNames.contains("ingest_ts")))
             dm.withColumn("ingest_ts", expr(t41IngestTs))
           else dm
         dmOut.write.mode("overwrite").parquet(tmpM.toString)
@@ -2484,6 +2497,14 @@ object DedupOps {
       "AS BIGINT)"
 
   private[graft] val t41IngestTs = ingestTsExpr("doc_id")
+
+  // does this artifact's members relation carry `ingest_ts`? One
+  // footer read per artifact path, memoized — the property is fixed
+  // at build time (buildT42Index withTs / buildT45Index) and the
+  // streamed absorb asks per micro-batch
+  private val membersCarryTs =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path,
+      java.lang.Boolean]()
 
   // the policy horizons: fifths of the derived-time RANGE — pure
   // compile-time constants on both sides (no bounds scan even at

@@ -1255,15 +1255,40 @@ object StreamingOps {
   /** The shared foreachBatch harness over the staged tranche fixture
     * (one file per micro-batch, AvailableNow) — s16's write-back and
     * s18's cluster maintenance differ only in the processor. */
+  /** Pins the micro-batch maintenance conf around a block and
+    * restores it in finally: the stream's fixed partition count
+    * (default 8 — batch-sized relations keep executors busy without
+    * 4× the commit I/O) AND adaptive execution OFF. AQE materializes
+    * every exchange as its own scheduled query-stage job — measured
+    * ~13 jobs for the merge-graph probe's one count() at 8
+    * partitions, pure fixed overhead on plans whose relations are
+    * micro-batch-sized and give the re-planner nothing to decide.
+    * The batch gates keep AQE (fleet-scale joins want the runtime
+    * re-plan); this scope is exactly the one that already pins the
+    * partition count for the same reason. Scoped to the foreachBatch
+    * streams and the mid-stream forgets (s19/s20); the stateful
+    * sinks need no AQE handling — the engine disables it there
+    * itself. */
+  private[graft] def withMicroBatchConf[T](s: SparkSession)(f: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("graft.stream.statePartitions", "8"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      f
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   private def runForeachBatchStream(s: SparkSession,
       staged: java.nio.file.Path, glob: String, checkpoint: String)(
       process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(
       staged.resolve("t-000.parquet").toString).schema
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("graft.stream.statePartitions", "8"))
+    withMicroBatchConf(s) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1")
@@ -1274,7 +1299,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** s16: STREAMING WRITE-BACK — the last loop closed. s14 streams
@@ -1370,8 +1395,11 @@ object StreamingOps {
       val h = lo + (mid - lo) / 2
       // segment 1: tranche 1 absorbed against the pristine base
       s16RunStream(s, work, staged, "t-000.parquet", ck)
-      // the retention advance, between batches
-      DedupOps.ageOffMembers(s, work, h)
+      // the retention advance, between batches, under the micro-batch
+      // conf (index-sized tombstone write — no win from 32 ways/AQE)
+      withMicroBatchConf(s) {
+        DedupOps.ageOffMembers(s, work, h)
+      }
       // segment 2: the stream resumes from the same checkpoint; the
       // widened glob admits tranches 2-3 (already-seen files skip)
       s16RunStream(s, work, staged, "t-*.parquet", ck)
@@ -1580,17 +1608,14 @@ object StreamingOps {
       // segment 1: tranche 1 absorbed against the pristine base
       s18RunStream(s, work, staged, "t-000.parquet", ck)
       // the retention advance, between batches (id-span horizon — the
-      // event-time form is t45's own gate; the streamed composition
-      // is what this one pins). The forget runs at the stream's own
-      // state-partition count: its relations are micro-batch-sized
-      // (expired ids, affected components), so 32-way exchanges would
-      // pay ~4× the task-scheduling overhead for zero parallelism win
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          s.conf.get("graft.stream.statePartitions", "8"))
+      // event-time form is s20's gate; the streamed composition is
+      // what this one pins). The forget runs under the micro-batch
+      // conf: its relations are micro-batch-sized (expired ids,
+      // affected components), so 32-way exchanges and AQE's
+      // per-stage jobs pay scheduling overhead for zero win
+      withMicroBatchConf(s) {
         DedupOps.t45AgeOff(s, work, h, tsCol = "doc_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // segment 2: the stream resumes from the same checkpoint
       s18RunStream(s, work, staged, "t-*.parquet", ck)
       val old = lastS19Work.getAndSet(work)
@@ -1637,15 +1662,12 @@ object StreamingOps {
       val work = s18WorkingCopy(s, dir, "s20", withTs = true)
       val ck = work.resolve("ckpt").toString
       s18RunStream(s, work, staged, "t-000.parquet", ck)
-      // the event-time advance between batches, at the stream's own
-      // state-partition count (the forget's relations are
-      // micro-batch-sized — s19's call)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          s.conf.get("graft.stream.statePartitions", "8"))
+      // the event-time advance between batches, under the micro-batch
+      // conf (the forget's relations are micro-batch-sized — s19's
+      // call)
+      withMicroBatchConf(s) {
         DedupOps.t45AgeOff(s, work, DedupOps.T41H1)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s18RunStream(s, work, staged, "t-*.parquet", ck)
       val old = lastS20Work.getAndSet(work)
       if (old != null && old != work)
