@@ -391,23 +391,30 @@ object ScaleDemo {
         queries.DedupOps.t42Append(spark, docsDir.toString, "sd42b",
           upTo = cut99)
       }
-      // working copy of the 99%-staged artifact, taken BEFORE the
-      // nightly append: the s18 stream block below replays the same
-      // last-1% tranche as TEN micro-batches against it
-      val s18Work = Files.createTempDirectory("sd_s18_")
-      Seq("labels", "members").foreach { rel =>
-        Files.createDirectories(s18Work.resolve(rel))
-        ccOutB.resolve(rel).toFile.listFiles()
-          .filter(_.getName.endsWith(".parquet")).foreach { f =>
-            Files.copy(f.toPath, s18Work.resolve(rel).resolve(f.getName))
-            ()
-          }
+      // working copies of the 99%-staged artifact, taken BEFORE the
+      // nightly append: the s18 stream block replays the same last-1%
+      // tranche as TEN micro-batches against one; the s19 block runs
+      // the same tranche with a mid-stream retention advance on the
+      // other (gates never share a mutable artifact)
+      def stagedWorkingCopy(): java.nio.file.Path = {
+        val w = Files.createTempDirectory("sd_s18_")
+        Seq("labels", "members").foreach { rel =>
+          Files.createDirectories(w.resolve(rel))
+          ccOutB.resolve(rel).toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              Files.copy(f.toPath, w.resolve(rel).resolve(f.getName))
+              ()
+            }
+        }
+        Seq("_CUT", "_INDEX_READY").foreach { n =>
+          Files.copy(ccOutB.resolve(n), w.resolve(n)); ()
+        }
+        Files.write(w.resolve("_BATCH"),
+          s"-1 ${queries.DedupOps.cutOf(w)}".getBytes("UTF-8"))
+        w
       }
-      Seq("_CUT", "_INDEX_READY").foreach { n =>
-        Files.copy(ccOutB.resolve(n), s18Work.resolve(n)); ()
-      }
-      Files.write(s18Work.resolve("_BATCH"),
-        s"-1 ${queries.DedupOps.cutOf(s18Work)}".getBytes("UTF-8"))
+      val s18Work = stagedWorkingCopy()
+      val s19Work = stagedWorkingCopy()
       spark.catalog.clearCache()
       time("t42 NIGHTLY append: the last 1% tranche " +
           "(merge-graph, O(batch + touched))") {
@@ -446,6 +453,63 @@ object ScaleDemo {
           noop(queries.DedupOps.ccClustersOfFolded(spark, s18Work))
         }
         queries.DedupOps.deleteRecursively(s18Work.toFile)
+      }
+      // s19 at scale: the fold × forget economics — the SAME ten-batch
+      // nightly with a retention advance after batch 5 (a real crawl's
+      // nightly horizon: the oldest 2 % of the staged ids expire; on
+      // this adversarially dedup-heavy fixture the affected-component
+      // re-derivation is the worst case the verbs allow). Post-advance
+      // batches' replaced-node rows land as relabel-a generations and
+      // the fenced fold bounds BOTH sides — the per-batch print shows
+      // plain and replacement generation counts stay ≤ threshold+1
+      // while the replacement stays active.
+      spark.catalog.clearCache()
+      locally {
+        val d10 = spark.read.parquet(docsParquet.toString)
+        val hiAll = db.getLong(1)
+        val loAll = db.getLong(0)
+        def relabelGens(w: java.nio.file.Path): Int = {
+          val names = Option(w.resolve("labels").toFile.listFiles())
+            .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
+          names.filter(_.startsWith("relabel-a"))
+            .map(_.stripPrefix("relabel-a").split("-")(0))
+            .distinct.size +
+            (if (names.exists(_.startsWith("relabel-c"))) 1 else 0)
+        }
+        def batch(g: Int): Unit = {
+          val loB = cut99 + (hiAll - cut99) * (g - 1) / 10
+          val hiB =
+            if (g == 10) hiAll else cut99 + (hiAll - cut99) * g / 10
+          val t0 = System.nanoTime()
+          queries.StreamingOps.s18ProcessBatch(spark, s19Work,
+            d10.filter(col("doc_id") > loB && col("doc_id") <= hiB)
+              .select(col("doc_id"), col("text")), (g - 1).toLong)
+          println(f"SCALE s19 batch $g%d: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s, plain=" +
+            s"${queries.DedupOps.generationCount(s19Work, "labels")} " +
+            s"rel=${relabelGens(s19Work)}")
+        }
+        time("s19 stream-absorb batches 1-5 (pre-advance)") {
+          (1 to 5).foreach(batch)
+        }
+        val h = loAll + (cut99 - loAll) * 2 / 100
+        spark.catalog.clearCache()
+        time("s19 retention advance mid-tranche (t45 forget, oldest " +
+            "2% of staged ids)") {
+          queries.StreamingOps.withMicroBatchConf(spark) {
+            queries.DedupOps.t45AgeOff(spark, s19Work, h,
+              tsCol = "doc_id")
+          }
+        }
+        time("s19 stream-absorb batches 6-10 (post-advance: absorbs " +
+            "fold into the active replacement)") {
+          (6 to 10).foreach(batch)
+        }
+        spark.catalog.clearCache()
+        time("s19 post-stream folded serve (replacement-aware read)") {
+          noop(queries.DedupOps.ccClustersOfFolded(spark, s19Work))
+        }
+        queries.DedupOps.deleteRecursively(s19Work.toFile)
       }
     }
     // t34 (`phase=inc`): incremental-dedup economics at fleet scale —
