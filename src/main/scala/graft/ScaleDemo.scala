@@ -468,14 +468,11 @@ object ScaleDemo {
         val d10 = spark.read.parquet(docsParquet.toString)
         val hiAll = db.getLong(1)
         val loAll = db.getLong(0)
-        def relabelGens(w: java.nio.file.Path): Int = {
-          val names = Option(w.resolve("labels").toFile.listFiles())
-            .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
-          names.filter(_.startsWith("relabel-a"))
-            .map(_.stripPrefix("relabel-a").split("-")(0))
-            .distinct.size +
-            (if (names.exists(_.startsWith("relabel-c"))) 1 else 0)
-        }
+        // the CANONICAL replacement-side counter (what the fold
+        // policy itself thresholds on), at an unbounded fence so
+        // every landed generation counts
+        def relabelGens(w: java.nio.file.Path): Int =
+          queries.StreamingOps.s18RelabelGenCount(w, Long.MaxValue)
         def batch(g: Int): Unit = {
           val loB = cut99 + (hiAll - cut99) * (g - 1) / 10
           val hiB =

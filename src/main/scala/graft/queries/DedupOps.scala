@@ -994,6 +994,10 @@ object DedupOps {
       // layout at t42's cut)
       (if (withTs) m0.withColumn("ingest_ts", expr(t41IngestTs)) else m0)
         .write.mode("overwrite").parquet(out.resolve("members").toString)
+      // a REBUILD at this path must refresh the carries-ts memo — a
+      // stale entry from a prior build with the other flag would
+      // mis-schema every later append
+      membersCarryTs.put(out, withTs)
       ccConvergedLabelsDf(s, bucketStarEdges(
           s.read.parquet(out.resolve("members").toString)), null)
         .write.mode("overwrite").parquet(out.resolve("labels").toString)
@@ -1472,6 +1476,7 @@ object DedupOps {
           .expr(t41IngestTs))
       members.write.mode("overwrite")
         .parquet(out.resolve("members").toString)
+      membersCarryTs.put(out, true)
       ccConvergedLabelsDf(s, bucketStarEdges(
           s.read.parquet(out.resolve("members").toString)), null)
         .write.mode("overwrite").parquet(out.resolve("labels").toString)
@@ -1550,9 +1555,10 @@ object DedupOps {
     * construction (t39's edge semantics, pinned in
     * CcIncrementalSpec). */
   private[graft] def t43ForgetExternal(s: SparkSession,
-      out: java.nio.file.Path, ids: DataFrame): Unit = {
-    val tag = erasureFingerprint(ids)
-    t43Forget(s, out, ids.select(col("doc_id")).distinct(), s"x$tag")
+      out: java.nio.file.Path, ids: DataFrame,
+      tag: String = null): Unit = {
+    val t = if (tag != null) tag else erasureFingerprint(ids)
+    t43Forget(s, out, ids.select(col("doc_id")).distinct(), s"x$t")
   }
 
   /** t46: the cluster shelf's external-takedown verb, served — the
@@ -1601,15 +1607,20 @@ object DedupOps {
   def takedownFanout(s: SparkSession, dir: String): DataFrame = {
     val ext = stageT39Erasures(s, dir)
     val list = s.read.parquet(ext.resolve("erasures").toString)
+    // ONE fingerprint job for the whole fan-out: the tag depends only
+    // on the id VALUES, so every shelf (including the sum leg's
+    // user_id rename) shares it — four re-computations would be fixed
+    // per-rep job overhead of exactly the class the stream gates shed
+    val tag = erasureFingerprint(list)
     val band = t39IndexPath(s, dir)
     buildMembersIndexAt(s, dir, band)
-    applyTakedownExternal(s, band, list)
-    MultimodalOps.stageMediaTakedownExternal(s, dir)
+    applyTakedownExternal(s, band, list, tag = tag)
+    MultimodalOps.stageMediaTakedownExternal(s, dir, tag = tag)
     buildT42Index(s, dir, "t46")
     t42Append(s, dir, "t46")
     val cc = requireReady(t42IndexPath(s, dir, "t46"))
-    t43ForgetExternal(s, cc, list)
-    val summed = Relational.fanoutSumTakedown(s, dir, list)
+    t43ForgetExternal(s, cc, list, tag = tag)
+    val summed = Relational.fanoutSumTakedown(s, dir, list, tag = tag)
     val bandSum = aliveMembers(s, requireReady(band)).agg(
         countDistinct(col("band"), col("sig")).as("n_groups"),
         count(lit(1)).as("n_rows"),
@@ -2289,13 +2300,17 @@ object DedupOps {
     * the tombstone rows themselves (the serve's anti-join is already
     * idempotent on repeats; smaller tombstones are free). Pinned in
     * TombstoneSpec: second-different-list lands, re-submitted list
-    * no-ops, on all three shelves. */
+    * no-ops, on all three shelves. MIGRATION: an artifact erased
+    * under a PRIOR fingerprint rule (e.g. the pre-distinct tag)
+    * won't match the new marker — the tombstone shelves simply
+    * re-apply (idempotent anti-join); the cluster shelf refuses
+    * loudly with its documented remedy (compact, then re-submit). */
   private[graft] def applyTakedownExternal(s: SparkSession,
       out: java.nio.file.Path, ids: DataFrame,
-      idCol: String = "doc_id"): Unit = {
-    val tag = erasureFingerprint(ids, idCol)
-    applyTakedown(s, out, gen = s"x$tag",
-      marker = s"_TAKEDOWN_X$tag")(
+      idCol: String = "doc_id", tag: String = null): Unit = {
+    val t = if (tag != null) tag else erasureFingerprint(ids, idCol)
+    applyTakedown(s, out, gen = s"x$t",
+      marker = s"_TAKEDOWN_X$t")(
       _ => ids.select(col(idCol)).distinct())
   }
 

@@ -444,7 +444,7 @@ object MultimodalOps {
   /** m14's maintenance path alone (members copy + external-list
     * takedown), exposed for the bench pre-stager. */
   private[graft] def stageMediaTakedownExternal(s: SparkSession,
-      dir: String): Unit = {
+      dir: String, tag: String = null): Unit = {
     val out = m14IndexPath(s, dir)
     DedupOps.ensureArtifact(out) {
       mediaAhashOf(mediaTable(s, dir)
@@ -454,7 +454,7 @@ object MultimodalOps {
     }
     val ext = DedupOps.stageT39Erasures(s, dir)
     DedupOps.applyTakedownExternal(s, out,
-      s.read.parquet(ext.resolve("erasures").toString))
+      s.read.parquet(ext.resolve("erasures").toString), tag = tag)
   }
 
   /** m12's OWN membership copy (m11 holds the canon-takedown's

@@ -1879,12 +1879,13 @@ object Relational {
     * broadcast-semi corpus scan per list, `retractx*` generation);
     * the serve is the netted merge with q39's ghost-key filter. */
   private[queries] def fanoutSumTakedown(s: SparkSession, dir: String,
-      ids: DataFrame): DataFrame = {
+      ids: DataFrame, tag: String = null): DataFrame = {
     buildRwPartials(s, dir, "t47agg")(q33Partial)
     appendPartials(s, dir, "t47agg")(q33Partial)
     val erasures = ids.select(col("doc_id").as("user_id"))
     q44Erase(s, dir, erasures,
-      DedupOps.erasureFingerprint(erasures, idCol = "user_id"),
+      if (tag != null) tag
+      else DedupOps.erasureFingerprint(erasures, idCol = "user_id"),
       fam = "t47agg")
     q33Merge(s.read.parquet(
       DedupOps.requireReady(rwPartialsPath(s, dir, "t47agg"))

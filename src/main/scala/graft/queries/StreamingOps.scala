@@ -931,7 +931,7 @@ object StreamingOps {
     * across an ACTIVE replacement (s19's shape, uncompacted) would
     * gain one permanent `relabel-a` generation per batch — the exact
     * O(batches) growth the plain-side fold exists to prevent. */
-  private def s18RelabelGenCount(work: java.nio.file.Path,
+  private[graft] def s18RelabelGenCount(work: java.nio.file.Path,
       fencedCut: Long): Int = {
     val names = Option(work.resolve("labels").toFile.listFiles())
       .toSeq.flatten.map(_.getName).filter(_.endsWith(".parquet"))
@@ -1269,7 +1269,15 @@ object StreamingOps {
     * streams and the mid-stream forgets (s19/s20); the stateful
     * sinks need no AQE handling — the engine disables it there
     * itself. */
-  private[graft] def withMicroBatchConf[T](s: SparkSession)(f: => T): T = {
+  private val microBatchConfLock = new Object
+
+  private[graft] def withMicroBatchConf[T](s: SparkSession)(f: => T): T =
+    // the save/set/restore mutates SESSION-global conf; two
+    // overlapping scopes on a shared session would interleave their
+    // restores and strand the session at 8 partitions with AQE off
+    // for every later fleet-scale gate. The JVM monitor is reentrant,
+    // so an (accidental) nested scope degrades to a no-op wrapper
+    microBatchConfLock.synchronized {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     try {
@@ -1281,7 +1289,7 @@ object StreamingOps {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-  }
+    }
 
   private def runForeachBatchStream(s: SparkSession,
       staged: java.nio.file.Path, glob: String, checkpoint: String)(
