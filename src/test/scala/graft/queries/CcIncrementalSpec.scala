@@ -286,6 +286,20 @@ class CcIncrementalSpec extends SparkSpec {
       s"t46 serve must never re-scan the corpus:\n$p46")
     assert(p46.contains("cc_index_t46"),
       "t46 serve must read the persisted cluster artifact")
+    // t47: the fan-out's returned summary unions FOUR shelf reads —
+    // every one must be artifact-only (the corpus scans live in the
+    // maintenance legs, which marker-no-op on a steady-state re-call)
+    val t47 = DedupOps.takedownFanout(spark, dir)
+    t47.collect()
+    val p47 = t47.queryExecution.executedPlan.toString
+    assert(!p47.contains("documents.parquet") &&
+      !p47.contains("events.parquet"),
+      s"t47 summary must never re-scan a corpus table:\n$p47")
+    Seq("band_members_t39", "media_members_m14", "cc_index_t46",
+        "t47agg_rw").foreach { art =>
+      assert(p47.contains(art),
+        s"t47 summary must read the $art artifact:\n$p47")
+    }
   }
 
   test("t46 external list: absent ids no-op, repeated ids idempotent, a second DIFFERENT list lands") {
