@@ -140,7 +140,7 @@ object Bench {
         (() => { graft.queries.Relational.q31PartitionPrune(spark, sfDir); () }),
       Set("q32_bucketed_join") ->
         (() => { graft.queries.Relational.q32BucketedJoin(spark, sfDir); () }),
-      Set("q33_incremental_agg") ->
+      Set("q33_incremental_agg", "q33_incremental_agg_sql") ->
         (() => { graft.queries.Relational.q33IncrementalAgg(spark, sfDir); () }),
       Set("s10_stream_restart", "s11_restart_keyed_state") ->
         (() => graft.queries.StreamingOps.stageRestartFixtures(spark, sfDir)),
