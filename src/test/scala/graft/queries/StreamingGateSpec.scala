@@ -1024,7 +1024,7 @@ class StreamingGateSpec extends SparkSpec {
     DedupOps.deleteRecursively(tmp.toFile)
   }
 
-  test("s20 event-time retention mid-stream: interleaved expiry, raised canon, flags stand") {
+  test("s20 event-time retention mid-stream: interleaved expiry, raised canon, flags stand; advance-compact-advance composes") {
     // t41's rule on the STREAMED cluster index: the horizon is event
     // time over the persisted ingest_ts, so the expired set is
     // NON-CONTIGUOUS in id space — {6, 19, 24} expire under T41H1
@@ -1044,7 +1044,8 @@ class StreamingGateSpec extends SparkSpec {
     val stage = tmp.resolve("stage")
     // hi = 199 → base cut (lo+hi)/2 = 100 covers all three clusters
     Seq((1L, tF), (2L, tF), (6L, tE), (10L, tE), (11L, tE),
-      (19L, tD), (24L, tD), (110L, tE), (150L, tE), (199L, tZ))
+      (19L, tD), (24L, tD), (110L, tE), (150L, tE), (160L, tE),
+      (199L, tZ))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = stage.toFile.listFiles()
@@ -1082,20 +1083,49 @@ class StreamingGateSpec extends SparkSpec {
     StreamingOps.s18ProcessBatch(spark, work,
       d.filter(col("doc_id") === 150L), 1L)
     StreamingOps.s18ProcessBatch(spark, work,
-      d.filter(col("doc_id") === 199L), 2L)
-    assert(flags === Seq((110L, 6L), (150L, 10L)), flags.toString)
+      d.filter(col("doc_id") === 160L), 2L)
+    assert(flags === Seq((110L, 6L), (150L, 10L), (160L, 10L)),
+      flags.toString)
     // the served state equals the survivors-only rebuild, survivors
     // selected by the SAME derived-ingest-time rule the engine used
-    val folded = DedupOps.ccClustersOfFolded(spark, work)
-      .collect().map(_.toSeq.toVector).toSeq
-    val rebuild = DedupOps.connectedComponentsOf(spark,
-      DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
-        graft.Tables(spark, tmp.toString, "documents")
-          .select(col("doc_id"), col("text"))
-          .filter(expr(DedupOps.t41IngestTs) > DedupOps.T41H1))
-        .select(col("band"), col("sig"), col("doc_id"))))
-      .collect().map(_.toSeq.toVector).toSeq
-    assert(folded === rebuild)
+    def rebuildAbove(h: Long): Seq[Vector[Any]] =
+      DedupOps.connectedComponentsOf(spark,
+        DedupOps.bucketStarEdges(DedupOps.bandedSignaturesOf(
+          graft.Tables(spark, tmp.toString, "documents")
+            .select(col("doc_id"), col("text"))
+            .filter(expr(DedupOps.t41IngestTs) > h))
+          .select(col("band"), col("sig"), col("doc_id"))))
+        .collect().map(_.toSeq.toVector).toSeq
+    assert(DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq === rebuildAbove(
+        DedupOps.T41H1))
+    // the nightly DISCIPLINE on the streamed index: compact (retire
+    // the replacement, fold the tombstones), advance a LATER
+    // event-time horizon — H2 = 1 700 000 000 expires {11, 110},
+    // including a doc the STREAM itself absorbed — then keep
+    // absorbing. The second advance's tombstone generation carries
+    // exactly the newly-expired set (the compact folded the first
+    // advance's away), 110's emitted flag still stands (history is
+    // immutable even for a doc that later expired), and the serve
+    // equals the survivors-above-H2 rebuild.
+    assert(DedupOps.t44Compact(spark, work),
+      "the mid-stream compact must retire the active replacement")
+    val h2 = 1700000000L
+    DedupOps.t45AgeOff(spark, work, h2)
+    val expired2 = spark.read
+      .parquet(work.resolve("tombstones").toString)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expired2 === Set(11L, 110L),
+      s"the second horizon must expire the lagging absorbed docs: " +
+        s"$expired2")
+    StreamingOps.s18ProcessBatch(spark, work,
+      d.filter(col("doc_id") === 199L), 3L)
+    assert(flags === Seq((110L, 6L), (150L, 10L), (160L, 10L)),
+      "emitted flags stand across compact + second advance; the " +
+        "singleton 199 emits nothing")
+    assert(DedupOps.ccClustersOfFolded(spark, work)
+      .collect().map(_.toSeq.toVector).toSeq === rebuildAbove(h2))
     DedupOps.deleteRecursively(work.toFile)
     DedupOps.deleteRecursively(tmp.toFile)
   }
