@@ -455,6 +455,13 @@ class PlanSpec extends SparkSpec {
       s"the delta cut must push to the events scan:\n$p")
     assert(!p.contains("min(ts)") && !p.contains("max(ts)"),
       s"the cut must come from the artifact, not a bounds re-scan:\n$p")
+    // the SQL-TEXT twin must plan the IDENTICAL pushed delta scan —
+    // a text surface that lost the pushdown would full-scan at 100 TB
+    val pSql = plan("q33_incremental_agg_sql")
+    assert(pSql.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"the SQL twin must push the same delta cut:\n$pSql")
+    assert(!pSql.contains("min(ts)") && !pSql.contains("max(ts)"),
+      s"the SQL twin must read the cut from the artifact:\n$pSql")
   }
 
   test("q34: the sketch refresh scans ONLY the delta — cut pushed, partials read back") {
