@@ -205,7 +205,7 @@ object Bench {
       // build/append/retract) are maintenance-time — their walls are
       // ScaleDemo inc-phase rows; the timed reps measure the
       // steady-state serve of the compacted/retracted artifact
-      Set("q37_partials_compact") ->
+      Set("q37_partials_compact", "q37_partials_compact_sql") ->
         (() => { graft.queries.Relational.q37Append(spark, sfDir)
                  graft.queries.Relational.q37Compact(spark, sfDir); () }),
       Set("q38_sketch_compact") ->

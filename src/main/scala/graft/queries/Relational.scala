@@ -1192,6 +1192,25 @@ object Relational {
       .resolve("partials").toString))
   }
 
+  /** q37 through the SQL-TEXT surface — the compacted-artifact serve
+    * (the steady-state read a SQL-first dashboard runs all day once
+    * the nightly compaction folded the generations) as ONE
+    * `spark.sql(...)` statement over a serial-suffixed temp view of
+    * the partials relation, gated by q33's oracle verbatim like its
+    * DataFrame twin. With q33_sql (the refresh) this covers the
+    * maintenance family's BOTH hot shapes as text; hygiene pinned in
+    * RelationalSpec. */
+  def q37PartialsCompactSql(s: SparkSession, dir: String): DataFrame = {
+    val out = buildAppendCompact(s, dir, "q37agg")(q33Partial)(q35Fold)
+    JobHistoryOps.withSqlViews(s, Seq(
+      "q37_partials" -> s.read.parquet(DedupOps.requireReady(out)
+        .resolve("partials").toString)))(nm =>
+      s"""SELECT event_type, sum(pn) AS n_events,
+         | round(CAST(sum(pc) AS DOUBLE) / 100, 2) AS sum_value
+         |FROM ${nm("q37_partials")}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   private[graft] def q38RwPath(s: SparkSession, dir: String) =
     rwPartialsPath(s, dir, "q38hll")
 
@@ -1943,6 +1962,7 @@ object Relational {
     "q35_agg_append" -> (q35AggAppend _),
     "q36_sketch_append" -> (q36SketchAppend _),
     "q37_partials_compact" -> (q37PartialsCompact _),
+    "q37_partials_compact_sql" -> (q37PartialsCompactSql _),
     "q38_sketch_compact" -> (q38SketchCompact _),
     "q39_agg_retract" -> (q39AggRetract _),
     "q40_sketch_retract" -> (q40SketchRetract _),
@@ -2138,6 +2158,8 @@ object Relational {
     // compaction must be invisible in the result: q37/q38 are gated
     // by the SAME full-table oracles as the append families they fold
     "q37_partials_compact" -> q33Oracle,
+    // the text path serves the identical compacted aggregate
+    "q37_partials_compact_sql" -> q33Oracle,
     "q38_sketch_compact" -> q34Oracle,
     // q39: q33's statistics over the corpus MINUS the retracted
     // window. Bounds in epoch NANOS with integer `//` division —

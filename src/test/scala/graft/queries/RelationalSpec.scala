@@ -150,4 +150,21 @@ class RelationalSpec extends SparkSpec {
     spark.catalog.dropTempView("q33_events")
     ()
   }
+
+  test("q37 SQL-text surface equals the DataFrame compacted serve; view hygiene") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW q37_partials AS SELECT 7 AS x")
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val viaSql = Relational.q37PartialsCompactSql(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    val viaDf = Relational.q37PartialsCompact(spark, dir).collect()
+      .map(_.toSeq.toVector).toSeq
+    assert(viaSql === viaDf,
+      "the SQL-text serve must land on the identical aggregate")
+    assert(spark.catalog.listTables().collect().map(_.name).toSet ===
+      before, "the text path must drop its serial-suffixed views")
+    assert(spark.sql("SELECT x FROM q37_partials").head().getInt(0) === 7,
+      "a same-named user view must never be clobbered")
+    spark.catalog.dropTempView("q37_partials")
+    ()
+  }
 }
