@@ -388,7 +388,15 @@ object DedupOps {
 
   private def ccMaterialize(s: SparkSession, l: CcLabels): DataFrame =
     l match {
-      case CcLocal(schema, rows) => s.createDataFrame(rows, schema)
+      // coalesce(1): a driver-local label relation is ≤ localEdgeMax
+      // rows by construction, but createDataFrame plans it at
+      // defaultParallelism — a base build writing it landed 32
+      // near-empty part files per labels relation, and every later
+      // generation listing/scan paid for them (r21 profiling: a
+      // 99-path parallel listing JOB per t42CurrentRows read). One
+      // partition costs nothing here (any downstream shuffle restores
+      // parallelism) and keeps artifact file counts O(generations).
+      case CcLocal(schema, rows) => s.createDataFrame(rows, schema).coalesce(1)
       case CcParquet(path) => s.read.parquet(path)
     }
 
@@ -1040,6 +1048,22 @@ object DedupOps {
     * which a min fold cannot express, so the read must PREFER the
     * replacement for affected nodes and drop everything older). With
     * no replacement present this is the plain multi-generation scan. */
+  /** The labels relation's fixed schema — declared on every read so
+    * the scan plans without a footer-inference job (the label
+    * relations are written by this file alone; one redundant
+    * schema-discovery job per generation read was pure fixed overhead
+    * in the per-micro-batch paths). */
+  private val labelsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private[graft] val relabelNodesSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   private[graft] def t42CurrentRows(s: SparkSession,
       out: java.nio.file.Path): DataFrame = {
     val dst = out.resolve("labels")
@@ -1052,19 +1076,18 @@ object DedupOps {
     // read throws, and this read must not depend on a writer detail
     // that has changed across Spark versions
     val plainDf =
-      if (plain.nonEmpty) s.read.parquet(plain.map(_.toString): _*)
+      if (plain.nonEmpty)
+        s.read.schema(labelsSchema).parquet(plain.map(_.toString): _*)
       else s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+        labelsSchema)
     if (rel.isEmpty) plainDf
     else plainDf
-      .join(s.read.parquet(out.resolve("relabel_nodes").toString),
+      .join(s.read.schema(relabelNodesSchema)
+          .parquet(out.resolve("relabel_nodes").toString),
         Seq("node"), "left_anti")
-      .unionAll(s.read.parquet(rel.map(_.toString): _*))
+      .unionAll(s.read.schema(labelsSchema)
+        .parquet(rel.map(_.toString): _*))
   }
 
   private[graft] def t42FoldedLabels(s: SparkSession,
@@ -1096,13 +1119,25 @@ object DedupOps {
     * a marker-less working dir mid-replay, exactly like s16). */
   private[graft] def t42AbsorbDelta(s: SparkSession,
       out: java.nio.file.Path, deltaIn: DataFrame,
-      flags: java.nio.file.Path = null): Option[Long] = {
+      flags: java.nio.file.Path = null,
+      knownHi: Option[Long] = None): Option[Long] = {
     val cut = cutOf(out)
     val delta = deltaIn.filter(col("doc_id") > cut)
-    val hiRow = delta.agg(max(col("doc_id"))).head()
-    if (hiRow.isNullAt(0)) None
+    // the delta high-watermark: reuse the caller's already-computed
+    // max when provided (s18ProcessBatch pays one max agg for its
+    // monotone assert and was paying a second identical one here —
+    // the filter only removes rows ≤ cut, so deltaIn's max IS delta's
+    // max whenever it exceeds the cut, and a below-cut/empty delta is
+    // exactly knownHi ≤ cut); otherwise one agg here as before.
+    val hiOpt: Option[Long] = knownHi match {
+      case Some(h) => if (h > cut) Some(h) else None
+      case None =>
+        val r = delta.agg(max(col("doc_id"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    if (hiOpt.isEmpty) None
     else {
-      val newCut = hiRow.getLong(0)
+      val newCut = hiOpt.get
       locally {
         // the batch's banding feeds the merge edges, the membership
         // write, and the generation write — persist once (unpersisted
@@ -1132,10 +1167,13 @@ object DedupOps {
         // s18's per-batch probe product: the batch docs' assignments
         // AT ABSORB TIME, written BEFORE the commit (s16's flag order
         // — a retried half-committed batch rewrites them identically)
-        if (flags != null)
-          deltaRows.select(col("node").as("doc_id"),
-              col("label").as("cluster_id"))
-            .write.mode("overwrite").parquet(flags.toString)
+        val flagsWrite: Option[() => Unit] =
+          if (flags == null) None
+          else Some(() =>
+            deltaRows.select(col("node").as("doc_id"),
+                col("label").as("cluster_id"))
+              .coalesce(genParts(s))
+              .write.mode("overwrite").parquet(flags.toString))
         // EVERY base-side merge-graph node lands a row: an absorbed
         // base SINGLETON that is its new cluster's min has
         // label == node — neither a delta doc nor a lowering, but its
@@ -1170,14 +1208,13 @@ object DedupOps {
         val (genPlain, genRel) =
           if (!hasRel) (gen, null: DataFrame)
           else {
-            val keys = s.read.parquet(keysPath.toString)
+            val keys = s.read.schema(relabelNodesSchema)
+              .parquet(keysPath.toString)
             (gen.join(keys, Seq("node"), "left_anti"),
               gen.join(keys, Seq("node"), "left_semi"))
           }
         val tmp = out.resolve("labels_append")
-        genPlain.write.mode("overwrite").parquet(tmp.toString)
         val tmpR = out.resolve("labels_append_rel")
-        if (hasRel) {          genRel.write.mode("overwrite").parquet(tmpR.toString) }
         val tmpM = out.resolve("members_append")
         // an event-time-governed artifact (t45/s20) carries ingest_ts
         // in EVERY members generation: appended rows derive it by the
@@ -1193,7 +1230,20 @@ object DedupOps {
                 .schema.fieldNames.contains("ingest_ts")))
             dm.withColumn("ingest_ts", expr(t41IngestTs))
           else dm
-        dmOut.write.mode("overwrite").parquet(tmpM.toString)
+        // the four generation writes are mutually independent (all
+        // derive from the persisted dm / the driver-local conv / the
+        // already-read current rows) and each is a fixed-overhead job
+        // over batch-sized input — overlap them (guide §2.6); the
+        // file-move commit below waits for all
+        parallelWrites(
+          flagsWrite.toSeq ++ Seq(
+            () => genPlain.coalesce(genParts(s))
+              .write.mode("overwrite").parquet(tmp.toString)) ++
+          (if (hasRel) Seq(() => genRel.coalesce(genParts(s))
+              .write.mode("overwrite").parquet(tmpR.toString))
+           else Nil) ++ Seq(
+            () => dmOut.coalesce(genParts(s))
+              .write.mode("overwrite").parquet(tmpM.toString)))
         def moveGen(src: java.nio.file.Path, dst: java.nio.file.Path,
             prefix: String): Unit = {
           Option(dst.toFile.listFiles()).foreach(
@@ -1302,7 +1352,10 @@ object DedupOps {
             "first (t44Compact) — composing raise-capable replacements " +
             "under the min fold would resurrect lowered labels")
         val idNodes = ids.select(col("doc_id").as("node"))
-        applyTakedown(s, out, gen = s"f$tag", marker = s"_TAKEDOWN_F$tag")(
+        // the isEmpty probe above already proved ids non-empty, and
+        // this takedown's rows ARE the ids — skip the read-back probe
+        applyTakedown(s, out, gen = s"f$tag", marker = s"_TAKEDOWN_F$tag",
+          knownNonEmpty = true)(
           _ => idNodes.select(col("node").as("doc_id")))
         val folded = t42FoldedLabels(s, out)
         val affLabels = folded.join(idNodes, Seq("node"), "left_semi")
@@ -1323,9 +1376,14 @@ object DedupOps {
           bucketStarEdges(subMembers), null)
         withArtifactLease(out) {
           val tmp = out.resolve("labels_relabel")
-          relabeled.write.mode("overwrite").parquet(tmp.toString)
           val tmpK = out.resolve("relabel_nodes_tmp")
-          affNodes.write.mode("overwrite").parquet(tmpK.toString)
+          // independent writes (re-derived labels vs the persisted
+          // affected-node key list) — overlap their jobs (guide §2.6)
+          parallelWrites(Seq(
+            () => relabeled.coalesce(genParts(s))
+              .write.mode("overwrite").parquet(tmp.toString),
+            () => affNodes.coalesce(genParts(s))
+              .write.mode("overwrite").parquet(tmpK.toString)))
           val ready = out.resolve("_INDEX_READY")
           java.nio.file.Files.deleteIfExists(ready)
           val dst = out.resolve("labels")
@@ -1787,6 +1845,59 @@ object DedupOps {
     artifactDir("band_index_s15",
       s"bandindexs15:$dir@${pathFingerprint(s, s"$dir/documents.parquet")}")
 
+  /** Output partition count for BATCH-sized artifact writes — the
+    * per-micro-batch generations, flags, tombstone lists, and fold
+    * outputs of the maintenance shelves. These relations are bounded
+    * by a micro-batch / an erasure list / the folded index (a few
+    * thousand rows at gate scale, a few MB at fleet scale), yet each
+    * write was landing one part file PER upstream partition (8 in a
+    * stream, up to 32 elsewhere): ~100 files per working index after
+    * a few batches, pushing every generation read over Spark's
+    * 32-path parallel-listing threshold — a dedicated listing JOB per
+    * batch (r21 profiling, guide §6 "small files hurt twice").
+    * `coalesce(n)` is a no-op when the plan already has ≤ n
+    * partitions, so a deployment sized for bigger batches raises the
+    * conf and gets today's behavior back; the local default 1 keeps
+    * file counts O(generations). */
+  private[graft] def genParts(s: SparkSession): Int =
+    s.conf.get("graft.artifact.genPartitions", "1").toInt
+
+  /** Small daemon pool for OVERLAPPING a maintenance verb's
+    * independent generation writes (guide §2.6: actions are only
+    * sequential because the driver calls them sequentially). A
+    * micro-batch absorb's flags / plain-generation / relabel /
+    * members writes share no dependency — each is a fixed-overhead
+    * job over batch-sized cached input, so running them concurrently
+    * collapses their scheduling quanta to roughly one. Jobs submitted
+    * from these threads back-fill the same local executor; the caller
+    * always awaits completion before the file-move commit. */
+  private lazy val genWritePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-genwrite-${n.incrementAndGet()}")
+            t.setDaemon(true); t
+          }
+        }))
+
+  /** Run the given write thunks concurrently on [[genWritePool]] and
+    * await all; the first failure rethrows after all complete. */
+  private[graft] def parallelWrites(writes: Seq[() => Unit]): Unit =
+    if (writes.size <= 1) writes.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fs = writes.map(w => Future(w())(genWritePool))
+      // await each — propagate the first exception only after every
+      // in-flight write reached a terminal state (no torn temp dirs
+      // racing the caller's cleanup)
+      val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    }
+
   private[graft] def cutOf(idx: java.nio.file.Path): Long =
     new String(java.nio.file.Files.readAllBytes(idx.resolve("_CUT")),
       "UTF-8").trim.toLong
@@ -2232,7 +2343,8 @@ object DedupOps {
     * window, no empty generation on disk — t39's absent-id no-op). */
   private[graft] def applyTakedown(s: SparkSession,
       out: java.nio.file.Path, rel: String = "members",
-      gen: String = "000", marker: String = "_TAKEDOWN")(
+      gen: String = "000", marker: String = "_TAKEDOWN",
+      knownNonEmpty: Boolean = false)(
       takedownOf: DataFrame => DataFrame): Unit = {
     artifactLock(out).synchronized { withArtifactLease(out) {
       val tombs = out.resolve("tombstones")
@@ -2242,8 +2354,13 @@ object DedupOps {
       if (!java.nio.file.Files.exists(done)) {
         val tmp = out.resolve("tombstones_tmp")
         takedownOf(s.read.parquet(out.resolve(rel).toString))
+          .coalesce(genParts(s))
           .write.mode("overwrite").parquet(tmp.toString)
-        if (s.read.parquet(tmp.toString).isEmpty) {
+        // `knownNonEmpty`: a caller that already proved its id set
+        // non-empty (t43Forget probes it before calling) skips the
+        // read-back — the schema-inference + take(1) jobs were two
+        // fixed-overhead jobs per forget for a fact already in hand
+        if (!knownNonEmpty && s.read.parquet(tmp.toString).isEmpty) {
           deleteRecursively(tmp.toFile)
           java.nio.file.Files.write(done, Array.emptyByteArray)
         } else {

@@ -881,6 +881,7 @@ object StreamingOps {
           .map(_.toString)
       if (files.nonEmpty)
         fold(s.read.parquet(files: _*))
+          .coalesce(DedupOps.genParts(s))
           .write.mode("overwrite")
           .parquet(work.resolve(s"${rel}_fold").toString)
       else
@@ -964,6 +965,7 @@ object StreamingOps {
     if (s18RelabelGenCount(work, fencedCut) > 1)
       s.read.parquet(s18RelabelFoldable(work, fencedCut): _*)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .coalesce(DedupOps.genParts(s))
         .write.mode("overwrite")
         .parquet(work.resolve("labels_relfold").toString)
     else
@@ -1197,6 +1199,7 @@ object StreamingOps {
         .join(s16AliveBuckets(s, work), Seq("band", "sig"))
         .groupBy(col("doc_id"))
         .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+        .coalesce(DedupOps.genParts(s))
         .write.mode("overwrite")
         .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
       val newCut =
@@ -1207,12 +1210,14 @@ object StreamingOps {
           val tmpM = work.resolve("members_append")
           bands.groupBy(col("band"), col("sig"))
             .agg(min(col("doc_id")).as("canon"))
+            .coalesce(DedupOps.genParts(s))
             .write.mode("overwrite").parquet(tmp.toString)
           // the membership rows the append already has in hand — the
           // state full-fidelity re-election needs (see
           // [[s16AliveBuckets]]); moved in INSIDE the same commit
           // window so no reachable state holds buckets without members
           bands.select(col("band"), col("sig"), col("doc_id"))
+            .coalesce(DedupOps.genParts(s))
             .write.mode("overwrite").parquet(tmpM.toString)
           DedupOps.artifactLock(work).synchronized {
             DedupOps.commitArtifactAppend(work, tmp, c,
@@ -1291,11 +1296,19 @@ object StreamingOps {
     }
     }
 
+  // staged tranche fixtures are immutable once written (fingerprint-
+  // named staging dirs), so the stream source's schema is a constant
+  // per staged path — memoized to spare the footer-inference job each
+  // of the two AvailableNow starts per gate rep pays
+  private val stagedSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path,
+      org.apache.spark.sql.types.StructType]
+
   private def runForeachBatchStream(s: SparkSession,
       staged: java.nio.file.Path, glob: String, checkpoint: String)(
       process: (DataFrame, Long) => Unit): Unit = {
-    val schema = s.read.parquet(
-      staged.resolve("t-000.parquet").toString).schema
+    val schema = stagedSchemaMemo.computeIfAbsent(staged, p =>
+      s.read.parquet(p.resolve("t-000.parquet").toString).schema)
     withMicroBatchConf(s) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", glob)
@@ -1515,9 +1528,15 @@ object StreamingOps {
             s"${hiRow.getLong(0)} is below the fenced cut $fencedCut — " +
             "the fence/debris protocol requires monotone batch id ranges")
       DedupOps.artifactLock(work).synchronized {
+        // knownHi: the monotone assert just computed the batch max —
+        // the absorb's own identical agg is one redundant fixed-cost
+        // job per micro-batch (Long.MinValue = empty batch, which the
+        // absorb maps to its no-op path exactly like its own agg did)
         DedupOps.t42AbsorbDelta(s, work,
           batch.select(col("doc_id"), col("text")),
-          flags = work.resolve("flags").resolve(s"b$batchId"))
+          flags = work.resolve("flags").resolve(s"b$batchId"),
+          knownHi = Some(if (hiRow.isNullAt(0)) Long.MinValue
+                         else hiRow.getLong(0)))
       }
       Files.write(work.resolve("_BATCH"),
         s"$batchId ${DedupOps.cutOf(work)}".getBytes("UTF-8"))
