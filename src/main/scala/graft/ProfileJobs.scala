@@ -73,8 +73,16 @@ object ProfileJobs {
       println(f"== rep $rep%d: wall $wall%.2f s, ${js.size}%d jobs, " +
         f"${js.map(_.wallMs.max(0)).sum}%d ms summed job wall")
       if (last) {
-        js.foreach(j =>
-          println(f"  job ${j.id}%4d ${j.wallMs}%6d ms ${j.tasks}%4d tasks  ${j.site}%s"))
+        // gap = driver-side time since the previous job ended (plan,
+        // commit/file I/O, stream bookkeeping) — where wall hides when
+        // the summed job wall is far below the rep wall
+        var prevEnd = t0
+        js.foreach { j =>
+          val gapMs = (j.t0 - prevEnd) / 1000000
+          prevEnd = math.max(prevEnd, j.t0 + j.wallMs.max(0) * 1000000)
+          println(f"  job ${j.id}%4d gap $gapMs%5d ms ${j.wallMs}%6d ms " +
+            f"${j.tasks}%4d tasks  ${j.site}%s")
+        }
         println("-- by call site (count, total ms):")
         js.groupBy(_.site).toSeq
           .map { case (s, g) => (s, g.size, g.map(_.wallMs.max(0)).sum) }

@@ -1172,7 +1172,7 @@ object DedupOps {
           else Some(() =>
             deltaRows.select(col("node").as("doc_id"),
                 col("label").as("cluster_id"))
-              .coalesce(genParts(s))
+              .repartition(genParts(s))
               .write.mode("overwrite").parquet(flags.toString))
         // EVERY base-side merge-graph node lands a row: an absorbed
         // base SINGLETON that is its new cluster's min has
@@ -1237,9 +1237,9 @@ object DedupOps {
         // file-move commit below waits for all
         parallelWrites(
           flagsWrite.toSeq ++ Seq(
-            () => genPlain.coalesce(genParts(s))
+            () => genPlain.repartition(genParts(s))
               .write.mode("overwrite").parquet(tmp.toString)) ++
-          (if (hasRel) Seq(() => genRel.coalesce(genParts(s))
+          (if (hasRel) Seq(() => genRel.repartition(genParts(s))
               .write.mode("overwrite").parquet(tmpR.toString))
            else Nil) ++ Seq(
             () => dmOut.coalesce(genParts(s))
@@ -1380,7 +1380,7 @@ object DedupOps {
           // independent writes (re-derived labels vs the persisted
           // affected-node key list) — overlap their jobs (guide §2.6)
           parallelWrites(Seq(
-            () => relabeled.coalesce(genParts(s))
+            () => relabeled.repartition(genParts(s))
               .write.mode("overwrite").parquet(tmp.toString),
             () => affNodes.coalesce(genParts(s))
               .write.mode("overwrite").parquet(tmpK.toString)))
@@ -2354,7 +2354,7 @@ object DedupOps {
       if (!java.nio.file.Files.exists(done)) {
         val tmp = out.resolve("tombstones_tmp")
         takedownOf(s.read.parquet(out.resolve(rel).toString))
-          .coalesce(genParts(s))
+          .repartition(genParts(s))
           .write.mode("overwrite").parquet(tmp.toString)
         // `knownNonEmpty`: a caller that already proved its id set
         // non-empty (t43Forget probes it before calling) skips the

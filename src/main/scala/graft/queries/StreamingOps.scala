@@ -881,7 +881,7 @@ object StreamingOps {
           .map(_.toString)
       if (files.nonEmpty)
         fold(s.read.parquet(files: _*))
-          .coalesce(DedupOps.genParts(s))
+          .repartition(DedupOps.genParts(s))
           .write.mode("overwrite")
           .parquet(work.resolve(s"${rel}_fold").toString)
       else
@@ -965,7 +965,7 @@ object StreamingOps {
     if (s18RelabelGenCount(work, fencedCut) > 1)
       s.read.parquet(s18RelabelFoldable(work, fencedCut): _*)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .coalesce(DedupOps.genParts(s))
+        .repartition(DedupOps.genParts(s))
         .write.mode("overwrite")
         .parquet(work.resolve("labels_relfold").toString)
     else
@@ -1179,8 +1179,15 @@ object StreamingOps {
       DedupOps.artifactLock(work).synchronized {
         s16MaybeFold(s, work, fencedCut)
       }
+      // persist: the banding feeds the probe flags, the bucket fold,
+      // the membership write, and the high-watermark agg — four
+      // actions that were each re-running the MinHash kernel over the
+      // batch (the s18 absorb already persists its banding for the
+      // same reason); dropped before the fence write below
       val bands = DedupOps.bandedSignaturesOf(
         batch.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // the batch high-watermark, BEFORE any mutation: step 0's debris
       // rule keys on "tag > fencedCut", which assumes batch max ids
       // are monotone with batch ids — an out-of-order source would
@@ -1195,30 +1202,42 @@ object StreamingOps {
             s"${hiRow.getLong(0)} is below the fenced cut $fencedCut — " +
             "the fence/debris protocol requires monotone batch id " +
             "ranges (re-key debris detection per batch to lift this)")
-      bands.select(col("doc_id"), col("band"), col("sig"))
-        .join(s16AliveBuckets(s, work), Seq("band", "sig"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
-        .coalesce(DedupOps.genParts(s))
-        .write.mode("overwrite")
-        .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
+      // the probe (flags) and append (buckets/members temp) writes are
+      // mutually independent — the probe reads the index AS OF the
+      // previous batch and the appends land in temp dirs until the
+      // commit below — so they overlap (guide §2.6). repartition (not
+      // coalesce) to the generation file count: coalesce(1) propagated
+      // into the final stage and SERIALIZED the probe join/fold
+      // compute (measured: s16 exec dropped but wall rose); the tiny
+      // round-robin exchange of the batch-sized result keeps the
+      // compute at the stream's partition count.
+      val probeWrite: () => Unit = () =>
+        bands.select(col("doc_id"), col("band"), col("sig"))
+          .join(s16AliveBuckets(s, work), Seq("band", "sig"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
+          .repartition(DedupOps.genParts(s))
+          .write.mode("overwrite")
+          .parquet(work.resolve("flags").resolve(s"b$batchId").toString)
       val newCut =
-        if (hiRow.isNullAt(0)) fencedCut
+        if (hiRow.isNullAt(0)) { probeWrite(); fencedCut }
         else {
           val c = hiRow.getLong(0)
           val tmp = work.resolve("buckets_append")
           val tmpM = work.resolve("members_append")
-          bands.groupBy(col("band"), col("sig"))
-            .agg(min(col("doc_id")).as("canon"))
-            .coalesce(DedupOps.genParts(s))
-            .write.mode("overwrite").parquet(tmp.toString)
-          // the membership rows the append already has in hand — the
-          // state full-fidelity re-election needs (see
-          // [[s16AliveBuckets]]); moved in INSIDE the same commit
-          // window so no reachable state holds buckets without members
-          bands.select(col("band"), col("sig"), col("doc_id"))
-            .coalesce(DedupOps.genParts(s))
-            .write.mode("overwrite").parquet(tmpM.toString)
+          DedupOps.parallelWrites(Seq(
+            probeWrite,
+            () => bands.groupBy(col("band"), col("sig"))
+              .agg(min(col("doc_id")).as("canon"))
+              .repartition(DedupOps.genParts(s))
+              .write.mode("overwrite").parquet(tmp.toString),
+            // the membership rows the append already has in hand — the
+            // state full-fidelity re-election needs (see
+            // [[s16AliveBuckets]]); moved in INSIDE the same commit
+            // window so no reachable state holds buckets without members
+            () => bands.select(col("band"), col("sig"), col("doc_id"))
+              .repartition(DedupOps.genParts(s))
+              .write.mode("overwrite").parquet(tmpM.toString)))
           DedupOps.artifactLock(work).synchronized {
             DedupOps.commitArtifactAppend(work, tmp, c,
               beforeReady = () => {
@@ -1242,6 +1261,7 @@ object StreamingOps {
         }
       Files.write(work.resolve("_BATCH"),
         s"$batchId $newCut".getBytes("UTF-8"))
+      } finally bands.unpersist(blocking = true)
       ()
     }
   }
