@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeTs(queries.DedupOps.readStable(spark, s"$dir/$name.parquet"))
 
   /** The engine's canonical `events.ts` representation is BIGINT epoch
     * nanos. The generator has emitted both parquet TIMESTAMP(NANOS) —

@@ -939,7 +939,7 @@ object DedupOps {
     * node-cardinality parquet read instead of the propagation loop. */
   def ccClustersServe(s: SparkSession, dir: String): DataFrame = {
     val idx = buildCcIndex(s, dir)
-    ccClustersOf(s.read.parquet(s"$idx/labels"))
+    ccClustersOf(readStable(s, s"$idx/labels"))
   }
 
   // ------------ t42: INCREMENTAL connected components — the cluster
@@ -1226,7 +1226,7 @@ object DedupOps {
         // time, so a stream never re-lists the members dir for it
         val dmOut =
           if (membersCarryTs.computeIfAbsent(out, p =>
-              s.read.parquet(p.resolve("members").toString)
+              readStable(s, p.resolve("members").toString)
                 .schema.fieldNames.contains("ingest_ts")))
             dm.withColumn("ingest_ts", expr(t41IngestTs))
           else dm
@@ -1570,7 +1570,7 @@ object DedupOps {
     // tombstone write, and affected/survivor joins would otherwise
     // each re-run the members scan + distinct (s19 pays this per
     // stream rep); dropped before return on every path
-    val expired = s.read.parquet(out.resolve("members").toString)
+    val expired = readStable(s, out.resolve("members").toString)
       .filter(col(tsCol) <= horizon)
       .select(col("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1634,7 +1634,7 @@ object DedupOps {
     val out = requireReady(t42IndexPath(s, dir, "t46"))
     val ext = stageT39Erasures(s, dir)
     t43ForgetExternal(s, out,
-      s.read.parquet(ext.resolve("erasures").toString))
+      readStable(s, ext.resolve("erasures").toString))
     ccClustersOfFolded(s, out)
   }
 
@@ -1664,7 +1664,7 @@ object DedupOps {
     * steady-state read). */
   def takedownFanout(s: SparkSession, dir: String): DataFrame = {
     val ext = stageT39Erasures(s, dir)
-    val list = s.read.parquet(ext.resolve("erasures").toString)
+    val list = readStable(s, ext.resolve("erasures").toString)
     // ONE fingerprint job for the whole fan-out: the tag depends only
     // on the id VALUES, so every shelf (including the sum leg's
     // user_id rename) shares it — four re-computations would be fixed
@@ -1768,7 +1768,7 @@ object DedupOps {
     val cut = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(idx, "_CUT")), "UTF-8").trim.toLong
     val delta = docs(s, dir).filter(col("doc_id") > cut)
-    val buckets = s.read.parquet(s"$idx/buckets")
+    val buckets = readStable(s, s"$idx/buckets")
     bandedSignaturesOf(delta)
       .select(col("doc_id"), col("band"), col("sig"))
       .join(buckets, Seq("band", "sig"))
@@ -1804,7 +1804,7 @@ object DedupOps {
     }.mkString("\n UNION ALL ")
     JobHistoryOps.withSqlViews(s, Seq(
       "t34_documents" -> docs(s, dir),
-      "t34_buckets" -> s.read.parquet(s"$idx/buckets")))(nm =>
+      "t34_buckets" -> readStable(s, s"$idx/buckets")))(nm =>
       s"""WITH delta AS (
          | SELECT doc_id, split(text, ' ') AS words
          | FROM ${nm("t34_documents")} WHERE doc_id > $cut),
@@ -1861,6 +1861,32 @@ object DedupOps {
     * file counts O(generations). */
   private[graft] def genParts(s: SparkSession): Int =
     s.conf.get("graft.artifact.genPartitions", "1").toInt
+
+  /** Parquet read of an ARTIFACT relation with its schema memoized
+    * per directory path. Every artifact relation's schema is fixed at
+    * build time and kept generation-uniform by the append rule (the
+    * ingest_ts uniformity check enforces exactly this), yet each
+    * `spark.read.parquet(dir)` scheduled a footer-inference job —
+    * fixed overhead per serve/probe that multiplies across the
+    * per-micro-batch paths and the multi-shelf fan-out. First read
+    * per path infers and memoizes; later reads declare the schema and
+    * plan with zero jobs. Working copies are fresh temp dirs per
+    * invocation, so entries grow O(invocations) of a few hundred
+    * bytes — the same accepted bound as [[membersCarryTs]].
+    *
+    * Invariant relied on: inference is conf-independent across the
+    * JVM's sessions — every session (mains and the shared test base)
+    * sets `spark.sql.legacy.parquet.nanosAsLong=true`, so a path's
+    * inferred schema is a pure function of its files. A session with
+    * divergent parquet-inference confs must not share this memo. */
+  private val dirSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private[graft] def readStable(s: SparkSession, path: String): DataFrame = {
+    val sch = dirSchemaMemo.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   /** Small daemon pool for OVERLAPPING a maintenance verb's
     * independent generation writes (guide §2.6: actions are only
@@ -2087,7 +2113,7 @@ object DedupOps {
     * read path. */
   private[graft] def servedBandBuckets(s: SparkSession, dir: String)
       : DataFrame =
-    s.read.parquet(requireReady(rwBandIndexPath(s, dir))
+    readStable(s, requireReady(rwBandIndexPath(s, dir))
         .resolve("buckets").toString)
       .groupBy(col("band"), col("sig"))
       .agg(min(col("canon")).as("canon"))
@@ -2106,7 +2132,7 @@ object DedupOps {
       .filter(col("doc_id") > cutOf(idx) && col("doc_id") <= upTo)
     bandedSignaturesOf(delta)
       .select(col("doc_id"), col("band"), col("sig"))
-      .join(s.read.parquet(idx.resolve("buckets").toString),
+      .join(readStable(s, idx.resolve("buckets").toString),
         Seq("band", "sig"))
       .groupBy(col("doc_id"))
       .agg(min(col("band")).as("band"), min(col("canon")).as("dup_of"))
@@ -2254,7 +2280,7 @@ object DedupOps {
     buildBandIndexAt(s, dir, out)
     appendBandIndexAt(s, dir, out, Long.MaxValue)
     compactBandIndex(s, out)
-    s.read.parquet(requireReady(out).resolve("buckets").toString)
+    readStable(s, requireReady(out).resolve("buckets").toString)
       .groupBy(col("band"), col("sig"))
       .agg(min(col("canon")).as("canon"))
       .orderBy(col("band"), col("sig"))
@@ -2353,7 +2379,7 @@ object DedupOps {
       // applied this takedown while we waited
       if (!java.nio.file.Files.exists(done)) {
         val tmp = out.resolve("tombstones_tmp")
-        takedownOf(s.read.parquet(out.resolve(rel).toString))
+        takedownOf(readStable(s, out.resolve(rel).toString))
           .repartition(genParts(s))
           .write.mode("overwrite").parquet(tmp.toString)
         // `knownNonEmpty`: a caller that already proved its id set
@@ -2439,12 +2465,12 @@ object DedupOps {
     * plan. */
   private[graft] def aliveMembers(s: SparkSession,
       idx: java.nio.file.Path, idCol: String = "doc_id"): DataFrame = {
-    val members = s.read.parquet(idx.resolve("members").toString)
+    val members = readStable(s, idx.resolve("members").toString)
     val hasTombs = Option(idx.resolve("tombstones").toFile.listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
     if (!hasTombs) members
     else members.join(
-      s.read.parquet(idx.resolve("tombstones").toString)
+      readStable(s, idx.resolve("tombstones").toString)
         .select(col(idCol)), Seq(idCol), "left_anti")
   }
 
@@ -2729,7 +2755,7 @@ object DedupOps {
     buildMembersIndexAt(s, dir, out)
     val ext = stageT39Erasures(s, dir)
     applyTakedownExternal(s, out,
-      s.read.parquet(ext.resolve("erasures").toString))
+      readStable(s, ext.resolve("erasures").toString))
     aliveMembers(s, requireReady(out))
       .groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("canon"))
@@ -2798,7 +2824,7 @@ object DedupOps {
     appendBandIndexAt(s, dir, out, c1, autoCompactMax = 2)
     appendBandIndexAt(s, dir, out, c2, autoCompactMax = 2)
     appendBandIndexAt(s, dir, out, Long.MaxValue, autoCompactMax = 2)
-    s.read.parquet(requireReady(out).resolve("buckets").toString)
+    readStable(s, requireReady(out).resolve("buckets").toString)
       .groupBy(col("band"), col("sig"))
       .agg(min(col("canon")).as("canon"))
       .orderBy(col("band"), col("sig"))

@@ -242,7 +242,7 @@ object MultimodalOps {
     val delta = mediaTable(s, dir).filter(col("doc_id") > cut)
       .select(col("doc_id"), col("payload"))
     mediaAhashOf(delta)
-      .join(s.read.parquet(s"$idx/buckets"), Seq("ahash"))
+      .join(DedupOps.readStable(s, s"$idx/buckets"), Seq("ahash"))
       .select(col("doc_id"), col("ahash"), col("canon").as("dup_of"))
       .orderBy(col("doc_id"))
   }
@@ -304,7 +304,7 @@ object MultimodalOps {
   def mediaIndexAppendServe(s: SparkSession, dir: String): DataFrame = {
     buildRwMediaIndex(s, dir)
     appendMediaIndex(s, dir)
-    s.read.parquet(rwMediaIndexPath(s, dir).resolve("buckets").toString)
+    DedupOps.readStable(s, rwMediaIndexPath(s, dir).resolve("buckets").toString)
       .groupBy(col("ahash"))
       .agg(min(col("canon")).as("canon"))
       .orderBy(col("ahash"))
@@ -335,7 +335,7 @@ object MultimodalOps {
     appendMediaIndexAt(s, dir, out, Long.MaxValue)
     DedupOps.compactArtifact(s, out)(
       _.groupBy(col("ahash")).agg(min(col("canon")).as("canon")))
-    s.read.parquet(DedupOps.requireReady(out).resolve("buckets").toString)
+    DedupOps.readStable(s, DedupOps.requireReady(out).resolve("buckets").toString)
       .groupBy(col("ahash"))
       .agg(min(col("canon")).as("canon"))
       .orderBy(col("ahash"))
@@ -454,7 +454,7 @@ object MultimodalOps {
     }
     val ext = DedupOps.stageT39Erasures(s, dir)
     DedupOps.applyTakedownExternal(s, out,
-      s.read.parquet(ext.resolve("erasures").toString), tag = tag)
+      DedupOps.readStable(s, ext.resolve("erasures").toString), tag = tag)
   }
 
   /** m12's OWN membership copy (m11 holds the canon-takedown's

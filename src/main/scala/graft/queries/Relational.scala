@@ -778,7 +778,7 @@ object Relational {
       .orderBy(col("event_type"))
 
   def q33IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     // "yesterday's" materialized aggregate — written once per input
     // fingerprint, read back from parquet like the real metrics table.
     // The CUT POINT (the high-watermark ts the history covers) is
@@ -852,7 +852,7 @@ object Relational {
     * (no clobbered user views, no leaked catalog entries) pinned in
     * RelationalSpec. */
   def q33IncrementalAggSql(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val (partsDir, cut) = q33HistArtifact(s, dir, raw)
     JobHistoryOps.withSqlViews(s, Seq(
       "q33_events" -> raw,
@@ -942,7 +942,7 @@ object Relational {
     * beside the engine-side bound check on the merged estimate. */
   private def q34Audit(s: SparkSession, dir: String, merged: DataFrame)
       : DataFrame = {
-    val exact = s.read.parquet(s"$dir/events.parquet")
+    val exact = DedupOps.readStable(s, s"$dir/events.parquet")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     exact.join(merged, Seq("event_type"))
@@ -958,7 +958,7 @@ object Relational {
     * `hll_union_agg`. */
   private[graft] def q34MergedEstimates(s: SparkSession, dir: String)
       : DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val hist = java.nio.file.Paths.get("target",
       s"q34_hll_${layoutHex(s, dir, "events")}").toAbsolutePath
     val cutFile = hist.resolve("_CUT")
@@ -1004,7 +1004,7 @@ object Relational {
     * — q33's build at the v17 nonce-marker contract. */
   private def buildRwPartials(s: SparkSession, dir: String, fam: String)(
       partialOf: DataFrame => DataFrame): String = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = rwPartialsPath(s, dir, fam)
     DedupOps.ensureArtifact(out) {
       val Array(lo, hi) = t(s, dir, "events")
@@ -1036,7 +1036,7 @@ object Relational {
   private[graft] def appendPartials(s: SparkSession, dir: String, fam: String,
       upToNanos: Long = Long.MaxValue)(
       partialOf: DataFrame => DataFrame): Long = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val cut = DedupOps.cutOf(out)
@@ -1287,7 +1287,7 @@ object Relational {
   private[graft] def q39Retract(s: SparkSession, dir: String): Unit = {
     buildRwPartials(s, dir, "q39agg")(q33Partial)
     appendPartials(s, dir, "q39agg")(q33Partial)
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = q39RwPath(s, dir)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RETRACTED")
@@ -1369,7 +1369,7 @@ object Relational {
     * the beforeReady hook (q39's contract). */
   private[graft] def q40Retract(s: SparkSession, dir: String): Unit = {
     q40Stage(s, dir)
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = q40RwPath(s, dir)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RESKETCHED")
@@ -1442,7 +1442,7 @@ object Relational {
     * the ghost-key drop, SQL group semantics again. */
   private def q40Audit(s: SparkSession, dir: String, merged: DataFrame)
       : DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val (a, b) = q39Window(s, dir)
     val exact = raw.filter(!(col("ts") > tsCutLit(raw, a) &&
         col("ts") <= tsCutLit(raw, b)))
@@ -1482,7 +1482,7 @@ object Relational {
     * rewrite. */
   private[graft] def q41AgeOff(s: SparkSession, dir: String,
       horizon: Long): Unit = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = q41RwPath(s, dir)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val mk = out.resolve("_AGEOFF")
@@ -1600,7 +1600,7 @@ object Relational {
     buildRwPartials(s, dir, fam)(q34Sketch)
     val c2 = q42TrancheCut(s, dir, fam)
     appendPartials(s, dir, fam, c2)(q34Sketch)
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve("_RESKETCHED")
@@ -1642,7 +1642,7 @@ object Relational {
     * key). O(batch) — two pushed delta scans, no history rewrite. */
   private[graft] def appendPartialsResketchAware(s: SparkSession,
       dir: String, fam: String): Long = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val out = rwPartialsPath(s, dir, fam)
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val cut = DedupOps.cutOf(out)
@@ -1702,7 +1702,7 @@ object Relational {
     * dropped for affected keys. */
   private def q42Audit(s: SparkSession, dir: String, merged: DataFrame)
       : DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = DedupOps.readStable(s, s"$dir/events.parquet")
     val (a, b) = q39Window(s, dir)
     val exact = raw.filter(!(col("ts") > tsCutLit(raw, a) &&
         col("ts") <= tsCutLit(raw, b) && q42KeyPred))
@@ -1872,7 +1872,7 @@ object Relational {
     DedupOps.artifactLock(out).synchronized { DedupOps.retryOnConflict() {
       val marker = out.resolve(s"_ERASED_$tag")
       if (!java.nio.file.Files.exists(marker)) {
-        val raw = s.read.parquet(s"$dir/events.parquet")
+        val raw = DedupOps.readStable(s, s"$dir/events.parquet")
         val erased = raw.join(broadcast(erasures.select(col("user_id"))),
           Seq("user_id"), "left_semi")
         val tmp = out.resolve("partials_erase")
@@ -1916,7 +1916,7 @@ object Relational {
     buildRwPartials(s, dir, "q44agg")(q33Partial)
     appendPartials(s, dir, "q44agg")(q33Partial)
     val ext = stageQ44Erasures(s, dir)
-    val erasures = s.read.parquet(ext.resolve("erasures").toString)
+    val erasures = DedupOps.readStable(s, ext.resolve("erasures").toString)
     // the tag keys on the list's CONTENT (sorted distinct ids), not a
     // file fingerprint: a re-staged byte-identical list (new mtime)
     // must stay the SAME takedown — a fingerprint-keyed marker would

@@ -241,7 +241,7 @@ object StreamingOps {
       .digest(s"$dir@$fp".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     val out = Paths.get("target", s"s11_docs_$hex").toAbsolutePath
-    val d = s.read.parquet(s"$dir/documents.parquet")
+    val d = DedupOps.readStable(s, s"$dir/documents.parquet")
     val Array(lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val cut = (lo + hi) / 2
@@ -455,7 +455,7 @@ object StreamingOps {
     * is flagged iff some band bucket holds a smaller doc_id (witness
     * = min band, min canonical). */
   def streamedIngestDedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), col("text"))
@@ -478,7 +478,7 @@ object StreamingOps {
     * [[EventWindows.clickPurchaseJoin]]; the spec additionally pins
     * batch ≡ stream on the same inputs. */
   def streamedIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/events.parquet").schema
     def side(tpe: String): DataFrame =
       Tables.normalizeTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -509,7 +509,7 @@ object StreamingOps {
     * join state). The oracle is the batch left join under the same
     * closed-window cutoff. */
   def streamedOuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/events.parquet").schema
     def side(tpe: String): DataFrame =
       Tables.normalizeTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -552,7 +552,7 @@ object StreamingOps {
     val idx = DedupOps.buildBandIndex(s, dir)
     val cut = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(idx, "_CUT")), "UTF-8").trim.toLong
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("doc_id") > cut)
@@ -601,7 +601,7 @@ object StreamingOps {
     val appended = Option(out.resolve("buckets").toFile.listFiles())
       .exists(_.exists(_.getName.startsWith("append-")))
     if (!appended) {
-      val Array(lo, hi) = s.read.parquet(s"$dir/documents.parquet")
+      val Array(lo, hi) = DedupOps.readStable(s, s"$dir/documents.parquet")
         .agg(min(col("doc_id")), max(col("doc_id")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val mid = (lo + hi) / 2
@@ -614,12 +614,12 @@ object StreamingOps {
     val out = DedupOps.requireReady(stageLivingIndex(s, dir))
     val cut2 = new String(java.nio.file.Files.readAllBytes(
       out.resolve("_CUT")), "UTF-8").trim.toLong
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("doc_id") > cut2)
       .select(col("doc_id"), col("text"))
-    val buckets = s.read.parquet(out.resolve("buckets").toString)
+    val buckets = DedupOps.readStable(s, out.resolve("buckets").toString)
     val flagged = DedupOps.bandedSignaturesOf(stream)
       .select(col("doc_id"), col("band"), col("sig"))
       .join(buckets, Seq("band", "sig"))
@@ -799,9 +799,9 @@ object StreamingOps {
     val tombs = work.resolve("tombstones")
     val hasTombs = Option(tombs.toFile.listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!hasTombs) s.read.parquet(work.resolve("buckets").toString)
-    else s.read.parquet(work.resolve("members").toString)
-      .join(s.read.parquet(tombs.toString).select(col("doc_id")),
+    if (!hasTombs) DedupOps.readStable(s, work.resolve("buckets").toString)
+    else DedupOps.readStable(s, work.resolve("members").toString)
+      .join(DedupOps.readStable(s, tombs.toString).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .select(col("band"), col("sig"), col("doc_id").as("canon"))
   }
@@ -1373,6 +1373,25 @@ object StreamingOps {
   // deleted; the last invocation's dir survives the process — by
   // design, since the returned DataFrame reads it lazily (the
   // lastSink idiom).
+
+  /** The flags relations' fixed schemas, declared on the serve read so
+    * the per-rep scan plans without a footer-inference job (the work
+    * dir is per-invocation, so [[DedupOps.readStable]]'s path memo
+    * cannot amortize it). Written by this file alone. */
+  private val s16FlagsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("dup_of",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  private val s18FlagsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
   private val s16EntryLock = new Object
 
   def streamedIndexWriteback(s: SparkSession, dir: String): DataFrame =
@@ -1383,7 +1402,8 @@ object StreamingOps {
         work.resolve("ckpt").toString)
       val old = lastS16Work.getAndSet(work)
       if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
-      s.read.parquet(work.resolve("flags").toString + "/b*")
+      s.read.schema(s16FlagsSchema)
+        .parquet(work.resolve("flags").toString + "/b*")
         .orderBy(col("doc_id"))
     }
 
@@ -1431,7 +1451,7 @@ object StreamingOps {
       // the base cut and the index-derived policy horizon, captured
       // BEFORE any batch advances _CUT
       val mid = DedupOps.cutOf(work)
-      val lo = s.read.parquet(work.resolve("members").toString)
+      val lo = DedupOps.readStable(s, work.resolve("members").toString)
         .agg(min(col("doc_id"))).head().getLong(0)
       val h = lo + (mid - lo) / 2
       // segment 1: tranche 1 absorbed against the pristine base
@@ -1446,7 +1466,8 @@ object StreamingOps {
       s16RunStream(s, work, staged, "t-*.parquet", ck)
       val old = lastS17Work.getAndSet(work)
       if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
-      s.read.parquet(work.resolve("flags").toString + "/b*")
+      s.read.schema(s16FlagsSchema)
+        .parquet(work.resolve("flags").toString + "/b*")
         .orderBy(col("doc_id"))
     }
 
@@ -1605,7 +1626,8 @@ object StreamingOps {
       work.resolve("ckpt").toString)
     val old = lastS18Work.getAndSet(work)
     if (old != null && old != work) DedupOps.deleteRecursively(old.toFile)
-    s.read.parquet(work.resolve("flags").toString + "/b*")
+    s.read.schema(s18FlagsSchema)
+      .parquet(work.resolve("flags").toString + "/b*")
       .orderBy(col("doc_id"))
   }
 
@@ -1649,7 +1671,7 @@ object StreamingOps {
       // base cut and the index-derived policy horizon, captured
       // BEFORE any batch advances _CUT
       val mid = DedupOps.cutOf(work)
-      val lo = s.read.parquet(work.resolve("members").toString)
+      val lo = DedupOps.readStable(s, work.resolve("members").toString)
         .agg(min(col("doc_id"))).head().getLong(0)
       val h = lo + (mid - lo) / 2
       // segment 1: tranche 1 absorbed against the pristine base
@@ -1668,7 +1690,8 @@ object StreamingOps {
       val old = lastS19Work.getAndSet(work)
       if (old != null && old != work)
         DedupOps.deleteRecursively(old.toFile)
-      s.read.parquet(work.resolve("flags").toString + "/b*")
+      s.read.schema(s18FlagsSchema)
+        .parquet(work.resolve("flags").toString + "/b*")
         .orderBy(col("doc_id"))
     }
 
@@ -1719,7 +1742,8 @@ object StreamingOps {
       val old = lastS20Work.getAndSet(work)
       if (old != null && old != work)
         DedupOps.deleteRecursively(old.toFile)
-      s.read.parquet(work.resolve("flags").toString + "/b*")
+      s.read.schema(s18FlagsSchema)
+        .parquet(work.resolve("flags").toString + "/b*")
         .orderBy(col("doc_id"))
     }
 
@@ -1737,7 +1761,7 @@ object StreamingOps {
     * stream must equal the original table exactly, which is what the
     * oracle (a plain SELECT of events) hash-gates. */
   def streamedExactlyOnce(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/events.parquet").schema
     def src: DataFrame =
       Tables.normalizeTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -1765,7 +1789,7 @@ object StreamingOps {
     * equals the batch join exactly, which the plain-SQL oracle
     * hash-gates. */
   def streamedStaticEnrich(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = DedupOps.readStable(s, s"$dir/events.parquet").schema
     val stream = Tables.normalizeTs(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
       .select(col("event_id"), col("ts"), col("user_id"),

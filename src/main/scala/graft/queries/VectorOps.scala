@@ -876,7 +876,7 @@ object VectorOps {
     graft.functions.VectorDotProduct.register(s)
     val idx = DedupOps.buildNearDupIndex(s, dir)
     knnDirectedTop3(DedupOps.cellBlockedPairs(
-      s.read.parquet(s"$idx/assign"), DedupOps.NearDupCellCap))
+      DedupOps.readStable(s, s"$idx/assign"), DedupOps.NearDupCellCap))
   }
 
   /** v20: kNN-graph MAINTENANCE without relearning — the q33/t34
@@ -927,7 +927,7 @@ object VectorOps {
     val out = v21IndexPath(s, dir)
     DedupOps.ensureArtifact(out) {
       val idx = DedupOps.buildNearDupIndex(s, dir)
-      s.read.parquet(s"$idx/assign")
+      DedupOps.readStable(s, s"$idx/assign")
         .write.mode("overwrite").parquet(out.resolve("members").toString)
     }
   }
@@ -1030,12 +1030,12 @@ object VectorOps {
     val out = v24IndexPath(s, dir)
     DedupOps.ensureArtifact(out) {
       val idx = DedupOps.buildNearDupIndex(s, dir)
-      s.read.parquet(s"$idx/assign")
+      DedupOps.readStable(s, s"$idx/assign")
         .write.mode("overwrite").parquet(out.resolve("members").toString)
     }
     val ext = stageV24Erasures(s, dir)
     DedupOps.applyTakedownExternal(s, out,
-      s.read.parquet(ext.resolve("erasures").toString),
+      DedupOps.readStable(s, ext.resolve("erasures").toString),
       idCol = "vec_id")
   }
 
@@ -1055,7 +1055,7 @@ object VectorOps {
     val out = v22IndexPath(s, dir)
     DedupOps.ensureArtifact(out) {
       val idx = DedupOps.buildNearDupIndex(s, dir)
-      val assign = s.read.parquet(s"$idx/assign")
+      val assign = DedupOps.readStable(s, s"$idx/assign")
       val Array(lo, hi) = assign
         .agg(min(col("vec_id")), max(col("vec_id")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
@@ -1111,7 +1111,7 @@ object VectorOps {
     val out = v23IndexPath(s, dir)
     DedupOps.ensureArtifact(out) {
       val idx = DedupOps.buildNearDupIndex(s, dir)
-      s.read.parquet(s"$idx/assign")
+      DedupOps.readStable(s, s"$idx/assign")
         .withColumn("ingest_ts",
           expr(DedupOps.ingestTsExpr("vec_id")))
         .write.mode("overwrite").parquet(out.resolve("members").toString)
@@ -1666,9 +1666,9 @@ object VectorOps {
   def annIndexServe(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorDotProduct.register(s)
     val idx = buildAnnIndex(s, dir)
-    val index = s.read.parquet(s"$idx/cells")
-    val cents = s.read.parquet(s"$idx/centroids")
-    val cb = s.read.parquet(s"$idx/codebooks")
+    val index = DedupOps.readStable(s, s"$idx/cells")
+    val cents = DedupOps.readStable(s, s"$idx/centroids")
+    val cb = DedupOps.readStable(s, s"$idx/codebooks")
     val books = (0 until PqM).map(m =>
       cb.filter(col("m") === m).select(col("cluster"), col("cvec")))
     ivfPqServeWith(index, cents, books, ivfPqQueries(s, dir))
