@@ -2414,21 +2414,43 @@ object DedupOps {
   private[graft] def tombstoneTakedown(s: SparkSession, dir: String): Unit =
     applyTakedown(s, t37IndexPath(s, dir))(t37TakedownSet)
 
-  /** Sorted-DISTINCT-id md5 fingerprint of an erasure request — the
+  /** DISTINCT-id-set fingerprint of an erasure request — the
     * compliance key shared by every external-list verb (the q44/s16
     * rule): the tag derives from WHAT is being erased, so a second
     * DIFFERENT list lands beside the first while a re-submitted list
     * — byte-identical OR differing only in duplicate multiplicity,
     * semantically the same request — shares the tag and stays a
-    * marker no-op. One O(list) aggregation, the cost of reading the
-    * request at all; erasure lists are bounded by request volume,
-    * never corpus-sized. */
+    * marker no-op.
+    *
+    * The reduction is ORDER-INSENSITIVE and never materializes the
+    * list: three commutative aggregates over the per-id 64-bit hash
+    * (count, overflow-free decimal sum, bit-XOR) identify the set,
+    * and the tag is the md5 of that triple. The previous formulation
+    * (`md5(concat_ws(sort_array(collect_list(id))))`) concatenated
+    * every sorted id into ONE aggregation buffer — O(list) bytes in a
+    * single row on the driver, a ~100 MB row at a pathological 10M-id
+    * list (guide §5: the driver should do no data work); this one is
+    * O(1) driver state at any list size, deterministic across
+    * partitionings, engines and re-runs (xxhash64's seed is fixed in
+    * Spark), and pinned at 1M ids in TombstoneSpec. MIGRATION: the
+    * r20 rule applies unchanged — an artifact erased under a PRIOR
+    * fingerprint rule re-applies idempotently on the tombstone
+    * shelves; the cluster shelf refuses loudly with its documented
+    * remedy (compact, then re-submit). */
   private[graft] def erasureFingerprint(ids: DataFrame,
-      idCol: String = "doc_id"): String =
-    ids.select(col(idCol)).distinct()
-      .agg(md5(concat_ws(",",
-        sort_array(collect_list(col(idCol))))).as("fp"))
-      .head().getString(0).take(12)
+      idCol: String = "doc_id"): String = {
+    val r = ids.select(col(idCol)).distinct()
+      .select(xxhash64(col(idCol)).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("s"),
+        expr("bit_xor(h)").as("x"))
+      .head()
+    val key = s"${r.getLong(0)}:${Option(r.get(1)).getOrElse(0)}:" +
+      s"${if (r.isNullAt(2)) 0L else r.getLong(2)}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
 
   /** EXTERNAL-list takedown, fingerprint-keyed — the ONE shared verb
     * behind t39 (band), m14 (media), and v24 (vector): tombstone the

@@ -623,4 +623,36 @@ class TombstoneSpec extends SparkSpec {
     assert(served === rebuilt,
       "no listed principal may contribute to the served aggregate")
   }
+
+  test("erasureFingerprint: set-keyed at 1M ids with O(1) driver state (r21 — no collect_list)") {
+    // the r21 reformulation (count + decimal-sum + bit-XOR of the
+    // per-id hash) must keep the compliance key's contract: the tag
+    // is a pure function of the DISTINCT id SET — order- and
+    // multiplicity-insensitive, sensitive to any element change — and
+    // must never materialize the list in one aggregation row (the
+    // prior sorted-concat md5 built an O(list) driver buffer; at the
+    // 1M ids exercised here that was ~8 MB in one row and ~100 MB at
+    // a pathological 10M). Runtime bound: one aggregation pass.
+    import spark.implicits._
+    val n = 1000000L
+    val base = spark.range(0L, n).select(col("id").as("doc_id"))
+    val shuffled = spark.range(0L, n)
+      .select(((col("id") * 7919L) % n).as("doc_id")) // a permutation
+    val duplicated = base.unionAll(base.limit(1000))
+    val oneOff = spark.range(0L, n)
+      .select(when(col("id") === 123456L, lit(n + 17L))
+        .otherwise(col("id")).as("doc_id"))
+    val tag = DedupOps.erasureFingerprint(base)
+    assert(tag.length === 12)
+    assert(DedupOps.erasureFingerprint(shuffled) === tag,
+      "order must not change the fingerprint")
+    assert(DedupOps.erasureFingerprint(duplicated) === tag,
+      "duplicate multiplicity must not change the fingerprint")
+    assert(DedupOps.erasureFingerprint(oneOff) !== tag,
+      "a single replaced id must change the fingerprint")
+    // empty list: deterministic (the no-op path still writes a
+    // marker keyed by it)
+    assert(DedupOps.erasureFingerprint(base.filter(col("doc_id") < 0L))
+      === DedupOps.erasureFingerprint(base.filter(col("doc_id") < -1L)))
+  }
 }
